@@ -1,0 +1,68 @@
+"""Synthetic SPD test-matrix generators.
+
+The reference ships `make` rules to download shallow_water1 from the UFL
+collection (reference matrices/Makefile:7-11), but that URL is dead; the
+measured baseline (BASELINE.md) therefore uses a synthetic SPD stand-in.
+These generators produce MM files with one stored triangle, matching what
+the loader's unconditional mirroring expects.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..formats.mmio import write_coordinate
+
+__all__ = ["spd_tridiagonal", "spd_laplacian_2d", "write_mm_triangle"]
+
+
+def spd_tridiagonal(n: int, diag: float = 4.0, off: float = -1.0):
+    """Tridiagonal SPD matrix; returns one triangle as 0-based triplets.
+
+    Same construction as the measured-baseline stand-in: diag=4, off=-1
+    (strictly diagonally dominant -> SPD).
+    """
+    di = np.arange(n, dtype=np.int64)
+    oi = np.arange(n - 1, dtype=np.int64)
+    rows = np.concatenate([di, oi + 1])
+    cols = np.concatenate([di, oi])
+    vals = np.concatenate([np.full(n, diag), np.full(n - 1, off)])
+    return rows, cols, vals, n
+
+
+def spd_laplacian_2d(side: int):
+    """5-point 2-D Laplacian on a side x side grid (N = side**2).
+
+    A more realistic stand-in for mesh-based CFD matrices like
+    shallow_water1: ~5 nnz/row, two off-diagonal bands at +-1 and +-side.
+    Returns the lower triangle (diagonal included) as 0-based triplets.
+    """
+    n = side * side
+    idx = np.arange(n, dtype=np.int64)
+    ii, jj = np.divmod(idx, side)
+
+    rows = [idx]
+    cols = [idx]
+    vals = [np.full(n, 4.0)]
+
+    west = jj > 0
+    rows.append(idx[west])
+    cols.append(idx[west] - 1)
+    vals.append(np.full(west.sum(), -1.0))
+
+    north = ii > 0
+    rows.append(idx[north])
+    cols.append(idx[north] - side)
+    vals.append(np.full(north.sum(), -1.0))
+
+    return np.concatenate(rows), np.concatenate(cols), np.concatenate(vals), n
+
+
+def write_mm_triangle(path: str, rows, cols, vals, n: int):
+    """Write one triangle as a symmetric coordinate MM file.
+
+    Column written first to match the reference reader's field order
+    (reference cg.cpp:371 reads col,row) — symmetric, so content-equivalent
+    either way.
+    """
+    write_coordinate(path, cols, rows, vals, (n, n), symmetry="symmetric")
