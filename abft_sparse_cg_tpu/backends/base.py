@@ -1,0 +1,110 @@
+"""Backend protocol + host-side result shared by all targets."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+from ..ecc import OVERALL_PARITY_BIT
+from ..formats.protected import ProtectedMatrix
+from ..ops.spmv import ERRCODES, ERR_DOUBLE
+
+__all__ = ["HostResult", "Backend", "default_dtype", "stats_to_messages"]
+
+
+@dataclass
+class HostResult:
+    """Solve outcome, host types only (what the CLI prints from)."""
+
+    x: np.ndarray
+    iterations: int
+    rr: float
+    errcode: int
+    err_index: int              # canonical element index (-1 if none)
+    corrected_count: int
+    corrected_index: int
+    corrected_bit: int
+    messages: List[str] = field(default_factory=list)
+    solve_seconds: float = 0.0
+    compile_seconds: float = 0.0
+    rr_trace: Optional[np.ndarray] = None
+
+    @property
+    def failed(self) -> bool:
+        return self.errcode != 0
+
+
+def default_dtype(requested: str = "auto"):
+    """Compute-dtype policy: f64 where native (CPU), f32 on TPU."""
+    import jax
+    import jax.numpy as jnp
+
+    if requested in ("f32", "float32"):
+        return jnp.float32
+    if requested in ("f64", "float64"):
+        if not jax.config.read("jax_enable_x64"):
+            jax.config.update("jax_enable_x64", True)
+        return jnp.float64
+    platform = jax.devices()[0].platform
+    if platform == "cpu":
+        if not jax.config.read("jax_enable_x64"):
+            jax.config.update("jax_enable_x64", True)
+        return jnp.float64
+    return jnp.float32
+
+
+def slot_to_canonical(mat: ProtectedMatrix) -> np.ndarray:
+    """Inverse of ell_slot: flat ELL slot -> canonical element index."""
+    inv = np.full(mat.R * mat.K, -1, dtype=np.int64)
+    inv[mat.ell_slot] = np.arange(mat.nnz, dtype=np.int64)
+    return inv
+
+
+def stats_to_messages(mat: ProtectedMatrix, errcode, err_slot, cor_slot, cor_bit):
+    """Render ABFT events with the reference's exact stdout strings.
+
+    The correction strings come from CSR/CPUContext.cpp:278,324,331; the
+    detection strings from :233,398 (grep'd verbatim by run_tests:35,75).
+    Slots are flat ELL positions; they are mapped back to the canonical
+    element index the reference would print.
+    """
+    inv = slot_to_canonical(mat)
+    msgs = []
+    err_index = -1
+    opb_global = mat.layout.col_word * 32 + OVERALL_PARITY_BIT
+
+    if cor_slot >= 0:
+        idx = int(inv[cor_slot])
+        if cor_bit == opb_global:
+            msgs.append(f"[ECC] corrected overall parity bit at index {idx}")
+        else:
+            msgs.append(f"[ECC] corrected bit {cor_bit} at index {idx}")
+
+    if errcode != 0:
+        template = ERRCODES[errcode]
+        if err_slot >= 0:
+            err_index = int(inv[err_slot])
+        if errcode == ERR_DOUBLE:
+            msgs.append(template)
+        else:
+            msgs.append(template.format(index=err_index))
+
+    return msgs, err_index
+
+
+class Backend:
+    """Interface every target implements (duck-typed; see registry)."""
+
+    target = "?"
+
+    def solve(self, mat: ProtectedMatrix, b: np.ndarray, max_itrs: int,
+              conv_threshold: float, verbose: bool = True,
+              dtype: str = "auto") -> HostResult:
+        raise NotImplementedError
+
+    def spmv_once(self, mat: ProtectedMatrix, x: np.ndarray,
+                  dtype: str = "auto"):
+        """One A@x for the driver's final verification (cg.cpp:127-144)."""
+        raise NotImplementedError

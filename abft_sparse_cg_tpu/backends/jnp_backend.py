@@ -1,0 +1,128 @@
+"""The `jnp` target: pure jax.numpy SpMV + while-loop CG.
+
+This is the correctness oracle and the portable tier — it runs on any XLA
+backend (CPU for tests, TPU for production) and is the reference point the
+Pallas kernels are diffed against.  Solves are compiled once per
+(shape, mode, dtype, limits) configuration and cached.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+from ..formats.protected import ProtectedMatrix
+from ..ops.spmv import make_spmv
+from ..solver.cg import make_cg_solver
+from . import registry
+from .base import Backend, HostResult, default_dtype, stats_to_messages
+
+__all__ = ["JnpBackend"]
+
+_SOLVER_CACHE = {}
+
+
+def _device_arrays(mat: ProtectedMatrix, dtype):
+    import jax.numpy as jnp
+
+    words = tuple(jnp.asarray(mat.ell[n]) for n in mat.layout.word_names)
+    ell_len = jnp.asarray(mat.ell_len)
+    return words, ell_len
+
+
+class JnpBackend(Backend):
+    target = "jnp"
+
+    def __init__(self, mode: str):
+        self.mode = mode
+
+    # -- construction of jitted callables (cached) ---------------------
+
+    def _get_solver(self, mat, dtype, max_itrs, conv):
+        import jax
+
+        key = ("solve", mat.fmt, self.mode, mat.R, mat.K, mat.N,
+               str(dtype), max_itrs, float(conv))
+        if key not in _SOLVER_CACHE:
+            spmv = make_spmv(mat.fmt, self.mode, mat.layout, mat.N, dtype)
+            solver = make_cg_solver(spmv, max_itrs, conv)
+            _SOLVER_CACHE[key] = jax.jit(solver)
+        return _SOLVER_CACHE[key]
+
+    def _get_spmv(self, mat, dtype):
+        import jax
+
+        key = ("spmv", mat.fmt, self.mode, mat.R, mat.K, mat.N, str(dtype))
+        if key not in _SOLVER_CACHE:
+            spmv = make_spmv(mat.fmt, self.mode, mat.layout, mat.N, dtype)
+            _SOLVER_CACHE[key] = jax.jit(spmv)
+        return _SOLVER_CACHE[key]
+
+    # -- Backend API ----------------------------------------------------
+
+    def solve(self, mat, b, max_itrs, conv_threshold, verbose=True,
+              dtype="auto") -> HostResult:
+        import jax.numpy as jnp
+
+        dt = default_dtype(dtype)
+        words, ell_len = _device_arrays(mat, dt)
+        bpad = np.zeros(mat.R, dtype=np.float64)
+        bpad[: mat.N] = b
+        bdev = jnp.asarray(bpad, dtype=dt)
+
+        solver = self._get_solver(mat, dt, max_itrs, conv_threshold)
+
+        t0 = time.perf_counter()
+        compiled = solver.lower(words, ell_len, bdev).compile()
+        t1 = time.perf_counter()
+        res = compiled(words, ell_len, bdev)
+        x_host = np.asarray(res.x)[: mat.N]  # forces full sync
+        t2 = time.perf_counter()
+
+        st = res.stats
+        errcode = int(st.errcode)
+        msgs, err_index = stats_to_messages(
+            mat, errcode, int(st.err_slot), int(st.first_cor_slot),
+            int(st.first_cor_bit),
+        )
+        return HostResult(
+            x=x_host,
+            iterations=int(res.iterations),
+            rr=float(res.rr),
+            errcode=errcode,
+            err_index=err_index,
+            corrected_count=int(st.corrected_count),
+            corrected_index=int(st.first_cor_slot),
+            corrected_bit=int(st.first_cor_bit),
+            messages=msgs,
+            solve_seconds=t2 - t1,
+            compile_seconds=t1 - t0,
+            rr_trace=np.asarray(res.rr_trace),
+        )
+
+    def spmv_once(self, mat, x, dtype="auto"):
+        import jax.numpy as jnp
+
+        dt = default_dtype(dtype)
+        words, ell_len = _device_arrays(mat, dt)
+        xpad = np.zeros(mat.R, dtype=np.float64)
+        xpad[: mat.N] = x
+        spmv = self._get_spmv(mat, dt)
+        w, st = spmv(words, ell_len, jnp.asarray(xpad, dtype=dt))
+        errcode = int(st.errcode)
+        msgs, err_index = stats_to_messages(
+            mat, errcode, int(st.err_slot), int(st.first_cor_slot),
+            int(st.first_cor_bit),
+        )
+        return np.asarray(w)[: mat.N], errcode, msgs
+
+
+def _register():
+    from ..ecc.codec import MODES
+
+    for mode in MODES:
+        registry.register("jnp", mode, lambda m=mode: JnpBackend(m))
+
+
+_register()

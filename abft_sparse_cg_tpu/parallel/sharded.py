@@ -1,0 +1,93 @@
+"""Mesh-sharded CG: 1-D row sharding over a jax.sharding.Mesh.
+
+The reference is strictly single-node (no MPI/NCCL anywhere — SURVEY §2);
+this is the TPU-native scaling axis it lacks.  Design (GSPMD):
+
+  - ELL planes ``(R, K)`` and all vectors ``(R,)`` are sharded along rows
+    of a 1-D ``("shard",)`` mesh (``R`` padded to a multiple of
+    8 * n_devices so shards stay sublane-aligned);
+  - the solve is the *same* single-device program (``ops.spmv`` +
+    ``solver.cg``) jitted with sharding annotations: XLA's SPMD
+    partitioner inserts the one all-gather CG needs (the SpMV reads
+    off-shard entries of p) and psums for the dot/argmax/sum reductions
+    — exactly the two collectives SURVEY §5 calls for, riding ICI;
+  - per-shard ABFT verification is purely local; error/correction
+    reductions fold in with the same automatic collectives.
+
+Faults, detection, correction and the stdout contract are identical to
+the single-device path because it *is* the same program.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..formats.protected import ProtectedMatrix
+from ..ops.spmv import make_spmv
+from ..solver.cg import make_cg_solver
+
+__all__ = ["default_mesh", "pad_rows", "make_sharded_solver", "solve_sharded"]
+
+
+def default_mesh(n_devices=None, axis="shard"):
+    import jax
+    from jax.sharding import Mesh
+
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def pad_rows(arr: np.ndarray, R_pad: int):
+    pad = R_pad - arr.shape[0]
+    if pad == 0:
+        return arr
+    width = ((0, pad),) + ((0, 0),) * (arr.ndim - 1)
+    return np.pad(arr, width)
+
+
+def _device_put_sharded(mat: ProtectedMatrix, b: np.ndarray, mesh, dtype):
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    ndev = mesh.devices.size
+    axis = mesh.axis_names[0]
+    R_pad = -(-mat.R // (8 * ndev)) * (8 * ndev)
+
+    row2d = NamedSharding(mesh, P(axis, None))
+    row1d = NamedSharding(mesh, P(axis))
+
+    words = tuple(
+        jax.device_put(pad_rows(mat.ell[n], R_pad), row2d)
+        for n in mat.layout.word_names
+    )
+    ell_len = jax.device_put(pad_rows(mat.ell_len, R_pad), row1d)
+    bpad = np.zeros(R_pad, dtype=np.float64)
+    bpad[: mat.N] = b
+    bdev = jax.device_put(jnp.asarray(bpad, dtype=dtype), row1d)
+    return words, ell_len, bdev
+
+
+def make_sharded_solver(mat: ProtectedMatrix, mesh, max_itrs: int,
+                        conv_threshold: float, dtype):
+    """Jitted sharded solve(words, ell_len, b) for this matrix config."""
+    import jax
+
+    spmv = make_spmv(mat.fmt, mat.mode, mat.layout, mat.N, dtype)
+    solver = make_cg_solver(spmv, max_itrs, conv_threshold)
+    return jax.jit(solver)
+
+
+def solve_sharded(mat: ProtectedMatrix, b: np.ndarray, max_itrs: int,
+                  conv_threshold: float, mesh=None, dtype=None):
+    """Row-sharded CG over all (or the given mesh's) devices."""
+    import jax.numpy as jnp
+
+    if mesh is None:
+        mesh = default_mesh()
+    dtype = dtype or jnp.float32
+    words, ell_len, bdev = _device_put_sharded(mat, b, mesh, dtype)
+    solver = make_sharded_solver(mat, mesh, max_itrs, conv_threshold, dtype)
+    return solver(words, ell_len, bdev)

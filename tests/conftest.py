@@ -22,4 +22,6 @@ if REPO_ROOT not in sys.path:
 
 import jax  # noqa: E402
 
+# The axon TPU plugin ignores the JAX_PLATFORMS env var; force via config.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)

@@ -1,0 +1,162 @@
+"""SpMV + CG solver correctness against NumPy oracles, all modes/formats."""
+
+import numpy as np
+import pytest
+
+from abft_sparse_cg_tpu.backends import create
+from abft_sparse_cg_tpu.formats import assemble, build_protected
+from abft_sparse_cg_tpu.inject import inject_bitflips
+from abft_sparse_cg_tpu.ops.spmv import (
+    ERR_DOUBLE,
+    ERR_SED,
+    spmv_dense_oracle,
+)
+from abft_sparse_cg_tpu.utils.matgen import spd_tridiagonal
+
+RNG = np.random.default_rng(2024)
+
+
+def tri_assembled(n=64, blocks=2):
+    rows, cols, vals, n = spd_tridiagonal(n)
+    return assemble(cols, rows, vals, n, blocks)
+
+
+def dense_of(a):
+    d = np.zeros((a.N, a.N))
+    d[a.rows, a.cols] = a.values
+    return d
+
+
+@pytest.mark.parametrize("fmt", ["csr", "coo"])
+@pytest.mark.parametrize("mode", ["none", "constraints", "sed", "sec7", "sec8", "secded"])
+def test_spmv_matches_oracle(fmt, mode):
+    a = tri_assembled()
+    m = build_protected(fmt, a, mode)
+    x = RNG.standard_normal(m.N)
+    backend = create("jnp", mode)
+    w, errcode, msgs = backend.spmv_once(m, x, dtype="f64")
+    want = spmv_dense_oracle(m, x)
+    assert errcode == 0 and not msgs
+    np.testing.assert_allclose(w, want, rtol=1e-12)
+    # Also against the dense assembled matrix.
+    np.testing.assert_allclose(w, dense_of(a) @ x, rtol=1e-12)
+
+
+@pytest.mark.parametrize("fmt", ["csr", "coo"])
+def test_cg_solves_vs_direct(fmt):
+    a = tri_assembled(n=48, blocks=3)
+    m = build_protected(fmt, a, "none")
+    b = RNG.random(m.N)
+    backend = create("jnp", "none")
+    res = backend.solve(m, b, max_itrs=1000, conv_threshold=1e-18,
+                        verbose=False, dtype="f64")
+    assert not res.failed
+    x_direct = np.linalg.solve(dense_of(a), b)
+    # conv is on rr = ||r||^2, so ||r|| <= 1e-9 and x error ~ ||A^-1|| * 1e-9.
+    np.testing.assert_allclose(res.x, x_direct, rtol=1e-7, atol=1e-9)
+    assert res.rr <= 1e-18
+    assert res.iterations > 1
+
+
+@pytest.mark.parametrize("fmt", ["csr", "coo"])
+@pytest.mark.parametrize("mode", ["sec7", "sec8", "secded"])
+def test_correction_modes_survive_injection(fmt, mode):
+    """run_tests class 3: solve converges despite a flipped bit, and the
+    answer matches the uncorrupted solve exactly."""
+    a = tri_assembled(n=48, blocks=2)
+    m = build_protected(fmt, a, mode)
+    b = RNG.random(m.N)
+    backend = create("jnp", mode)
+
+    clean = backend.solve(m, b, 1000, 1e-10, verbose=False, dtype="f64")
+    assert not clean.failed and clean.corrected_count == 0
+
+    for seed in range(5):
+        m2 = inject_bitflips(m, "ANY", 1, np.random.default_rng(seed),
+                             echo=lambda s: None)
+        res = backend.solve(m2, b, 1000, 1e-10, verbose=False, dtype="f64")
+        assert not res.failed
+        assert res.corrected_count > 0
+        assert any(m.startswith("[ECC] corrected") for m in res.messages)
+        np.testing.assert_allclose(res.x, clean.x, rtol=1e-12)
+        # Residual trajectory identical to the clean solve (correction is
+        # exact, so the iterates never see the fault).
+        np.testing.assert_allclose(res.rr_trace, clean.rr_trace,
+                                   rtol=1e-12, equal_nan=True)
+
+
+@pytest.mark.parametrize("fmt", ["csr", "coo"])
+def test_sed_detects_and_halts(fmt):
+    """run_tests class 2: sed + 1 flip -> 'error detected at index'."""
+    a = tri_assembled(n=48, blocks=2)
+    m = build_protected(fmt, a, "sed")
+    b = RNG.random(m.N)
+    backend = create("jnp", "sed")
+    banners = []
+    m2 = inject_bitflips(m, "ANY", 1, np.random.default_rng(3), echo=banners.append)
+    res = backend.solve(m2, b, 1000, 1e-10, verbose=False, dtype="f64")
+    assert res.failed and res.errcode == ERR_SED
+    assert any("error detected at index" in s for s in res.messages)
+    # Detected index equals injected index.
+    inj_index = int(banners[0].split()[-2])
+    assert res.err_index == inj_index
+
+
+@pytest.mark.parametrize("fmt", ["csr", "coo"])
+def test_secded_detects_double(fmt):
+    """run_tests class 4: secded + 2 flips -> 'double-bit error detected'."""
+    a = tri_assembled(n=48, blocks=2)
+    m = build_protected(fmt, a, "secded")
+    b = RNG.random(m.N)
+    backend = create("jnp", "secded")
+    # Find a seed where the two flips do not cancel.
+    for seed in range(20):
+        rng = np.random.default_rng(seed)
+        m2 = inject_bitflips(m, "ANY", 2, rng, echo=lambda s: None)
+        if any((m2.planes[n] != m.planes[n]).any() for n in m.layout.word_names):
+            break
+    res = backend.solve(m2, b, 1000, 1e-10, verbose=False, dtype="f64")
+    assert res.failed and res.errcode == ERR_DOUBLE
+    assert "[ECC] double-bit error detected" in res.messages
+
+
+@pytest.mark.parametrize("fmt", ["csr", "coo"])
+def test_constraints_clean_pass(fmt):
+    a = tri_assembled(n=32, blocks=2)
+    m = build_protected(fmt, a, "constraints")
+    b = RNG.random(m.N)
+    backend = create("jnp", "constraints")
+    res = backend.solve(m, b, 500, 1e-8, verbose=False, dtype="f64")
+    assert not res.failed
+
+
+def test_constraints_catch_index_corruption():
+    a = tri_assembled(n=32, blocks=2)
+    m = build_protected("csr", a, "constraints")
+    b = RNG.random(m.N)
+    backend = create("jnp", "constraints")
+    # Corrupt a column index to be out of range (set a high bit).
+    planes = {k: v.copy() for k, v in m.planes.items()}
+    planes["col"][10] ^= np.uint32(1 << 20)  # 32*2+... large but < 2^24
+    m2 = m.with_planes(planes)
+    res = backend.solve(m2, b, 500, 1e-8, verbose=False, dtype="f64")
+    assert res.failed
+    assert any("constraint violated" in s or "order violated" in s
+               for s in res.messages)
+
+
+def test_f32_compute_converges():
+    """TPU dtype: f32 compute reaches the reference's default threshold."""
+    a = tri_assembled(n=512, blocks=4)
+    m = build_protected("csr", a, "secded")
+    b = RNG.random(m.N)
+    backend = create("jnp", "secded")
+    res = backend.solve(m, b, 1000, 0.001, verbose=False, dtype="f32")
+    assert not res.failed
+    assert res.rr <= 0.001
+    # Solution quality: ||Ax-b|| small relative to ||b||.
+    w, _, _ = backend.spmv_once(m, res.x.astype(np.float64), dtype="f64")
+    rel = np.linalg.norm(w - b) / np.linalg.norm(b)
+    # Converged to rr <= 1e-3 means ||r|| <= sqrt(1e-3); allow 2x slack for
+    # the f32 recursive-residual vs true-residual gap.
+    assert rel < 2 * np.sqrt(1e-3) / np.linalg.norm(b)
