@@ -42,10 +42,10 @@ class JnpBackend(Backend):
     def _get_solver(self, mat, dtype, max_itrs, conv):
         import jax
 
-        key = ("solve", mat.fmt, self.mode, mat.R, mat.K, mat.N,
-               str(dtype), max_itrs, float(conv))
+        key = ("solve", mat.fmt, self.mode, mat.exec_kind, mat.dia_offsets,
+               mat.R, mat.K, mat.N, str(dtype), max_itrs, float(conv))
         if key not in _SOLVER_CACHE:
-            spmv = make_spmv(mat.fmt, self.mode, mat.layout, mat.N, dtype)
+            spmv = make_spmv(mat, dtype, self.mode)
             solver = make_cg_solver(spmv, max_itrs, conv)
             _SOLVER_CACHE[key] = jax.jit(solver)
         return _SOLVER_CACHE[key]
@@ -53,9 +53,10 @@ class JnpBackend(Backend):
     def _get_spmv(self, mat, dtype):
         import jax
 
-        key = ("spmv", mat.fmt, self.mode, mat.R, mat.K, mat.N, str(dtype))
+        key = ("spmv", mat.fmt, self.mode, mat.exec_kind, mat.dia_offsets,
+               mat.R, mat.K, mat.N, str(dtype))
         if key not in _SOLVER_CACHE:
-            spmv = make_spmv(mat.fmt, self.mode, mat.layout, mat.N, dtype)
+            spmv = make_spmv(mat, dtype, self.mode)
             _SOLVER_CACHE[key] = jax.jit(spmv)
         return _SOLVER_CACHE[key]
 

@@ -14,12 +14,25 @@ them at build time, fault injection flips their bits by (element index,
 global bit) exactly like the reference injector, and the native C++
 backend consumes them directly.
 
-For the TPU compute path they are re-tiled into an *ELL execution
-layout*: 2-D ``(R, K)`` planes grouped by output index (matrix row for
-CSR; matrix column for COO — valid because the loader symmetrizes), with
-``K`` = max group size, groups padded with validly-encoded zero elements
-and rows padded to a multiple of 8 (f32 sublane tile).  A slot map
-records where each canonical element landed so injected faults propagate.
+For the TPU compute path they are re-tiled into an *execution layout*:
+
+  - **ELL** (general): 2-D ``(R, K)`` planes grouped by output index
+    (matrix row for CSR; matrix column for COO — valid because the
+    loader symmetrizes), ``K`` = max group size.  SpMV is gather +
+    multiply + row-reduce.
+  - **DIA** (banded fast path, chosen automatically): 2-D ``(D, R)``
+    planes, one row per nonzero diagonal (offset = gather index − output
+    index).  SpMV becomes a *stencil* — shifted multiply-adds with zero
+    gathers, the shape XLA/TPU executes at HBM speed-of-light, and the
+    shape whose sharded form needs only halo exchanges instead of an
+    all-gather.  Selected when the matrix has few distinct diagonals and
+    they fill reasonably (mesh/CFD matrices like the reference's
+    shallow_water1 and its block replicas qualify).
+
+Both layouts pad with all-zero codewords (self-consistent under every
+ECC mode) and keep a slot map from canonical element index to execution
+slot so injected faults propagate and error slots map back to the
+canonical indices the reference prints.
 """
 
 from __future__ import annotations
@@ -39,6 +52,11 @@ FORMATS = ("csr", "coo")
 
 _SUBLANE = 8  # float32 sublane tile; ELL row count padded to a multiple
 
+# DIA is selected when distinct diagonals <= _DIA_MAX_D and the dense
+# (D, R) layout wastes at most _DIA_MAX_EXPAND x the nnz footprint.
+_DIA_MAX_D = 128
+_DIA_MAX_EXPAND = 4.0
+
 
 @dataclass(frozen=True)
 class ProtectedMatrix:
@@ -51,29 +69,45 @@ class ProtectedMatrix:
     layout: CodewordLayout
     planes: Dict[str, np.ndarray]   # canonical flat planes, word order
     row_ptr: np.ndarray             # (N+1,) int64 — CSR only (None for coo)
-    # ELL execution layout (derived; rebuilt after injection):
-    ell: Dict[str, np.ndarray]      # word name -> (R, K) uint32
-    ell_len: np.ndarray             # (R,) int32 valid slots per ELL row
-    ell_slot: np.ndarray            # (nnz,) int64 canonical idx -> r*K + k
+    # Execution layout (derived; rebuilt after injection):
+    exec_kind: str                  # "ell" | "dia"
+    ell: Dict[str, np.ndarray]      # word name -> (R, K) or (D, R) uint32
+    ell_len: np.ndarray             # (R,) int32 valid slots per output row
+    ell_slot: np.ndarray            # (nnz,) int64 canonical idx -> flat slot
     ell_gather_word: str            # which word holds the gather index
+    dia_offsets: tuple = ()         # DIA only: diagonal offsets, sorted
     block_size: int = 0
     num_blocks: int = 1
 
     @property
     def K(self) -> int:
-        return self.ell[self.ell_gather_word].shape[1]
+        """ELL slots per row, or number of diagonals for DIA."""
+        shp = self.ell[self.ell_gather_word].shape
+        return shp[1] if self.exec_kind == "ell" else shp[0]
 
     @property
     def R(self) -> int:
-        return self.ell[self.ell_gather_word].shape[0]
+        """Padded output-row count of the execution layout."""
+        shp = self.ell[self.ell_gather_word].shape
+        return shp[0] if self.exec_kind == "ell" else shp[1]
+
+    @property
+    def exec_row_axis(self) -> int:
+        """Which axis of the execution planes is the output-row axis."""
+        return 0 if self.exec_kind == "ell" else 1
+
+    @property
+    def exec_size(self) -> int:
+        return self.ell[self.ell_gather_word].size
 
     def words_list(self):
         """Flat planes as a list in codeword-word order."""
         return [self.planes[n] for n in self.layout.word_names]
 
     def with_planes(self, planes: Dict[str, np.ndarray]) -> "ProtectedMatrix":
-        """Return a copy with new flat planes and a re-derived ELL layout."""
-        ell = _scatter_ell(planes, self.layout, self.ell_slot, self.R, self.K)
+        """Return a copy with new flat planes and a re-derived exec layout."""
+        shape = self.ell[self.layout.word_names[0]].shape
+        ell = _scatter_exec(planes, self.layout, self.ell_slot, shape)
         return replace(self, planes=planes, ell=ell)
 
 
@@ -99,17 +133,23 @@ def _encode_planes(fmt, assembled: AssembledMatrix, mode: str):
     return layout, planes
 
 
-def _scatter_ell(planes, layout, ell_slot, R, K):
-    """Scatter flat planes into (R, K) ELL planes (padding pre-encoded)."""
-    ell = {}
+def _scatter_exec(planes, layout, slot, shape):
+    """Scatter flat planes into execution planes (all-zero padding)."""
+    out = {}
     for name in layout.word_names:
-        flat = np.zeros(R * K, dtype=np.uint32)
-        flat[ell_slot] = planes[name]
-        ell[name] = flat.reshape(R, K)
-    return ell
+        flat = np.zeros(shape[0] * shape[1], dtype=np.uint32)
+        flat[slot] = planes[name]
+        out[name] = flat.reshape(shape)
+    return out
 
 
-def build_protected(fmt: str, assembled: AssembledMatrix, mode: str) -> ProtectedMatrix:
+def build_protected(fmt: str, assembled: AssembledMatrix, mode: str,
+                    force_exec: str = None) -> ProtectedMatrix:
+    """Encode + lay out a protected matrix.
+
+    ``force_exec``: None = auto-select execution layout; "ell"/"dia"
+    forces one (tests, benchmarking layout comparisons).
+    """
     if fmt not in FORMATS:
         raise ValueError(f"unknown format: {fmt!r}")
     layout, planes = _encode_planes(fmt, assembled, mode)
@@ -144,10 +184,40 @@ def build_protected(fmt: str, assembled: AssembledMatrix, mode: str) -> Protecte
 
     K = max(1, int(glen.max()) if nnz else 1)
     R = -(-N // _SUBLANE) * _SUBLANE
-    ell_slot = group * K + within
-    ell = _scatter_ell(planes, layout, ell_slot, R, K)
     ell_len = np.zeros(R, dtype=np.int32)
     ell_len[:N] = glen
+
+    # DIA detection: offset = gather index - output index.  Banded
+    # matrices with few distinct diagonals get the stencil layout.
+    gidx = rows if fmt == "coo" else cols
+    offs = gidx - group
+    uoffs, inv = np.unique(offs, return_inverse=True)
+    D = len(uoffs)
+    dia_ok = (
+        nnz > 0
+        and D <= _DIA_MAX_D
+        and D * R <= _DIA_MAX_EXPAND * max(nnz, 1)
+    )
+    if force_exec == "ell":
+        dia_ok = False
+    elif force_exec == "dia" and not dia_ok:
+        raise ValueError("matrix is not representable as DIA")
+    if dia_ok:
+        slot = inv * R + group
+        # A (group, offset) collision (duplicate entries) cannot be
+        # represented densely; fall back to ELL.
+        dia_ok = np.unique(slot).size == nnz
+
+    if dia_ok:
+        exec_kind = "dia"
+        ell_slot = slot
+        ell = _scatter_exec(planes, layout, ell_slot, (D, R))
+        dia_offsets = tuple(int(o) for o in uoffs)
+    else:
+        exec_kind = "ell"
+        ell_slot = group * K + within
+        ell = _scatter_exec(planes, layout, ell_slot, (R, K))
+        dia_offsets = ()
 
     return ProtectedMatrix(
         fmt=fmt,
@@ -157,10 +227,12 @@ def build_protected(fmt: str, assembled: AssembledMatrix, mode: str) -> Protecte
         layout=layout,
         planes=planes,
         row_ptr=row_ptr if fmt == "csr" else None,
+        exec_kind=exec_kind,
         ell=ell,
         ell_len=ell_len,
         ell_slot=ell_slot,
         ell_gather_word=gather_word,
+        dia_offsets=dia_offsets,
         block_size=assembled.block_size,
         num_blocks=assembled.num_blocks,
     )

@@ -93,13 +93,25 @@ def _first_slot(flags2d):
     return any_, jnp.where(any_, slot, jnp.int32(-1))
 
 
-def make_spmv(fmt: str, mode: str, layout, N: int, dtype=jnp.float32):
-    """Build ``spmv(words, ell_len, x) -> (w, SpmvStats)`` for a config.
+def make_spmv(mat, dtype=jnp.float32, mode: str = None):
+    """Build ``spmv(words, ell_len, x) -> (w, SpmvStats)`` for a matrix.
 
-    ``words``: tuple of (R, K) uint32 planes in codeword-word order.
-    ``ell_len``: (R,) int32 valid slots per ELL row.
+    Dispatches on the matrix's execution layout: gather-based ELL for
+    general sparsity, stencil DIA for banded matrices (no gathers; the
+    sharded form needs only halo exchanges).
+
+    ``words``: tuple of execution planes in codeword-word order.
+    ``ell_len``: (R,) int32 valid slots per output row (ELL only).
     ``x``: (R,) vector in ``dtype`` (R >= N, zero-padded).
     """
+    mode = mat.mode if mode is None else mode
+    if mat.exec_kind == "dia":
+        return _make_dia_spmv(mat.fmt, mode, mat.layout, mat.N,
+                              mat.dia_offsets, dtype)
+    return _make_ell_spmv(mat.fmt, mode, mat.layout, mat.N, dtype)
+
+
+def _make_ell_spmv(fmt: str, mode: str, layout, N: int, dtype=jnp.float32):
     if mode not in codec.MODES:
         raise ValueError(f"unknown mode {mode!r}")
     names = layout.word_names
@@ -173,6 +185,111 @@ def make_spmv(fmt: str, mode: str, layout, N: int, dtype=jnp.float32):
                 bad = pair_valid & (col[:, 1:] <= col[:, :-1])
                 bad = jnp.pad(bad, ((0, 0), (0, 1)))
                 errcode, err_slot = raise_err(ERR_COL_ORDER, bad, errcode, err_slot)
+
+        cor_any, cor_slot = _first_slot(flags["corrected"])
+        cor_count = jnp.sum(flags["corrected"], dtype=jnp.int32)
+        cor_bit = jnp.where(
+            cor_any,
+            flags["corrected_bit"].reshape(-1)[
+                jnp.maximum(cor_slot, 0)
+            ].astype(jnp.int32),
+            jnp.int32(-1),
+        )
+
+        stats = SpmvStats(
+            errcode=errcode,
+            err_slot=err_slot,
+            corrected_count=cor_count,
+            first_cor_slot=cor_slot,
+            first_cor_bit=cor_bit,
+        )
+        return w, stats
+
+    return spmv
+
+
+def _shift_read(x, off):
+    """y[r] = x[r + off], zero outside — a static pad+slice (no gather)."""
+    R = x.shape[0]
+    if off == 0:
+        return x
+    if off > 0:
+        return jnp.pad(x[off:], (0, off))
+    return jnp.pad(x[:off], (-off, 0))
+
+
+def _make_dia_spmv(fmt: str, mode: str, layout, N: int, offsets, dtype):
+    """Stencil SpMV over (D, R) diagonal planes.
+
+    w[r] = sum_d value[d, r] * x[r + offset_d] — zero gathers, pure
+    shifted multiply-adds; ECC check/correct stays elementwise over the
+    planes.  The gather *index* is structural here: for ECC modes the
+    stored index word is still fully verified/corrected (it is part of
+    the codeword), it just is not needed to route the product.
+    """
+    if mode not in codec.MODES:
+        raise ValueError(f"unknown mode {mode!r}")
+    names = layout.word_names
+    gather_w = names.index("row" if fmt == "coo" else "col")
+    col_w = names.index("col")
+    vlo_w = names.index("value_lo")
+    vhi_w = names.index("value_hi")
+
+    def spmv(words, ell_len, x):
+        del ell_len  # DIA occupancy is structural (zero codewords)
+        D, R = words[0].shape
+
+        checked, flags = codec.check_and_correct(mode, list(words), layout)
+        vals = planes_to_value(checked[vlo_w], checked[vhi_w], dtype)
+
+        w = jnp.zeros((R,), dtype)
+        for d, off in enumerate(offsets):
+            w = w + vals[d] * _shift_read(x, off)
+
+        errcode = jnp.int32(ERR_NONE)
+        err_slot = jnp.int32(-1)
+
+        def raise_err(code, flags2d, errcode, err_slot):
+            any_, slot = _first_slot(flags2d)
+            new = jnp.logical_and(any_, errcode == ERR_NONE)
+            errcode = jnp.where(new, jnp.int32(code), errcode)
+            err_slot = jnp.where(new, slot, err_slot)
+            return errcode, err_slot
+
+        if mode == "sed":
+            errcode, err_slot = raise_err(ERR_SED, flags["detected"], errcode, err_slot)
+        elif mode == "secded":
+            errcode, err_slot = raise_err(ERR_DOUBLE, flags["double"], errcode, err_slot)
+        elif mode == "constraints":
+            # Structural invariant: an occupied slot's index words must
+            # match its (diagonal, row) position exactly — a *stronger*
+            # check than the reference's bounds/ordering tests, with the
+            # same reporting categories.
+            occupied = words[0] != 0
+            for wd in words[1:]:
+                occupied = occupied | (wd != 0)
+            ridx = jax.lax.broadcasted_iota(jnp.int32, (D, R), 1)
+            off_col = jnp.asarray(np.array(offsets, np.int32)[:, None])
+            expect = ridx + off_col  # expected gather index per slot
+            g = words[gather_w].astype(jnp.int32)
+            bad = occupied & (g != expect)
+            size_code = ERR_ROW_SIZE if fmt == "coo" else ERR_COL_SIZE
+            order_code = ERR_ROW_ORDER if fmt == "coo" else ERR_COL_ORDER
+            errcode, err_slot = raise_err(
+                size_code, bad & (words[gather_w] >= np.uint32(N)), errcode, err_slot
+            )
+            errcode, err_slot = raise_err(
+                order_code, bad & (words[gather_w] < np.uint32(N)), errcode, err_slot
+            )
+            if fmt == "coo":
+                c = words[col_w].astype(jnp.int32)
+                badc = occupied & (c != ridx)
+                errcode, err_slot = raise_err(
+                    ERR_COL_SIZE, badc & (words[col_w] >= np.uint32(N)),
+                    errcode, err_slot)
+                errcode, err_slot = raise_err(
+                    ERR_COL_ORDER, badc & (words[col_w] < np.uint32(N)),
+                    errcode, err_slot)
 
         cor_any, cor_slot = _first_slot(flags["corrected"])
         cor_count = jnp.sum(flags["corrected"], dtype=jnp.int32)

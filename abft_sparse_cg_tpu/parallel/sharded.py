@@ -39,11 +39,12 @@ def default_mesh(n_devices=None, axis="shard"):
     return Mesh(np.array(devs), (axis,))
 
 
-def pad_rows(arr: np.ndarray, R_pad: int):
-    pad = R_pad - arr.shape[0]
+def pad_rows(arr: np.ndarray, R_pad: int, axis: int = 0):
+    pad = R_pad - arr.shape[axis]
     if pad == 0:
         return arr
-    width = ((0, pad),) + ((0, 0),) * (arr.ndim - 1)
+    width = [(0, 0)] * arr.ndim
+    width[axis] = (0, pad)
     return np.pad(arr, width)
 
 
@@ -56,11 +57,15 @@ def _device_put_sharded(mat: ProtectedMatrix, b: np.ndarray, mesh, dtype):
     axis = mesh.axis_names[0]
     R_pad = -(-mat.R // (8 * ndev)) * (8 * ndev)
 
-    row2d = NamedSharding(mesh, P(axis, None))
+    # Execution planes: ELL is (rows, K) -> shard dim 0; DIA is
+    # (D, rows) -> shard dim 1 (rows live on the lane dimension).
+    ra = mat.exec_row_axis
+    plane_spec = P(axis, None) if ra == 0 else P(None, axis)
+    row2d = NamedSharding(mesh, plane_spec)
     row1d = NamedSharding(mesh, P(axis))
 
     words = tuple(
-        jax.device_put(pad_rows(mat.ell[n], R_pad), row2d)
+        jax.device_put(pad_rows(mat.ell[n], R_pad, ra), row2d)
         for n in mat.layout.word_names
     )
     ell_len = jax.device_put(pad_rows(mat.ell_len, R_pad), row1d)
@@ -75,7 +80,7 @@ def make_sharded_solver(mat: ProtectedMatrix, mesh, max_itrs: int,
     """Jitted sharded solve(words, ell_len, b) for this matrix config."""
     import jax
 
-    spmv = make_spmv(mat.fmt, mat.mode, mat.layout, mat.N, dtype)
+    spmv = make_spmv(mat, dtype)
     solver = make_cg_solver(spmv, max_itrs, conv_threshold)
     return jax.jit(solver)
 

@@ -52,7 +52,7 @@ def bench_mode(mat, b, mode, reps=REPS):
     from abft_sparse_cg_tpu.solver.cg import make_cg_solver
 
     dtype = jnp.float32 if jax.devices()[0].platform != "cpu" else jnp.float64
-    spmv = make_spmv(mat.fmt, mode, mat.layout, mat.N, dtype)
+    spmv = make_spmv(mat, dtype, mode)
     solver = jax.jit(make_cg_solver(spmv, 1000, 0.001, trace_rr=False))
 
     words = tuple(jnp.asarray(mat.ell[nm]) for nm in mat.layout.word_names)
