@@ -26,9 +26,12 @@ _SOLVER_CACHE = {}
 def _device_arrays(mat: ProtectedMatrix, dtype):
     import jax.numpy as jnp
 
+    from ..ops.spmv import MatrixDevice
+
     words = tuple(jnp.asarray(mat.ell[n]) for n in mat.layout.word_names)
     ell_len = jnp.asarray(mat.ell_len)
-    return words, ell_len
+    cksum = jnp.asarray(mat.ell_cksum)
+    return MatrixDevice(words=words, ell_len=ell_len, cksum=cksum)
 
 
 class JnpBackend(Backend):
@@ -56,8 +59,8 @@ class JnpBackend(Backend):
         key = ("spmv", mat.fmt, self.mode, mat.exec_kind, mat.dia_offsets,
                mat.R, mat.K, mat.N, str(dtype))
         if key not in _SOLVER_CACHE:
-            spmv = make_spmv(mat, dtype, self.mode)
-            _SOLVER_CACHE[key] = jax.jit(spmv)
+            impl = make_spmv(mat, dtype, self.mode)
+            _SOLVER_CACHE[key] = jax.jit(impl.full)
         return _SOLVER_CACHE[key]
 
     # -- Backend API ----------------------------------------------------
@@ -67,7 +70,7 @@ class JnpBackend(Backend):
         import jax.numpy as jnp
 
         dt = default_dtype(dtype)
-        words, ell_len = _device_arrays(mat, dt)
+        md = _device_arrays(mat, dt)
         bpad = np.zeros(mat.R, dtype=np.float64)
         bpad[: mat.N] = b
         bdev = jnp.asarray(bpad, dtype=dt)
@@ -75,9 +78,9 @@ class JnpBackend(Backend):
         solver = self._get_solver(mat, dt, max_itrs, conv_threshold)
 
         t0 = time.perf_counter()
-        compiled = solver.lower(words, ell_len, bdev).compile()
+        compiled = solver.lower(md, bdev).compile()
         t1 = time.perf_counter()
-        res = compiled(words, ell_len, bdev)
+        res = compiled(md, bdev)
         x_host = np.asarray(res.x)[: mat.N]  # forces full sync
         t2 = time.perf_counter()
 
@@ -106,11 +109,11 @@ class JnpBackend(Backend):
         import jax.numpy as jnp
 
         dt = default_dtype(dtype)
-        words, ell_len = _device_arrays(mat, dt)
+        md = _device_arrays(mat, dt)
         xpad = np.zeros(mat.R, dtype=np.float64)
         xpad[: mat.N] = x
         spmv = self._get_spmv(mat, dt)
-        w, st = spmv(words, ell_len, jnp.asarray(xpad, dtype=dt))
+        w, st = spmv(md, jnp.asarray(xpad, dtype=dt))
         errcode = int(st.errcode)
         msgs, err_index = stats_to_messages(
             mat, errcode, int(st.err_slot), int(st.first_cor_slot),

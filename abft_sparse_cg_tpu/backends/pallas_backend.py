@@ -1,0 +1,49 @@
+"""The `pallas` target: hand-written TPU kernels for the hot path.
+
+Same Backend contract as the jnp target; the SpMV comes from
+ops.spmv_pallas (fused fast path) with the jnp implementation as the
+rare-fault slow path.  On non-TPU platforms the kernels run through the
+Pallas interpreter (slow — used by tests only).
+"""
+
+from __future__ import annotations
+
+from ..ops.spmv_pallas import make_pallas_spmv
+from ..solver.cg import make_cg_solver
+from . import registry
+from .jnp_backend import JnpBackend, _SOLVER_CACHE
+
+__all__ = ["PallasBackend"]
+
+
+class PallasBackend(JnpBackend):
+    target = "pallas"
+
+    def _get_solver(self, mat, dtype, max_itrs, conv):
+        import jax
+
+        key = ("psolve", mat.fmt, self.mode, mat.exec_kind, mat.dia_offsets,
+               mat.R, mat.K, mat.N, str(dtype), max_itrs, float(conv))
+        if key not in _SOLVER_CACHE:
+            spmv = make_pallas_spmv(mat, dtype, self.mode)
+            _SOLVER_CACHE[key] = jax.jit(make_cg_solver(spmv, max_itrs, conv))
+        return _SOLVER_CACHE[key]
+
+    def _get_spmv(self, mat, dtype):
+        import jax
+
+        key = ("pspmv", mat.fmt, self.mode, mat.exec_kind, mat.dia_offsets,
+               mat.R, mat.K, mat.N, str(dtype))
+        if key not in _SOLVER_CACHE:
+            _SOLVER_CACHE[key] = jax.jit(make_pallas_spmv(mat, dtype, self.mode))
+        return _SOLVER_CACHE[key]
+
+
+def _register():
+    from ..ecc.codec import MODES
+
+    for mode in MODES:
+        registry.register("pallas", mode, lambda m=mode: PallasBackend(m))
+
+
+_register()

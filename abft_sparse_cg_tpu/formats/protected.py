@@ -75,6 +75,11 @@ class ProtectedMatrix:
     ell_len: np.ndarray             # (R,) int32 valid slots per output row
     ell_slot: np.ndarray            # (nnz,) int64 canonical idx -> flat slot
     ell_gather_word: str            # which word holds the gather index
+    # Build-time (clean-matrix) XOR checksums of the exec planes at 8-row
+    # block granularity: (num_words, R/8) uint32.  Captured at encode
+    # time — fault injection must NOT refresh them (they play the role of
+    # stored ECC metadata for the lazy-verification fast path).
+    ell_cksum: np.ndarray = None
     dia_offsets: tuple = ()         # DIA only: diagonal offsets, sorted
     block_size: int = 0
     num_blocks: int = 1
@@ -105,7 +110,12 @@ class ProtectedMatrix:
         return [self.planes[n] for n in self.layout.word_names]
 
     def with_planes(self, planes: Dict[str, np.ndarray]) -> "ProtectedMatrix":
-        """Return a copy with new flat planes and a re-derived exec layout."""
+        """Return a copy with new flat planes and a re-derived exec layout.
+
+        Deliberately does NOT refresh ``ell_cksum``: new planes model
+        *corruption* of stored data, and the checksums are reference
+        metadata captured at encode time.
+        """
         shape = self.ell[self.layout.word_names[0]].shape
         ell = _scatter_exec(planes, self.layout, self.ell_slot, shape)
         return replace(self, planes=planes, ell=ell)
@@ -131,6 +141,27 @@ def _encode_planes(fmt, assembled: AssembledMatrix, mode: str):
     words = codec.encode(mode, words, layout)
     planes = dict(zip(layout.word_names, words))
     return layout, planes
+
+
+CKSUM_BLOCK = 8  # rows per checksum block; 8 divides every padded R and
+#                  every mesh shard (shards are multiples of 8 rows)
+
+
+def compute_exec_checksums(ell: Dict[str, np.ndarray], word_names,
+                           row_axis: int) -> np.ndarray:
+    """XOR checksums of exec planes per 8-row block -> (W, R/8) uint32."""
+    out = []
+    for n in word_names:
+        p = ell[n]
+        folded = p if p.ndim == 1 else np.bitwise_xor.reduce(
+            p, axis=1 - row_axis
+        )
+        out.append(
+            np.bitwise_xor.reduce(
+                folded.reshape(-1, CKSUM_BLOCK), axis=1
+            )
+        )
+    return np.stack(out).astype(np.uint32)
 
 
 def _scatter_exec(planes, layout, slot, shape):
@@ -219,6 +250,9 @@ def build_protected(fmt: str, assembled: AssembledMatrix, mode: str,
         ell = _scatter_exec(planes, layout, ell_slot, (R, K))
         dia_offsets = ()
 
+    ell_cksum = compute_exec_checksums(ell, layout.word_names,
+                                       0 if exec_kind == "ell" else 1)
+
     return ProtectedMatrix(
         fmt=fmt,
         mode=mode,
@@ -232,6 +266,7 @@ def build_protected(fmt: str, assembled: AssembledMatrix, mode: str,
         ell_len=ell_len,
         ell_slot=ell_slot,
         ell_gather_word=gather_word,
+        ell_cksum=ell_cksum,
         dia_offsets=dia_offsets,
         block_size=assembled.block_size,
         num_blocks=assembled.num_blocks,

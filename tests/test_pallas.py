@@ -1,0 +1,119 @@
+"""Pallas kernels vs the jnp oracle (interpreter mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from abft_sparse_cg_tpu.backends import create
+from abft_sparse_cg_tpu.formats import assemble, build_protected
+from abft_sparse_cg_tpu.inject import inject_bitflips
+from abft_sparse_cg_tpu.ops.spmv import MatrixDevice, make_spmv
+from abft_sparse_cg_tpu.ops.spmv_pallas import make_pallas_spmv, supports
+from abft_sparse_cg_tpu.utils.matgen import spd_tridiagonal
+
+RNG = np.random.default_rng(5)
+
+
+def protected(mode, fmt="csr", n=200, blocks=2):
+    rows, cols, vals, n = spd_tridiagonal(n)
+    a = assemble(cols, rows, vals, n, blocks)
+    return build_protected(fmt, a, mode)
+
+
+def device_matrix(m):
+    return MatrixDevice(
+        words=tuple(jnp.asarray(m.ell[x]) for x in m.layout.word_names),
+        ell_len=jnp.asarray(m.ell_len),
+        cksum=jnp.asarray(m.ell_cksum),
+    )
+
+
+def test_supports_policy():
+    m = protected("secded")
+    assert supports(m, jnp.float32)
+    assert not supports(m, jnp.float64)  # kernels are f32-only
+
+
+@pytest.mark.parametrize("fmt", ["csr", "coo"])
+@pytest.mark.parametrize("mode", ["none", "sed", "sec7", "sec8", "secded"])
+def test_fast_kernel_matches_jnp(fmt, mode):
+    """The Pallas fast kernel: same w, no trigger on a clean matrix."""
+    m = protected(mode, fmt)
+    md = device_matrix(m)
+    x = jnp.asarray(RNG.random(m.R), jnp.float32)
+    impl_p = make_pallas_spmv(m, jnp.float32, mode)
+    impl_j = make_spmv(m, jnp.float32, mode)
+    if mode == "none":
+        wp, _ = jax.jit(impl_p.full)(md, x)
+        wj, _ = jax.jit(impl_j.full)(md, x)
+    else:
+        wp, trig_p = jax.jit(impl_p.fast)(md, x)
+        wj, trig_j = jax.jit(impl_j.fast)(md, x)
+        assert not bool(trig_p) and not bool(trig_j)
+    np.testing.assert_allclose(np.asarray(wp), np.asarray(wj), rtol=1e-6)
+
+
+@pytest.mark.parametrize("mode", ["sed", "sec7", "sec8", "secded"])
+def test_fast_kernel_triggers_on_fault(mode):
+    m = protected(mode)
+    x = jnp.asarray(RNG.random(m.R), jnp.float32)
+    impl = make_pallas_spmv(m, jnp.float32, mode)
+    for seed in range(3):
+        m2 = inject_bitflips(m, "ANY", 1, np.random.default_rng(seed),
+                             echo=lambda s: None)
+        _, trig = jax.jit(impl.fast)(device_matrix(m2), x)
+        assert bool(trig), f"seed {seed}: single-bit fault missed by {mode}"
+
+
+def test_secded_double_fault_triggers():
+    m = protected("secded")
+    impl = make_pallas_spmv(m, jnp.float32, "secded")
+    x = jnp.asarray(RNG.random(m.R), jnp.float32)
+    for seed in range(10):
+        m2 = inject_bitflips(m, "ANY", 2, np.random.default_rng(seed),
+                             echo=lambda s: None)
+        if any((m2.planes[n] != m.planes[n]).any() for n in m.layout.word_names):
+            _, trig = jax.jit(impl.fast)(device_matrix(m2), x)
+            assert bool(trig)
+            return
+    pytest.fail("no corrupting double flip found")
+
+
+@pytest.mark.parametrize("mode", ["sec7", "sec8", "secded"])
+def test_backend_solve_corrects(mode):
+    """Full pallas-target solve: fast loop -> classify -> scrubbed resume."""
+    m = protected(mode, n=128, blocks=2)
+    b = RNG.random(m.N)
+    backend = create("pallas", mode)
+    clean = backend.solve(m, b, 500, 1e-6, verbose=False, dtype="f32")
+    assert not clean.failed and clean.corrected_count == 0
+
+    m2 = inject_bitflips(m, "ANY", 1, np.random.default_rng(7), echo=lambda s: None)
+    res = backend.solve(m2, b, 500, 1e-6, verbose=False, dtype="f32")
+    assert not res.failed
+    assert res.corrected_count == 1
+    assert res.iterations == clean.iterations
+    np.testing.assert_allclose(res.x, clean.x, rtol=1e-5)
+
+
+def test_backend_solve_sed_halts():
+    m = protected("sed", n=128, blocks=2)
+    b = RNG.random(m.N)
+    m2 = inject_bitflips(m, "ANY", 1, np.random.default_rng(1), echo=lambda s: None)
+    res = create("pallas", "sed").solve(m2, b, 500, 1e-6, verbose=False, dtype="f32")
+    assert res.failed and res.errcode == 1
+    assert any("error detected at index" in s for s in res.messages)
+
+
+def test_ell_falls_back_to_jnp():
+    """Non-DIA matrices transparently use the jnp implementation."""
+    rows, cols, vals, n = spd_tridiagonal(64)
+    a = assemble(cols, rows, vals, n, 1)
+    m_ell = build_protected("csr", a, "secded", force_exec="ell")
+    impl = make_pallas_spmv(m_ell, jnp.float32, "secded")
+    md = device_matrix(m_ell)
+    x = jnp.asarray(RNG.random(m_ell.R), jnp.float32)
+    w, s = jax.jit(impl.full)(md, x)
+    assert int(s.errcode) == 0
