@@ -40,6 +40,7 @@ _USAGE_OPTIONS = """Options:
       --seed            S     Seed b-vector and injector RNGs
       --dtype           D     Compute dtype: auto | f32 | f64
       --quiet                 Suppress per-iteration residual output
+      --profile         DIR   Write a jax.profiler trace of the solve
 
   The -l|--list argument will provide a list of tuples that describe
   which implementations are available to be passed to the
@@ -86,6 +87,7 @@ def parse_arguments(argv, fmt):
         "dtype": "auto",
         "quiet": False,
         "list": False,
+        "profile": None,
     }
     i = 0
     n = len(argv)
@@ -163,6 +165,12 @@ def parse_arguments(argv, fmt):
             params["dtype"] = argv[i]
         elif a == "--quiet":
             params["quiet"] = True
+        elif a == "--profile":
+            i += 1
+            if i >= n:
+                print("Profile directory required")
+                raise SystemExit(1)
+            params["profile"] = argv[i]
         elif a in ("--help", "-h"):
             exe = f"cg-{fmt}"
             print(f"\nUsage: {exe} [OPTIONS]\n")
@@ -233,10 +241,22 @@ def main(argv=None, fmt="csr"):
             mat, params["bitflip_kind"], params["num_bit_flips"], inj_rng
         )
 
-    res = backend.solve(
-        mat, b, params["max_itrs"], params["conv_threshold"],
-        verbose=not params["quiet"], dtype=params["dtype"],
-    )
+    if params["profile"]:
+        import contextlib
+
+        import jax
+
+        profile_cm = jax.profiler.trace(params["profile"])
+    else:
+        import contextlib
+
+        profile_cm = contextlib.nullcontext()
+
+    with profile_cm:
+        res = backend.solve(
+            mat, b, params["max_itrs"], params["conv_threshold"],
+            verbose=not params["quiet"], dtype=params["dtype"],
+        )
 
     # Per-iteration residual lines (reference cg.cpp:116-117), printed
     # from the carried trace (host callbacks are unsupported on axon TPU).

@@ -52,7 +52,9 @@ def _f32_from_planes_kernel_ops(lo, hi):
     exp_field = jnp.clip(exp8, 1, 254).astype(jnp.uint32)
     bits = (sign << u(31)) | (exp_field << u(23)) | mant23
     inf_bits = (sign << u(31)) | u(0x7F800000)
-    nan_bits = inf_bits | jnp.maximum(mant23, u(1))
+    # NOTE: jnp.maximum on uint32 crashes this TPU's Mosaic compiler;
+    # use a where() instead.
+    nan_bits = inf_bits | jnp.where(mant23 == u(0), u(1), mant23)
     zero_bits = sign << u(31)
     is_naninf = exp11 == u(0x7FF)
     bits = jnp.where(overflow, inf_bits, bits)

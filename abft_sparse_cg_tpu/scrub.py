@@ -1,0 +1,69 @@
+"""Offline matrix scrub: verify and repair a protected matrix in one pass.
+
+The reference repairs elements in place as the SpMV touches them; the
+TPU solve repairs functionally via the solver's classify pass.  This is
+the third form — an explicit maintenance operation (memory scrubbing in
+the RAS sense): run the full ECC check over the canonical planes,
+correct what is correctable, report what is not.
+
+Host-side NumPy (the canonical planes live on the host); the same codec
+the device kernels use, so outcomes are identical.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List
+
+import numpy as np
+
+from .ecc import OVERALL_PARITY_BIT, codec
+from .formats.protected import ProtectedMatrix
+
+__all__ = ["ScrubReport", "scrub"]
+
+
+@dataclass
+class ScrubReport:
+    corrected: int              # elements repaired
+    uncorrectable: int          # sed detections / secded double-bit errors
+    indices: List[int]          # canonical indices of repaired elements
+    messages: List[str]         # reference-format event strings
+
+
+def scrub(mat: ProtectedMatrix):
+    """Return ``(repaired_matrix, report)``.
+
+    For correction modes (sec7/sec8/secded) repaired planes replace the
+    corrupted ones (and the derived execution layout is rebuilt; the
+    encode-time checksums then match again by construction).  Detection
+    modes (sed/secded double-bit) only report.
+    """
+    words = mat.words_list()
+    fixed, flags = codec.check_and_correct(mat.mode, words, mat.layout)
+
+    opb = mat.layout.col_word * 32 + OVERALL_PARITY_BIT
+    messages = []
+    indices = np.flatnonzero(np.asarray(flags["corrected"]))
+    for i in indices:
+        bit = int(flags["corrected_bit"][i])
+        if bit == opb:
+            messages.append(f"[ECC] corrected overall parity bit at index {i}")
+        else:
+            messages.append(f"[ECC] corrected bit {bit} at index {i}")
+
+    uncorrectable = int(np.asarray(flags["detected"]).sum())
+    for i in np.flatnonzero(np.asarray(flags["detected"])):
+        if mat.mode == "sed":
+            messages.append(f"[ECC] error detected at index {int(i)}")
+        else:
+            messages.append("[ECC] double-bit error detected")
+
+    repaired = mat.with_planes(dict(zip(mat.layout.word_names, fixed)))
+    report = ScrubReport(
+        corrected=len(indices),
+        uncorrectable=uncorrectable,
+        indices=[int(i) for i in indices],
+        messages=messages,
+    )
+    return repaired, report

@@ -40,7 +40,8 @@ import jax.numpy as jnp
 from ..ops.blas1 import calc_p, calc_xr, dot
 from ..ops.spmv import SpmvImpl, SpmvStats
 
-__all__ = ["CGResult", "make_cg_solver"]
+__all__ = ["CGResult", "CGState", "make_cg_solver", "make_cg_continue",
+           "init_state"]
 
 _MAX_TRACE = 100_000
 
@@ -53,6 +54,20 @@ class CGResult(NamedTuple):
     rr_trace: jnp.ndarray     # (max_itrs,) rr after each iteration (nan-padded)
 
 
+class CGState(NamedTuple):
+    """Resumable solver state — everything a checkpoint must capture
+    (the snapshot SURVEY §5 describes: (x, r, p, rr, itr) + ABFT stats
+    and the residual trace)."""
+
+    itr: jnp.ndarray
+    x: jnp.ndarray
+    r: jnp.ndarray
+    p: jnp.ndarray
+    rr: jnp.ndarray
+    stats: SpmvStats
+    trace: jnp.ndarray
+
+
 def _iterate(x, r, p, rr, w):
     pw = dot(p, w)
     alpha = rr / pw
@@ -62,95 +77,115 @@ def _iterate(x, r, p, rr, w):
     return x1, r1, p1, rr_new
 
 
+def init_state(b, max_itrs: int, trace_rr: bool = True) -> CGState:
+    """Fresh solver state for right-hand side ``b`` (x0 = 0, r = p = b;
+    reference cg.cpp:85-88)."""
+    trace_len = min(max_itrs, _MAX_TRACE) if trace_rr else 1
+    return CGState(
+        itr=jnp.int32(0),
+        x=jnp.zeros_like(b),
+        r=b,
+        p=b,
+        rr=dot(b, b),
+        stats=SpmvStats.clean(),
+        trace=jnp.full((trace_len,), jnp.nan, b.dtype),
+    )
+
+
+def make_cg_continue(impl: SpmvImpl, conv_threshold: float,
+                     trace_rr: bool = True):
+    """Build ``continue_(md, state, upto) -> CGState``.
+
+    Advances the solve until ``itr == upto`` (a runtime scalar — one
+    compilation serves every segment length), convergence, or a
+    fail-stop.  This is the checkpointable core: callers snapshot the
+    returned ``CGState`` between segments and resume by calling again.
+    """
+    if impl.classify is None:
+        return _make_simple_continue(impl.full, conv_threshold, trace_rr)
+    return _make_lazy_continue(impl, conv_threshold, trace_rr)
+
+
 def make_cg_solver(impl: SpmvImpl, max_itrs: int, conv_threshold: float,
                    trace_rr: bool = True):
     """Build ``solve(md, b) -> CGResult`` around a SpmvImpl."""
-    if impl.classify is None:
-        return _make_simple_solver(impl.full, max_itrs, conv_threshold, trace_rr)
-    return _make_lazy_solver(impl, max_itrs, conv_threshold, trace_rr)
+    cont = make_cg_continue(impl, conv_threshold, trace_rr)
 
-
-def _init(b, max_itrs, trace_rr):
-    dtype = b.dtype
-    x0 = jnp.zeros_like(b)
-    # x0 = 0  =>  r = b - A@x0 = b ; p = r  (reference cg.cpp:85-88).
-    rr0 = dot(b, b)
-    trace_len = min(max_itrs, _MAX_TRACE) if trace_rr else 1
-    trace0 = jnp.full((trace_len,), jnp.nan, dtype)
-    return x0, b, b, rr0, trace0
-
-
-def _make_simple_solver(spmv_full, max_itrs, conv_threshold, trace_rr):
     def solve(md, b):
-        conv = jnp.asarray(conv_threshold, b.dtype)
-        x0, r0, p0, rr0, trace0 = _init(b, max_itrs, trace_rr)
-        state0 = (jnp.int32(0), x0, r0, p0, rr0, SpmvStats.clean(), trace0)
-
-        def cond(s):
-            itr, _, _, _, rr, st, _ = s
-            return (itr < max_itrs) & (rr > conv) & (st.errcode == 0)
-
-        def body(s):
-            itr, x, r, p, rr, st, trace = s
-            w, st1 = spmv_full(md, p)
-            st = st.merge_first(st1)
-            ok = st1.errcode == 0
-            x1, r1, p1, rr1 = _iterate(x, r, p, rr, w)
-            # On fail-stop the reference dies mid-SpMV; discard the update.
-            x = jnp.where(ok, x1, x)
-            r = jnp.where(ok, r1, r)
-            p = jnp.where(ok, p1, p)
-            rr = jnp.where(ok, rr1, rr)
-            if trace_rr:
-                trace = trace.at[itr].set(jnp.where(ok, rr, trace[itr]))
-            itr = jnp.where(ok, itr + 1, itr)
-            return (itr, x, r, p, rr, st, trace)
-
-        itr, x, r, p, rr, st, trace = jax.lax.while_loop(cond, body, state0)
-        return CGResult(x=x, iterations=itr, rr=rr, stats=st, rr_trace=trace)
+        s = cont(md, init_state(b, max_itrs, trace_rr), jnp.int32(max_itrs))
+        return CGResult(x=s.x, iterations=s.itr, rr=s.rr, stats=s.stats,
+                        rr_trace=s.trace)
 
     return solve
 
 
-def _make_lazy_solver(impl, max_itrs, conv_threshold, trace_rr):
-    def solve(md, b):
-        conv = jnp.asarray(conv_threshold, b.dtype)
-        x0, r0, p0, rr0, trace0 = _init(b, max_itrs, trace_rr)
+def _make_simple_continue(spmv_full, conv_threshold, trace_rr):
+    def continue_(md, state: CGState, upto):
+        conv = jnp.asarray(conv_threshold, state.rr.dtype)
 
-        def inner(md, state):
-            (itr, x, r, p, rr, trace) = state
-            s0 = (itr, x, r, p, rr, trace, jnp.bool_(False))
+        def cond(s):
+            return (s.itr < upto) & (s.rr > conv) & (s.stats.errcode == 0)
 
-            def cond(s):
-                itr, _, _, _, rr, _, trig = s
-                return (itr < max_itrs) & (rr > conv) & (~trig)
+        def body(s):
+            w, st1 = spmv_full(md, s.p)
+            st = s.stats.merge_first(st1)
+            ok = st1.errcode == 0
+            x1, r1, p1, rr1 = _iterate(s.x, s.r, s.p, s.rr, w)
+            # On fail-stop the reference dies mid-SpMV; discard the update.
+            x = jnp.where(ok, x1, s.x)
+            r = jnp.where(ok, r1, s.r)
+            p = jnp.where(ok, p1, s.p)
+            rr = jnp.where(ok, rr1, s.rr)
+            trace = s.trace
+            if trace_rr:
+                trace = trace.at[s.itr].set(jnp.where(ok, rr, trace[s.itr]))
+            itr = jnp.where(ok, s.itr + 1, s.itr)
+            return CGState(itr, x, r, p, rr, st, trace)
 
-            def body(s):
-                itr, x, r, p, rr, trace, _ = s
-                w, trig = impl.fast(md, p)
+        return jax.lax.while_loop(cond, body, state)
+
+    return continue_
+
+
+def _make_lazy_continue(impl, conv_threshold, trace_rr):
+    def continue_(md, state: CGState, upto):
+        conv = jnp.asarray(conv_threshold, state.rr.dtype)
+
+        def inner(md, s: CGState):
+            s0 = (s, jnp.bool_(False))
+
+            def cond(c):
+                s, trig = c
+                return (s.itr < upto) & (s.rr > conv) & (~trig)
+
+            def body(c):
+                s, _ = c
+                w, trig = impl.fast(md, s.p)
                 ok = ~trig
-                x1, r1, p1, rr1 = _iterate(x, r, p, rr, w)
+                x1, r1, p1, rr1 = _iterate(s.x, s.r, s.p, s.rr, w)
                 # A triggered iteration is re-executed after the repair,
                 # so its (corrupt-value) update is discarded.
-                x = jnp.where(ok, x1, x)
-                r = jnp.where(ok, r1, r)
-                p = jnp.where(ok, p1, p)
-                rr = jnp.where(ok, rr1, rr)
+                x = jnp.where(ok, x1, s.x)
+                r = jnp.where(ok, r1, s.r)
+                p = jnp.where(ok, p1, s.p)
+                rr = jnp.where(ok, rr1, s.rr)
+                trace = s.trace
                 if trace_rr:
-                    trace = trace.at[itr].set(jnp.where(ok, rr, trace[itr]))
-                itr = jnp.where(ok, itr + 1, itr)
-                return (itr, x, r, p, rr, trace, trig)
+                    trace = trace.at[s.itr].set(
+                        jnp.where(ok, rr, trace[s.itr])
+                    )
+                itr = jnp.where(ok, s.itr + 1, s.itr)
+                return (CGState(itr, x, r, p, rr, s.stats, trace), trig)
 
-            *state, trig = jax.lax.while_loop(cond, body, s0)
-            return tuple(state), trig
+            return jax.lax.while_loop(cond, body, s0)
 
-        def outer_cond(s):
-            done, *_ = s
+        def outer_cond(c):
+            done, *_ = c
             return ~done
 
-        def outer_body(s):
-            _, md, st, state = s
-            state, trig = inner(md, state)
+        def outer_body(c):
+            _, md, s = c
+            s, trig = inner(md, s)
 
             def repair(md, st):
                 st1, md2 = impl.classify(md)
@@ -159,15 +194,14 @@ def _make_lazy_solver(impl, max_itrs, conv_threshold, trace_rr):
             def keep(md, st):
                 return md, st
 
-            md, st = jax.lax.cond(trig, repair, keep, md, st)
+            md, st = jax.lax.cond(trig, repair, keep, md, s.stats)
+            s = s._replace(stats=st)
             done = (~trig) | (st.errcode != 0)
-            return (done, md, st, state)
+            return (done, md, s)
 
-        state0 = (jnp.int32(0), x0, r0, p0, rr0, trace0)
-        s = (jnp.bool_(False), md, SpmvStats.clean(), state0)
-        _, md_out, st, (itr, x, r, p, rr, trace) = jax.lax.while_loop(
-            outer_cond, outer_body, s
+        _, _, s = jax.lax.while_loop(
+            outer_cond, outer_body, (jnp.bool_(False), md, state)
         )
-        return CGResult(x=x, iterations=itr, rr=rr, stats=st, rr_trace=trace)
+        return s
 
-    return solve
+    return continue_
