@@ -1,10 +1,14 @@
-"""Platform selection shim.
+"""Platform/runtime setup shims.
 
-In this deployment the axon TPU plugin registers itself with priority and
-the ``JAX_PLATFORMS`` environment variable is silently ignored; only
-``jax.config.update("jax_platforms", ...)`` is honored.  Call
-``apply_platform_env()`` before first device use so the conventional env
-var works as users expect.
+- In this deployment the axon TPU plugin registers itself with priority
+  and the ``JAX_PLATFORMS`` environment variable is silently ignored;
+  only ``jax.config.update("jax_platforms", ...)`` is honored.  Call
+  ``apply_platform_env()`` before first device use so the conventional
+  env var works as users expect.
+- TPU compiles go through a remote compile service (seconds per new
+  shape), and every CLI invocation is a fresh process — the persistent
+  compilation cache turns repeat invocations (run_tests, run_benchmark)
+  from compile-bound into execution-bound.
 """
 
 from __future__ import annotations
@@ -19,8 +23,40 @@ def apply_platform_env():
     if _applied:
         return
     _applied = True
+    import jax
+
     p = os.environ.get("JAX_PLATFORMS")
     if p:
-        import jax
-
         jax.config.update("jax_platforms", p)
+
+    cache = os.environ.get(
+        "ABFT_CG_COMPILE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "abft_cg_jax"),
+    )
+    if cache and cache != "0":
+        try:
+            os.makedirs(cache, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        except Exception:
+            pass  # cache is an optimization, never a failure
+
+
+_warmed = False
+
+
+def warm_device():
+    """Absorb the one-time per-process device-init cost.
+
+    Through the axon tunnel the FIRST executed program in a process pays
+    ~3 minutes of runtime initialization (independent of the program);
+    running any tiny op + sync first keeps that out of solve timings.
+    """
+    global _warmed
+    if _warmed:
+        return
+    _warmed = True
+    import jax
+    import jax.numpy as jnp
+
+    float(jax.jit(lambda: jnp.zeros(()) + 1)())
