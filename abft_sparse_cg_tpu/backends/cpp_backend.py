@@ -108,7 +108,6 @@ def _plane_args(mat: ProtectedMatrix):
 
 
 def _msgs(mat, res):
-    from .base import stats_to_messages
     from ..ecc import OVERALL_PARITY_BIT
 
     # The C backend reports canonical indices directly — no slot mapping.

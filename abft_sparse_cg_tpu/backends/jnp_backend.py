@@ -24,14 +24,9 @@ _SOLVER_CACHE = {}
 
 
 def _device_arrays(mat: ProtectedMatrix, dtype):
-    import jax.numpy as jnp
+    from ..ops.spmv import make_matrix_device
 
-    from ..ops.spmv import MatrixDevice
-
-    words = tuple(jnp.asarray(mat.ell[n]) for n in mat.layout.word_names)
-    ell_len = jnp.asarray(mat.ell_len)
-    cksum = jnp.asarray(mat.ell_cksum)
-    return MatrixDevice(words=words, ell_len=ell_len, cksum=cksum)
+    return make_matrix_device(mat, dtype)
 
 
 class JnpBackend(Backend):

@@ -42,7 +42,7 @@ from typing import Dict
 
 import numpy as np
 
-from ..ecc import COO128, CSR96, CodewordLayout, ECC_COL_MASK, codec
+from ..ecc import COO128, CSR96, CodewordLayout, codec
 from ..ecc.values import f64_to_planes
 from .loader import AssembledMatrix
 

@@ -50,7 +50,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ecc import ECC_COL_MASK, OVERALL_PARITY_BIT, codec
+from ..ecc import ECC_COL_MASK, codec
 from ..ecc.values import planes_to_value
 
 __all__ = [
@@ -59,6 +59,7 @@ __all__ = [
     "SpmvImpl",
     "ERRCODES",
     "make_spmv",
+    "make_matrix_device",
     "spmv_dense_oracle",
 ]
 
@@ -119,6 +120,12 @@ class MatrixDevice(NamedTuple):
     cksum: jnp.ndarray            # (num_words, R/8) uint32 block checksums
     #                               (build-time values; see
     #                                formats.protected.compute_exec_checksums)
+    values: jnp.ndarray = None    # compute-dtype value plane, derived ONCE
+    #                               from the binary64 bit-planes (the f64->
+    #                               f32 reconstruction costs more VPU time
+    #                               than the whole stencil; doing it per
+    #                               iteration halves SpMV throughput).
+    #                               Re-derived by classify() after a scrub.
 
 
 class SpmvImpl(NamedTuple):
@@ -144,6 +151,24 @@ def _first_slot(flags2d):
     any_ = jnp.any(flat)
     slot = jnp.argmax(flat).astype(jnp.int32)
     return any_, jnp.where(any_, slot, jnp.int32(-1))
+
+
+def make_matrix_device(mat, dtype=jnp.float32) -> MatrixDevice:
+    """Upload a ProtectedMatrix's execution layout to the default device.
+
+    The value plane is derived on device with the same truncating
+    conversion classify() uses after a scrub, so fast-path values are
+    bit-identical before and after a repair cycle.
+    """
+    words = tuple(jnp.asarray(mat.ell[n]) for n in mat.layout.word_names)
+    vlo = mat.layout.word_names.index("value_lo")
+    vhi = mat.layout.word_names.index("value_hi")
+    return MatrixDevice(
+        words=words,
+        ell_len=jnp.asarray(mat.ell_len),
+        cksum=jnp.asarray(mat.ell_cksum),
+        values=planes_to_value(words[vlo], words[vhi], dtype),
+    )
 
 
 def _fold_blocks(plane, row_axis):
@@ -224,13 +249,13 @@ def make_spmv(mat, dtype=jnp.float32, mode: str = None) -> SpmvImpl:
 
     def full(md: MatrixDevice, x):
         if mode == "none":
-            w = cfg.compute_w(md, list(md.words), x, dtype)
+            w = cfg.compute_w(md, list(md.words), x, dtype, values=md.values)
             return w, SpmvStats.clean()
 
         if mode == "constraints":
             errcode, err_slot = cfg.constraints(md, jnp.int32(ERR_NONE),
                                                 jnp.int32(-1))
-            w = cfg.compute_w(md, list(md.words), x, dtype)
+            w = cfg.compute_w(md, list(md.words), x, dtype, values=md.values)
             return w, SpmvStats(errcode, err_slot, jnp.int32(0),
                                 jnp.int32(-1), jnp.int32(-1))
 
@@ -253,7 +278,11 @@ def make_spmv(mat, dtype=jnp.float32, mode: str = None) -> SpmvImpl:
     # ---- fast: hot-loop kernel, detection signals only ---------------
 
     def fast(md: MatrixDevice, x):
-        w = cfg.compute_w(md, list(md.words), x, dtype)
+        if md.values is None:
+            raise ValueError(
+                "MatrixDevice.values is required — build with make_matrix_device"
+            )
+        w = cfg.compute_w(md, list(md.words), x, dtype, values=md.values)
         if mode == "sec7":
             trigger = _cksum_mismatch(md, row_axis)  # no parity bit stored
         elif mode in ("sed", "sec8"):
@@ -284,6 +313,8 @@ def make_spmv(mat, dtype=jnp.float32, mode: str = None) -> SpmvImpl:
             words=tuple(checked),
             ell_len=md.ell_len,
             cksum=_device_checksums(checked, row_axis),
+            values=planes_to_value(checked[cfg.vlo_w], checked[cfg.vhi_w],
+                                   dtype),
         )
         return stats, md2
 
@@ -315,11 +346,21 @@ class _DiaConfig:
         self.vlo_w = names.index("value_lo")
         self.vhi_w = names.index("value_hi")
 
-    def compute_w(self, md, words, x, dtype):
-        vals = planes_to_value(words[self.vlo_w], words[self.vhi_w], dtype)
+    def compute_w(self, md, words, x, dtype, values=None):
+        vals = values if values is not None else planes_to_value(
+            words[self.vlo_w], words[self.vhi_w], dtype
+        )
+        # Pad x once; per-diagonal reads are then static slices of the
+        # padded buffer, which XLA fuses as offset reads (padding per
+        # diagonal would materialize D shifted copies).
+        R = x.shape[0]
+        pad_lo = max(0, -min(self.offsets))
+        pad_hi = max(0, max(self.offsets))
+        xp = jnp.pad(x, (pad_lo, pad_hi)) if (pad_lo or pad_hi) else x
         w = jnp.zeros_like(x)
         for d, off in enumerate(self.offsets):
-            w = w + vals[d] * _shift_read(x, off)
+            s = pad_lo + off
+            w = w + vals[d] * jax.lax.slice(xp, (s,), (s + R,))
         return w
 
     def constraints(self, md, errcode, err_slot):
@@ -376,13 +417,15 @@ class _EllConfig:
         kio = jax.lax.broadcasted_iota(jnp.int32, (R, K), 1)
         return kio < md.ell_len[:, None], kio
 
-    def compute_w(self, md, words, x, dtype):
+    def compute_w(self, md, words, x, dtype, values=None):
         valid, _ = self._valid(md)
         gidx = words[self.gather_w]
         if self.ecc_gather_mask:
             gidx = gidx & ECC_COL_MASK
         gidx = gidx.astype(jnp.int32)
-        vals = planes_to_value(words[self.vlo_w], words[self.vhi_w], dtype)
+        vals = values if values is not None else planes_to_value(
+            words[self.vlo_w], words[self.vhi_w], dtype
+        )
         xg = x[gidx]  # XLA gather; out-of-range clamps
         contrib = jnp.where(valid, vals * xg, jnp.zeros((), dtype))
         return jnp.sum(contrib, axis=1)

@@ -3,9 +3,10 @@
 One kernel pass per row-chunk does everything the fault-free iteration
 needs — guaranteed single read of the protected planes from HBM:
 
-  - reassemble f32 values from the binary64 bit-planes (integer ops +
-    one u32->f32 bitcast; the TPU cannot touch f64),
-  - stencil multiply-add against a halo-padded x resident in VMEM,
+  - stencil multiply-add of the pre-derived value plane against
+    pre-shifted x planes (values are converted from the binary64
+    bit-planes once per solve, not per iteration — the conversion costs
+    more VPU time than the stencil itself),
   - per-element overall parity (detects any odd-weight fault),
   - per-8-row-block XOR checksums vs their build-time values (detects
     even-weight faults, including double flips within one element),
@@ -27,7 +28,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ecc import codec
 from .spmv import MatrixDevice, SpmvImpl, SpmvStats
 
 __all__ = ["supports", "make_pallas_spmv"]
@@ -37,33 +37,6 @@ _CHUNK = 8 * 1024  # rows per grid step
 
 def supports(mat, dtype) -> bool:
     return mat.exec_kind == "dia" and jnp.dtype(dtype) == jnp.float32
-
-
-def _f32_from_planes_kernel_ops(lo, hi):
-    """f32 from binary64 planes — same math as ecc.values.planes_to_f32,
-    inlined with Pallas-safe ops only."""
-    u = np.uint32
-    sign = hi >> u(31)
-    exp11 = (hi >> u(20)) & u(0x7FF)
-    mant23 = ((hi & u(0xFFFFF)) << u(3)) | (lo >> u(29))
-    exp8 = exp11.astype(jnp.int32) - 1023 + 127
-    overflow = exp8 >= 255
-    underflow = (exp8 <= 0) | (exp11 == u(0))
-    exp_field = jnp.clip(exp8, 1, 254).astype(jnp.uint32)
-    bits = (sign << u(31)) | (exp_field << u(23)) | mant23
-    inf_bits = (sign << u(31)) | u(0x7F800000)
-    # NOTE: jnp.maximum on uint32 crashes this TPU's Mosaic compiler;
-    # use a where() instead.
-    nan_bits = inf_bits | jnp.where(mant23 == u(0), u(1), mant23)
-    zero_bits = sign << u(31)
-    is_naninf = exp11 == u(0x7FF)
-    bits = jnp.where(overflow, inf_bits, bits)
-    bits = jnp.where(underflow, zero_bits, bits)
-    bits = jnp.where(is_naninf & (mant23 == 0) & ((lo & u(0x1FFFFFFF)) == 0),
-                     inf_bits, bits)
-    bits = jnp.where(is_naninf & ((mant23 != 0) | ((lo & u(0x1FFFFFFF)) != 0)),
-                     nan_bits, bits)
-    return bits
 
 
 def make_pallas_spmv(mat, dtype=jnp.float32, mode: str = None):
@@ -90,6 +63,9 @@ def make_pallas_spmv(mat, dtype=jnp.float32, mode: str = None):
     # kernel with parity-only trigger.
     use_parity = mode in ("sed", "sec8", "secded")
     use_cksum = mode in ("sec7", "secded")
+    # Mode none needs no detection signals: the kernel then takes only
+    # the value plane + shifted x, never touching the codeword planes.
+    NW = W if (use_parity or use_cksum) else 0
 
     C = min(_CHUNK, R)
     while R % C:
@@ -113,13 +89,18 @@ def make_pallas_spmv(mat, dtype=jnp.float32, mode: str = None):
         return v[0]
 
     def kernel(*refs):
-        # refs: W plane chunks (D, C), cksum chunk (W, C//8),
-        #       xs chunk (D, C) [pre-shifted x], outputs: w (C,), trig (1,1)
-        word_refs = refs[:W]
-        ck_ref = refs[W]
-        xs_ref = refs[W + 1]
-        w_ref = refs[W + 2]
-        trig_ref = refs[W + 3]
+        # refs: NW plane chunks (D, C), cksum chunk (W, C//8) [if NW],
+        #       vals chunk (D, C) f32, xs chunk (D, C) [pre-shifted x],
+        #       outputs: w (C,), trig (1,1)
+        word_refs = refs[:NW]
+        k = NW
+        if NW:
+            ck_ref = refs[k]
+            k += 1
+        vals_ref = refs[k]
+        xs_ref = refs[k + 1]
+        w_ref = refs[k + 2]
+        trig_ref = refs[k + 3]
 
         i = pl.program_id(0)
 
@@ -129,11 +110,7 @@ def make_pallas_spmv(mat, dtype=jnp.float32, mode: str = None):
 
         words = [r[...] for r in word_refs]
 
-        vals = jax.lax.bitcast_convert_type(
-            _f32_from_planes_kernel_ops(words[vlo_w], words[vhi_w]),
-            jnp.float32,
-        )
-        w_ref[...] = jnp.sum(vals * xs_ref[...], axis=0)
+        w_ref[...] = jnp.sum(vals_ref[...] * xs_ref[...], axis=0)
 
         trig = jnp.int32(0)
         if use_parity:
@@ -167,16 +144,21 @@ def make_pallas_spmv(mat, dtype=jnp.float32, mode: str = None):
         from .spmv import _shift_read
 
         xs = jnp.stack([_shift_read(x, off) for off in offsets])
+        plane_spec = pl.BlockSpec((D, C), lambda i: (0, i),
+                                  memory_space=pltpu.VMEM)
+        in_specs = [plane_spec] * NW
+        args = list(md.words[:NW])
+        if NW:
+            in_specs.append(
+                pl.BlockSpec((W, C // 8), lambda i: (0, i),
+                             memory_space=pltpu.VMEM))
+            args.append(md.cksum)
+        in_specs += [plane_spec, plane_spec]
+        args += [md.values, xs]
+
         grid_spec = pl.GridSpec(
             grid=(G,),
-            in_specs=[
-                *[
-                    pl.BlockSpec((D, C), lambda i: (0, i), memory_space=pltpu.VMEM)
-                    for _ in range(W)
-                ],
-                pl.BlockSpec((W, C // 8), lambda i: (0, i), memory_space=pltpu.VMEM),
-                pl.BlockSpec((D, C), lambda i: (0, i), memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=[
                 pl.BlockSpec((C,), lambda i: (i,), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
@@ -191,7 +173,7 @@ def make_pallas_spmv(mat, dtype=jnp.float32, mode: str = None):
                 jax.ShapeDtypeStruct((1, 1), jnp.int32),
             ],
             interpret=interpret,
-        )(*md.words, md.cksum, xs)
+        )(*args)
         return w, trig[0, 0] != 0
 
     jnp_impl = make_jnp_spmv(mat, dtype, mode)

@@ -77,7 +77,13 @@ def _device_put_sharded(mat: ProtectedMatrix, b: np.ndarray, mesh, dtype):
         pad_rows(mat.ell_cksum, R_pad // 8, axis=1),
         NamedSharding(mesh, P(None, axis)),
     )
-    md = MatrixDevice(words=words, ell_len=ell_len, cksum=cksum)
+    from ..ecc.values import planes_to_value
+
+    names = mat.layout.word_names
+    values = planes_to_value(
+        words[names.index("value_lo")], words[names.index("value_hi")], dtype
+    )
+    md = MatrixDevice(words=words, ell_len=ell_len, cksum=cksum, values=values)
     bpad = np.zeros(R_pad, dtype=np.float64)
     bpad[: mat.N] = b
     bdev = jax.device_put(jnp.asarray(bpad, dtype=dtype), row1d)

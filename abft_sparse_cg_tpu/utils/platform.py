@@ -29,6 +29,12 @@ def apply_platform_env():
     if p:
         jax.config.update("jax_platforms", p)
 
+    if p and "cpu" in p:
+        # CPU compiles are fast, and cached CPU AOT artifacts are
+        # machine-feature sensitive (SIGILL risk across hosts) — the
+        # persistent cache is only worth it for remote TPU compiles.
+        return
+
     cache = os.environ.get(
         "ABFT_CG_COMPILE_CACHE",
         os.path.join(os.path.expanduser("~"), ".cache", "abft_cg_jax"),

@@ -48,18 +48,14 @@ def bench_mode(mat, b, mode, reps=REPS):
     import jax
     import jax.numpy as jnp
 
-    from abft_sparse_cg_tpu.ops.spmv import MatrixDevice, make_spmv
+    from abft_sparse_cg_tpu.ops.spmv import make_matrix_device, make_spmv
     from abft_sparse_cg_tpu.solver.cg import make_cg_solver
 
     dtype = jnp.float32 if jax.devices()[0].platform != "cpu" else jnp.float64
     spmv = make_spmv(mat, dtype, mode)
     solver = jax.jit(make_cg_solver(spmv, 1000, 0.001, trace_rr=False))
 
-    md = MatrixDevice(
-        words=tuple(jnp.asarray(mat.ell[nm]) for nm in mat.layout.word_names),
-        ell_len=jnp.asarray(mat.ell_len),
-        cksum=jnp.asarray(mat.ell_cksum),
-    )
+    md = make_matrix_device(mat, dtype)
     bpad = np.zeros(mat.R)
     bpad[: mat.N] = b
     bdev = jnp.asarray(bpad, dtype)

@@ -9,7 +9,7 @@ import jax.numpy as jnp
 from abft_sparse_cg_tpu.backends import create
 from abft_sparse_cg_tpu.formats import assemble, build_protected
 from abft_sparse_cg_tpu.inject import inject_bitflips
-from abft_sparse_cg_tpu.ops.spmv import MatrixDevice, make_spmv
+from abft_sparse_cg_tpu.ops.spmv import make_matrix_device, make_spmv
 from abft_sparse_cg_tpu.ops.spmv_pallas import make_pallas_spmv, supports
 from abft_sparse_cg_tpu.utils.matgen import spd_tridiagonal
 
@@ -23,11 +23,7 @@ def protected(mode, fmt="csr", n=200, blocks=2):
 
 
 def device_matrix(m):
-    return MatrixDevice(
-        words=tuple(jnp.asarray(m.ell[x]) for x in m.layout.word_names),
-        ell_len=jnp.asarray(m.ell_len),
-        cksum=jnp.asarray(m.ell_cksum),
-    )
+    return make_matrix_device(m, jnp.float32)
 
 
 def test_supports_policy():
