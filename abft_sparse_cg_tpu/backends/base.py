@@ -101,7 +101,7 @@ class Backend:
 
     def solve(self, mat: ProtectedMatrix, b: np.ndarray, max_itrs: int,
               conv_threshold: float, verbose: bool = True,
-              dtype: str = "auto") -> HostResult:
+              dtype: str = "auto", precond: str = "none") -> HostResult:
         raise NotImplementedError
 
     def spmv_once(self, mat: ProtectedMatrix, x: np.ndarray,

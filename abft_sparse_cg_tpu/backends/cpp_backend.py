@@ -78,7 +78,7 @@ def load_library():
         ct.c_char_p, ct.c_char_p,
         u32p, u32p, u32p, ct.c_void_p,
         ct.c_void_p, ct.c_int64, ct.c_int64,
-        f64p, f64p, ct.c_void_p, ct.c_int, ct.c_double,
+        f64p, ct.c_void_p, f64p, ct.c_void_p, ct.c_int, ct.c_double,
         ct.POINTER(_CgResult),
     ]
     lib.abft_spmv.restype = ct.c_int
@@ -138,19 +138,28 @@ class CppBackend(Backend):
         self.lib = load_library()
 
     def solve(self, mat, b, max_itrs, conv_threshold, verbose=True,
-              dtype="auto") -> HostResult:
+              dtype="auto", precond="none") -> HostResult:
         w, w3, row_ptr = _plane_args(mat)
         x = np.zeros(mat.N, dtype=np.float64)
         trace = np.full(max_itrs, np.nan)
         res = _CgResult()
         b = np.ascontiguousarray(b, dtype=np.float64)
+        minv = None
+        if precond == "jacobi":
+            d = mat.diagonal()
+            minv = np.ascontiguousarray(
+                np.where(d != 0.0, 1.0 / np.where(d == 0, 1, d), 1.0))
+        elif precond != "none":
+            raise ValueError(f"unknown preconditioner: {precond!r}")
         t0 = time.perf_counter()
         self.lib.abft_cg_solve(
             mat.fmt.encode(), self.mode.encode(),
             w[0], w[1], w[2],
             w3.ctypes.data_as(ct.c_void_p) if w3 is not None else None,
             row_ptr.ctypes.data_as(ct.c_void_p) if row_ptr is not None else None,
-            mat.N, mat.nnz, b, x,
+            mat.N, mat.nnz, b,
+            minv.ctypes.data_as(ct.c_void_p) if minv is not None else None,
+            x,
             trace.ctypes.data_as(ct.c_void_p),
             max_itrs, conv_threshold, ct.byref(res),
         )

@@ -41,6 +41,7 @@ _USAGE_OPTIONS = """Options:
       --dtype           D     Compute dtype: auto | f32 | f64
       --quiet                 Suppress per-iteration residual output
       --profile         DIR   Write a jax.profiler trace of the solve
+  -p  --precond         P     Preconditioner: none | jacobi
 
   The -l|--list argument will provide a list of tuples that describe
   which implementations are available to be passed to the
@@ -88,6 +89,7 @@ def parse_arguments(argv, fmt):
         "quiet": False,
         "list": False,
         "profile": None,
+        "precond": "none",
     }
     i = 0
     n = len(argv)
@@ -171,6 +173,12 @@ def parse_arguments(argv, fmt):
                 print("Profile directory required")
                 raise SystemExit(1)
             params["profile"] = argv[i]
+        elif a in ("--precond", "-p"):
+            i += 1
+            if i >= n or argv[i] not in ("none", "jacobi"):
+                print("Invalid preconditioner (none|jacobi)")
+                raise SystemExit(1)
+            params["precond"] = argv[i]
         elif a in ("--help", "-h"):
             exe = f"cg-{fmt}"
             print(f"\nUsage: {exe} [OPTIONS]\n")
@@ -256,6 +264,7 @@ def main(argv=None, fmt="csr"):
         res = backend.solve(
             mat, b, params["max_itrs"], params["conv_threshold"],
             verbose=not params["quiet"], dtype=params["dtype"],
+            precond=params["precond"],
         )
 
     # Per-iteration residual lines (reference cg.cpp:116-117), printed

@@ -109,6 +109,26 @@ class ProtectedMatrix:
         """Flat planes as a list in codeword-word order."""
         return [self.planes[n] for n in self.layout.word_names]
 
+    def diagonal(self) -> np.ndarray:
+        """(N,) main-diagonal values from the canonical planes (for the
+        Jacobi preconditioner — a capability beyond the reference)."""
+        from ..ecc import ECC_COL_MASK
+        from ..ecc.values import planes_to_f64_np
+
+        cols = self.planes["col"]
+        if self.mode in codec.ECC_MODES:
+            cols = cols & ECC_COL_MASK
+        cols = cols.astype(np.int64)
+        if self.fmt == "csr":
+            rows = np.repeat(np.arange(self.N), np.diff(self.row_ptr))
+        else:
+            rows = self.planes["row"].astype(np.int64)
+        vals = planes_to_f64_np(self.planes["value_lo"], self.planes["value_hi"])
+        d = np.zeros(self.N)
+        sel = rows == cols
+        d[rows[sel]] = vals[sel]
+        return d
+
     def with_planes(self, planes: Dict[str, np.ndarray]) -> "ProtectedMatrix":
         """Return a copy with new flat planes and a re-derived exec layout.
 

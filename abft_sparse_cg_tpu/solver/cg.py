@@ -63,30 +63,48 @@ class CGState(NamedTuple):
     x: jnp.ndarray
     r: jnp.ndarray
     p: jnp.ndarray
-    rr: jnp.ndarray
+    rr: jnp.ndarray      # r . r           (convergence test, rr trace)
+    rz: jnp.ndarray      # r . M^-1 r      (== rr when unpreconditioned)
     stats: SpmvStats
     trace: jnp.ndarray
 
 
-def _iterate(x, r, p, rr, w):
+def _iterate(x, r, p, rr, rz, w, minv):
+    """One (P)CG update.  ``minv`` is the Jacobi M^-1 diagonal or None;
+    with None this is bit-for-bit the reference's iteration
+    (cg.cpp:93-118)."""
     pw = dot(p, w)
-    alpha = rr / pw
-    x1, r1, rr_new = calc_xr(x, r, p, w, alpha)
-    beta = rr_new / rr
-    p1 = calc_p(p, r1, beta)
-    return x1, r1, p1, rr_new
+    alpha = rz / pw
+    x1, r1, rr1 = calc_xr(x, r, p, w, alpha)
+    if minv is None:
+        rz1 = rr1
+        p1 = calc_p(p, r1, rr1 / rz)
+    else:
+        z = minv * r1
+        rz1 = dot(r1, z)
+        p1 = calc_p(p, z, rz1 / rz)
+    return x1, r1, p1, rr1, rz1
 
 
-def init_state(b, max_itrs: int, trace_rr: bool = True) -> CGState:
-    """Fresh solver state for right-hand side ``b`` (x0 = 0, r = p = b;
-    reference cg.cpp:85-88)."""
+def init_state(b, max_itrs: int, trace_rr: bool = True,
+               minv=None) -> CGState:
+    """Fresh solver state for right-hand side ``b`` (x0 = 0, r = b;
+    p = M^-1 r, which is r itself unpreconditioned; reference
+    cg.cpp:85-88)."""
     trace_len = min(max_itrs, _MAX_TRACE) if trace_rr else 1
+    rr = dot(b, b)
+    if minv is None:
+        p0, rz = b, rr
+    else:
+        p0 = minv * b
+        rz = dot(b, p0)
     return CGState(
         itr=jnp.int32(0),
         x=jnp.zeros_like(b),
         r=b,
-        p=b,
-        rr=dot(b, b),
+        p=p0,
+        rr=rr,
+        rz=rz,
         stats=SpmvStats.clean(),
         trace=jnp.full((trace_len,), jnp.nan, b.dtype),
     )
@@ -108,11 +126,16 @@ def make_cg_continue(impl: SpmvImpl, conv_threshold: float,
 
 def make_cg_solver(impl: SpmvImpl, max_itrs: int, conv_threshold: float,
                    trace_rr: bool = True):
-    """Build ``solve(md, b) -> CGResult`` around a SpmvImpl."""
+    """Build ``solve(md, b, minv=None) -> CGResult`` around a SpmvImpl.
+
+    ``minv``: optional Jacobi preconditioner diagonal (M^-1), an (R,)
+    device vector — a capability beyond the reference.
+    """
     cont = make_cg_continue(impl, conv_threshold, trace_rr)
 
-    def solve(md, b):
-        s = cont(md, init_state(b, max_itrs, trace_rr), jnp.int32(max_itrs))
+    def solve(md, b, minv=None):
+        s = cont(md, init_state(b, max_itrs, trace_rr, minv),
+                 jnp.int32(max_itrs), minv)
         return CGResult(x=s.x, iterations=s.itr, rr=s.rr, stats=s.stats,
                         rr_trace=s.trace)
 
@@ -120,7 +143,7 @@ def make_cg_solver(impl: SpmvImpl, max_itrs: int, conv_threshold: float,
 
 
 def _make_simple_continue(spmv_full, conv_threshold, trace_rr):
-    def continue_(md, state: CGState, upto):
+    def continue_(md, state: CGState, upto, minv=None):
         conv = jnp.asarray(conv_threshold, state.rr.dtype)
 
         def cond(s):
@@ -130,17 +153,18 @@ def _make_simple_continue(spmv_full, conv_threshold, trace_rr):
             w, st1 = spmv_full(md, s.p)
             st = s.stats.merge_first(st1)
             ok = st1.errcode == 0
-            x1, r1, p1, rr1 = _iterate(s.x, s.r, s.p, s.rr, w)
+            x1, r1, p1, rr1, rz1 = _iterate(s.x, s.r, s.p, s.rr, s.rz, w, minv)
             # On fail-stop the reference dies mid-SpMV; discard the update.
             x = jnp.where(ok, x1, s.x)
             r = jnp.where(ok, r1, s.r)
             p = jnp.where(ok, p1, s.p)
             rr = jnp.where(ok, rr1, s.rr)
+            rz = jnp.where(ok, rz1, s.rz)
             trace = s.trace
             if trace_rr:
                 trace = trace.at[s.itr].set(jnp.where(ok, rr, trace[s.itr]))
             itr = jnp.where(ok, s.itr + 1, s.itr)
-            return CGState(itr, x, r, p, rr, st, trace)
+            return CGState(itr, x, r, p, rr, rz, st, trace)
 
         return jax.lax.while_loop(cond, body, state)
 
@@ -148,7 +172,7 @@ def _make_simple_continue(spmv_full, conv_threshold, trace_rr):
 
 
 def _make_lazy_continue(impl, conv_threshold, trace_rr):
-    def continue_(md, state: CGState, upto):
+    def continue_(md, state: CGState, upto, minv=None):
         conv = jnp.asarray(conv_threshold, state.rr.dtype)
 
         def inner(md, s: CGState):
@@ -162,20 +186,22 @@ def _make_lazy_continue(impl, conv_threshold, trace_rr):
                 s, _ = c
                 w, trig = impl.fast(md, s.p)
                 ok = ~trig
-                x1, r1, p1, rr1 = _iterate(s.x, s.r, s.p, s.rr, w)
+                x1, r1, p1, rr1, rz1 = _iterate(s.x, s.r, s.p, s.rr, s.rz,
+                                                w, minv)
                 # A triggered iteration is re-executed after the repair,
                 # so its (corrupt-value) update is discarded.
                 x = jnp.where(ok, x1, s.x)
                 r = jnp.where(ok, r1, s.r)
                 p = jnp.where(ok, p1, s.p)
                 rr = jnp.where(ok, rr1, s.rr)
+                rz = jnp.where(ok, rz1, s.rz)
                 trace = s.trace
                 if trace_rr:
                     trace = trace.at[s.itr].set(
                         jnp.where(ok, rr, trace[s.itr])
                     )
                 itr = jnp.where(ok, s.itr + 1, s.itr)
-                return (CGState(itr, x, r, p, rr, s.stats, trace), trig)
+                return (CGState(itr, x, r, p, rr, rz, s.stats, trace), trig)
 
             return jax.lax.while_loop(cond, body, s0)
 

@@ -25,7 +25,7 @@ from .cg import CGResult, CGState, init_state, make_cg_continue
 
 __all__ = ["save_state", "load_state", "CheckpointedSolve"]
 
-_FIELDS = ("itr", "x", "r", "p", "rr", "trace")
+_FIELDS = ("itr", "x", "r", "p", "rr", "rz", "trace")
 _STAT_FIELDS = SpmvStats._fields
 
 
@@ -52,6 +52,7 @@ def load_state(path: str, dtype=None) -> CGState:
             r=cast(z["r"]),
             p=cast(z["p"]),
             rr=cast(z["rr"]),
+            rz=cast(z["rz"]),
             stats=stats,
             trace=cast(z["trace"]),
         )
@@ -69,20 +70,21 @@ class CheckpointedSolve:
         self.trace_rr = trace_rr
         self._cont = jax.jit(make_cg_continue(impl, conv_threshold, trace_rr))
 
-    def run(self, md, b, max_itrs: int, resume: bool = False) -> CGResult:
+    def run(self, md, b, max_itrs: int, resume: bool = False,
+            minv=None) -> CGResult:
         import jax.numpy as jnp
 
         if resume and os.path.exists(self.path):
             state = load_state(self.path, dtype=b.dtype)
         else:
-            state = init_state(b, max_itrs, self.trace_rr)
+            state = init_state(b, max_itrs, self.trace_rr, minv)
 
         while True:
             itr = int(state.itr)
             if itr >= max_itrs or int(state.stats.errcode) != 0:
                 break
             upto = min(itr + self.every, max_itrs)
-            state = self._cont(md, state, jnp.int32(upto))
+            state = self._cont(md, state, jnp.int32(upto), minv)
             new_itr = int(state.itr)  # forces sync; segment finished
             save_state(self.path, state)
             if new_itr < upto or int(state.stats.errcode) != 0:

@@ -320,11 +320,14 @@ int abft_spmv(const char* fmt, const char* mode_s,
 }
 
 // Full CG solve (reference algorithm, cg.cpp:83-118) over the planes.
+// `minv` (nullable) enables Jacobi-preconditioned CG — convergence is
+// still tested on rr = r.r like the reference.
 int abft_cg_solve(const char* fmt, const char* mode_s,
                   uint32_t* w0, uint32_t* w1, uint32_t* w2, uint32_t* w3,
                   const int64_t* row_ptr, int64_t N, int64_t nnz,
-                  const double* b, double* x, double* rr_trace,
-                  int max_itrs, double conv, CgResult* out) {
+                  const double* b, const double* minv, double* x,
+                  double* rr_trace, int max_itrs, double conv,
+                  CgResult* out) {
   const int mode = mode_of(mode_s);
   if (mode < 0) return -1;
   const bool csr = !std::strcmp(fmt, "csr");
@@ -335,13 +338,14 @@ int abft_cg_solve(const char* fmt, const char* mode_s,
 
   const auto t0 = std::chrono::steady_clock::now();
 
-  double rr = 0.0;
-#pragma omp parallel for reduction(+ : rr) schedule(static)
+  double rr = 0.0, rz = 0.0;
+#pragma omp parallel for reduction(+ : rr, rz) schedule(static)
   for (int64_t i = 0; i < N; i++) {
     x[i] = 0.0;
     r[i] = b[i];
-    p[i] = b[i];
+    p[i] = minv ? minv[i] * b[i] : b[i];
     rr += b[i] * b[i];
+    rz += b[i] * p[i];
   }
 
   Stats st;
@@ -355,21 +359,38 @@ int abft_cg_solve(const char* fmt, const char* mode_s,
 #pragma omp parallel for reduction(+ : pw) schedule(static)
     for (int64_t i = 0; i < N; i++) pw += p[i] * w[i];
 
-    const double alpha = rr / pw;
+    const double alpha = rz / pw;
 
-    double rr_new = 0.0;
+    double rr_new = 0.0, rz_new = 0.0;
+    if (minv) {
+#pragma omp parallel for reduction(+ : rr_new, rz_new) schedule(static)
+      for (int64_t i = 0; i < N; i++) {
+        x[i] += alpha * p[i];
+        r[i] -= alpha * w[i];
+        rr_new += r[i] * r[i];
+        rz_new += r[i] * (minv[i] * r[i]);
+      }
+    } else {
 #pragma omp parallel for reduction(+ : rr_new) schedule(static)
-    for (int64_t i = 0; i < N; i++) {
-      x[i] += alpha * p[i];
-      r[i] -= alpha * w[i];
-      rr_new += r[i] * r[i];
+      for (int64_t i = 0; i < N; i++) {
+        x[i] += alpha * p[i];
+        r[i] -= alpha * w[i];
+        rr_new += r[i] * r[i];
+      }
+      rz_new = rr_new;
     }
 
-    const double beta = rr_new / rr;
+    const double beta = rz_new / rz;
+    if (minv) {
 #pragma omp parallel for schedule(static)
-    for (int64_t i = 0; i < N; i++) p[i] = r[i] + beta * p[i];
+      for (int64_t i = 0; i < N; i++) p[i] = minv[i] * r[i] + beta * p[i];
+    } else {
+#pragma omp parallel for schedule(static)
+      for (int64_t i = 0; i < N; i++) p[i] = r[i] + beta * p[i];
+    }
 
     rr = rr_new;
+    rz = rz_new;
     if (rr_trace) rr_trace[itr] = rr;
   }
 
