@@ -242,7 +242,11 @@ def make_spmv(mat, dtype=jnp.float32, mode: str = None) -> SpmvImpl:
         cfg = _DiaConfig(mat.fmt, mat.layout, mat.N, mat.dia_offsets)
         row_axis = 1
     else:
-        cfg = _EllConfig(mat.fmt, mat.layout, mat.N)
+        # The reference masks the ECC byte out of the column only in ECC
+        # modes (`col &= 0x00FFFFFF`, CSR/CPUContext.cpp:237); none/
+        # constraints use the raw column.
+        cfg = _EllConfig(mat.fmt, mat.layout, mat.N,
+                         ecc_mode=mode in codec.ECC_MODES)
         row_axis = 0
 
     # ---- full: single-call check+compute (semantic oracle) -----------
@@ -401,7 +405,7 @@ class _DiaConfig:
 # --------------------------------------------------------------------------
 
 class _EllConfig:
-    def __init__(self, fmt, layout, N):
+    def __init__(self, fmt, layout, N, ecc_mode=True):
         self.fmt = fmt
         self.layout = layout
         self.N = N
@@ -410,7 +414,7 @@ class _EllConfig:
         self.col_w = names.index("col")
         self.vlo_w = names.index("value_lo")
         self.vhi_w = names.index("value_hi")
-        self.ecc_gather_mask = self.gather_w == self.col_w
+        self.ecc_gather_mask = ecc_mode and self.gather_w == self.col_w
 
     def _valid(self, md):
         R, K = md.words[0].shape
