@@ -83,7 +83,7 @@ def stats_to_messages(mat: ProtectedMatrix, errcode, err_slot, cor_slot, cor_bit
             msgs.append(f"[ECC] corrected bit {cor_bit} at index {idx}")
 
     if errcode != 0:
-        template = ERRCODES[errcode]
+        template = ERRCODES[mat.fmt][errcode]
         if err_slot >= 0:
             err_index = int(inv[err_slot])
         if errcode == ERR_DOUBLE:

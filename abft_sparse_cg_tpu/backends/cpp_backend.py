@@ -70,7 +70,6 @@ def load_library():
         _build()
     lib = ct.CDLL(_SO_PATH)
     u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
-    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
     f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
 
     lib.abft_cg_solve.restype = ct.c_int
@@ -94,8 +93,11 @@ def load_library():
 
 
 def _plane_args(mat: ProtectedMatrix):
-    """Planes in C-ABI order + row_ptr, with copies (C may write back)."""
-    planes = {k: np.ascontiguousarray(v) for k, v in mat.planes.items()}
+    """Planes in C-ABI order + row_ptr, as real copies — the native
+    kernels write corrections back (reference scrub semantics), and that
+    must not mutate the caller's ProtectedMatrix behind its derived
+    exec-layout/checksum state."""
+    planes = {k: v.copy() for k, v in mat.planes.items()}
     if mat.fmt == "csr":
         w = [planes["value_lo"], planes["value_hi"], planes["col"]]
         w3 = None
@@ -125,7 +127,7 @@ def _msgs(mat, res):
     from ..ops.spmv import ERRCODES, ERR_DOUBLE
 
     if res.errcode != 0:
-        t = ERRCODES[res.errcode]
+        t = ERRCODES[mat.fmt][res.errcode]
         msgs.append(t if res.errcode == ERR_DOUBLE else t.format(index=res.err_index))
     return msgs
 

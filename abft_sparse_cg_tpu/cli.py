@@ -249,15 +249,13 @@ def main(argv=None, fmt="csr"):
             mat, params["bitflip_kind"], params["num_bit_flips"], inj_rng
         )
 
-    if params["profile"]:
-        import contextlib
+    import contextlib
 
+    if params["profile"]:
         import jax
 
         profile_cm = jax.profiler.trace(params["profile"])
     else:
-        import contextlib
-
         profile_cm = contextlib.nullcontext()
 
     with profile_cm:
@@ -270,8 +268,13 @@ def main(argv=None, fmt="csr"):
     # Per-iteration residual lines (reference cg.cpp:116-117), printed
     # from the carried trace (host callbacks are unsupported on axon TPU).
     if not params["quiet"] and res.rr_trace is not None:
-        for i in range(res.iterations):
+        # The device-side trace is capped (solver._MAX_TRACE); iterations
+        # beyond it ran but were not traced.
+        shown = min(res.iterations, len(res.rr_trace))
+        for i in range(shown):
             print(f"iteration {i:5d} :  rr = {res.rr_trace[i]:12.4f}")
+        if shown < res.iterations:
+            print(f"... ({res.iterations - shown} further iterations untraced)")
 
     for msg in res.messages:
         print(msg)

@@ -39,7 +39,6 @@ import numpy as np
 
 from .layout import (
     CodewordLayout,
-    ECC_COL_MASK,
     NUM_PARITY_BITS,
     OVERALL_PARITY_BIT,
     SED_PARITY_BIT,

@@ -50,7 +50,6 @@ def _parse_banner_and_size(f) -> MMHeader:
 
     # Skip % comment lines, then read the size line.
     while True:
-        pos = f.tell()
         line = f.readline()
         if isinstance(line, bytes):
             line = line.decode()

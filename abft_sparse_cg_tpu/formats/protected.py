@@ -111,19 +111,26 @@ class ProtectedMatrix:
 
     def diagonal(self) -> np.ndarray:
         """(N,) main-diagonal values from the canonical planes (for the
-        Jacobi preconditioner — a capability beyond the reference)."""
+        Jacobi preconditioner — a capability beyond the reference).
+
+        ECC correction is applied first so a corrupted-but-correctable
+        diagonal yields the same preconditioner the (corrected) matrix
+        multiplication actually uses."""
         from ..ecc import ECC_COL_MASK
         from ..ecc.values import planes_to_f64_np
 
-        cols = self.planes["col"]
+        words, _ = codec.check_and_correct(self.mode, self.words_list(),
+                                           self.layout)
+        planes = dict(zip(self.layout.word_names, words))
+        cols = planes["col"]
         if self.mode in codec.ECC_MODES:
             cols = cols & ECC_COL_MASK
         cols = cols.astype(np.int64)
         if self.fmt == "csr":
             rows = np.repeat(np.arange(self.N), np.diff(self.row_ptr))
         else:
-            rows = self.planes["row"].astype(np.int64)
-        vals = planes_to_f64_np(self.planes["value_lo"], self.planes["value_hi"])
+            rows = planes["row"].astype(np.int64)
+        vals = planes_to_f64_np(planes["value_lo"], planes["value_hi"])
         d = np.zeros(self.N)
         sel = rows == cols
         d[rows[sel]] = vals[sel]

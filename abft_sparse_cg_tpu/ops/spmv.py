@@ -73,14 +73,29 @@ ERR_COL_ORDER = 4    # constraints: col order violated
 ERR_ROW_SIZE = 5     # constraints (coo): row out of range
 ERR_ROW_ORDER = 6    # constraints (coo): row order violated
 
-ERRCODES = {
+# Constraint-violation strings differ between the reference's two
+# executables (CSR/CPUContext.cpp:175-198 vs COO/CPUContext.cpp:158-185);
+# ERRCODES is keyed by format to reproduce each verbatim.
+_COMMON = {
     ERR_NONE: None,
     ERR_SED: "[ECC] error detected at index {index}",
     ERR_DOUBLE: "[ECC] double-bit error detected",
-    ERR_COL_SIZE: "column size constraint violated at index {index}",
-    ERR_COL_ORDER: "column order constraint violated at index {index}",
-    ERR_ROW_SIZE: "row size constraint violated for index {index}",
-    ERR_ROW_ORDER: "row index order violated at index {index}",
+}
+ERRCODES = {
+    "csr": {
+        **_COMMON,
+        ERR_COL_SIZE: "column size constraint violated at index {index}",
+        ERR_COL_ORDER: "column order constraint violated at index {index}",
+        ERR_ROW_SIZE: "row size constraint violated for row {index}",
+        ERR_ROW_ORDER: "row order constraint violated for row{index}",
+    },
+    "coo": {
+        **_COMMON,
+        ERR_COL_SIZE: "column size constraint violated for index {index}",
+        ERR_COL_ORDER: "column index order violated at index {index}",
+        ERR_ROW_SIZE: "row size constraint violated for index {index}",
+        ERR_ROW_ORDER: "row index order violated at index {index}",
+    },
 }
 
 

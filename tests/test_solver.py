@@ -160,3 +160,22 @@ def test_f32_compute_converges():
     # Converged to rr <= 1e-3 means ||r|| <= sqrt(1e-3); allow 2x slack for
     # the f32 recursive-residual vs true-residual gap.
     assert rel < 2 * np.sqrt(1e-3) / np.linalg.norm(b)
+
+
+def test_constraints_messages_are_format_specific():
+    """The reference's two executables print different violation strings
+    (CSR/CPUContext.cpp:190 vs COO/CPUContext.cpp:163)."""
+    a = tri_assembled(n=32, blocks=1)
+    b = RNG.random(a.N)
+    out = {}
+    for fmt in ("csr", "coo"):
+        m = build_protected(fmt, a, "constraints")
+        planes = {k: v.copy() for k, v in m.planes.items()}
+        planes["col"][5] |= np.uint32(1 << 23)  # col -> out of range
+        m2 = m.with_planes(planes)
+        res = create("jnp", "constraints").solve(m2, b, 100, 1e-8,
+                                                 verbose=False, dtype="f64")
+        assert res.failed
+        out[fmt] = res.messages[-1]
+    assert "column size constraint violated at index" in out["csr"]
+    assert "column size constraint violated for index" in out["coo"]
