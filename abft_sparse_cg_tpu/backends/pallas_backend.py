@@ -35,7 +35,8 @@ class PallasBackend(JnpBackend):
         key = ("pspmv", mat.fmt, self.mode, mat.exec_kind, mat.dia_offsets,
                mat.R, mat.K, mat.N, str(dtype))
         if key not in _SOLVER_CACHE:
-            _SOLVER_CACHE[key] = jax.jit(make_pallas_spmv(mat, dtype, self.mode))
+            impl = make_pallas_spmv(mat, dtype, self.mode)
+            _SOLVER_CACHE[key] = jax.jit(impl.full)
         return _SOLVER_CACHE[key]
 
 

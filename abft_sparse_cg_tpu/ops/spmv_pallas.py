@@ -39,14 +39,26 @@ def supports(mat, dtype) -> bool:
     return mat.exec_kind == "dia" and jnp.dtype(dtype) == jnp.float32
 
 
-def make_pallas_spmv(mat, dtype=jnp.float32, mode: str = None):
-    """Fused fast-path kernel + jnp slow path, same contract as make_spmv."""
+def make_pallas_spmv(mat, dtype=jnp.float32, mode: str = None,
+                     interpret: bool = None):
+    """Fused fast-path kernel + jnp slow path, same contract as make_spmv.
+
+    ``interpret``: None = auto (compiled kernel on TPU; plain jnp impl on
+    CPU, where the Pallas interpreter would be orders of magnitude too
+    slow for real matrices); True = force the interpreter (kernel unit
+    tests).
+    """
+    import jax as _jax
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     from .spmv import make_spmv as make_jnp_spmv
 
     mode = mat.mode if mode is None else mode
+    on_cpu = _jax.devices()[0].platform == "cpu"
+    if interpret is None and on_cpu:
+        return make_jnp_spmv(mat, dtype, mode)
+    interpret = bool(interpret) if interpret is not None else False
     if not supports(mat, dtype):
         return make_jnp_spmv(mat, dtype, mode)
 
@@ -164,7 +176,6 @@ def make_pallas_spmv(mat, dtype=jnp.float32, mode: str = None):
                 pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             ],
         )
-        interpret = jax.devices()[0].platform == "cpu"
         w, trig = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,

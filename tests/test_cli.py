@@ -60,8 +60,6 @@ def list_impls(fmt):
 def test_class1_clean_run_every_impl(fmt):
     """run_tests:10-22 — every registered impl exits 0 with no flips."""
     for target, mode in list_impls(fmt):
-        if target == "pallas":
-            continue  # exercised in test_pallas.py (needs TPU/interpret)
         p = run_cg(fmt, *BASE, "-t", target, "-m", mode)
         assert p.returncode == 0, f"{target}-{mode}: {p.stdout}\n{p.stderr}"
         assert "time taken =" in p.stdout
@@ -73,7 +71,7 @@ def test_class1_clean_run_every_impl(fmt):
 def test_class2_sed_detects(fmt):
     """run_tests:25-42 — sed modes with -x print 'error detected at index'."""
     for target, mode in list_impls(fmt):
-        if "sed" not in mode or target == "pallas":
+        if "sed" not in mode:
             continue
         p = run_cg(fmt, *BASE, "-t", target, "-m", mode, "-x")
         assert "error detected at index" in p.stdout, p.stdout
@@ -84,7 +82,7 @@ def test_class2_sed_detects(fmt):
 def test_class3_sec_corrects(fmt):
     """run_tests:45-62 — sec modes with -x still exit 0."""
     for target, mode in list_impls(fmt):
-        if "sec" not in mode or target == "pallas":
+        if "sec" not in mode:
             continue
         p = run_cg(fmt, *BASE, "-t", target, "-m", mode, "-x")
         assert p.returncode == 0, f"{target}-{mode}: {p.stdout}\n{p.stderr}"
@@ -100,7 +98,7 @@ def test_class4_secded_double_detect(fmt):
     the reference retries across runs.
     """
     for target, mode in list_impls(fmt):
-        if "secded" not in mode or target == "pallas":
+        if "secded" not in mode:
             continue
         seen = False
         for seed in range(1, 15):

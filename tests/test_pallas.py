@@ -39,7 +39,7 @@ def test_fast_kernel_matches_jnp(fmt, mode):
     m = protected(mode, fmt)
     md = device_matrix(m)
     x = jnp.asarray(RNG.random(m.R), jnp.float32)
-    impl_p = make_pallas_spmv(m, jnp.float32, mode)
+    impl_p = make_pallas_spmv(m, jnp.float32, mode, interpret=True)
     impl_j = make_spmv(m, jnp.float32, mode)
     if mode == "none":
         wp, _ = jax.jit(impl_p.full)(md, x)
@@ -55,7 +55,7 @@ def test_fast_kernel_matches_jnp(fmt, mode):
 def test_fast_kernel_triggers_on_fault(mode):
     m = protected(mode)
     x = jnp.asarray(RNG.random(m.R), jnp.float32)
-    impl = make_pallas_spmv(m, jnp.float32, mode)
+    impl = make_pallas_spmv(m, jnp.float32, mode, interpret=True)
     for seed in range(3):
         m2 = inject_bitflips(m, "ANY", 1, np.random.default_rng(seed),
                              echo=lambda s: None)
@@ -65,7 +65,7 @@ def test_fast_kernel_triggers_on_fault(mode):
 
 def test_secded_double_fault_triggers():
     m = protected("secded")
-    impl = make_pallas_spmv(m, jnp.float32, "secded")
+    impl = make_pallas_spmv(m, jnp.float32, "secded", interpret=True)
     x = jnp.asarray(RNG.random(m.R), jnp.float32)
     for seed in range(10):
         m2 = inject_bitflips(m, "ANY", 2, np.random.default_rng(seed),
@@ -108,7 +108,7 @@ def test_ell_falls_back_to_jnp():
     rows, cols, vals, n = spd_tridiagonal(64)
     a = assemble(cols, rows, vals, n, 1)
     m_ell = build_protected("csr", a, "secded", force_exec="ell")
-    impl = make_pallas_spmv(m_ell, jnp.float32, "secded")
+    impl = make_pallas_spmv(m_ell, jnp.float32, "secded", interpret=True)
     md = device_matrix(m_ell)
     x = jnp.asarray(RNG.random(m_ell.R), jnp.float32)
     w, s = jax.jit(impl.full)(md, x)
