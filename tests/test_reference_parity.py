@@ -1,0 +1,105 @@
+"""Direct parity against the REAL reference binaries.
+
+Builds the reference's cg-csr/cg-coo from source (read-only mount at
+/root/reference), runs them and this framework on the *identical*
+problem (same matrix file, bit-identical b via the glibc rand()
+emulation), and compares iteration counts, the per-iteration residual
+trajectory, and the final error — the strongest form of the
+BASELINE.json "residual trajectory matches the reference" target.
+
+Skipped automatically when the reference tree or a C++ toolchain is
+unavailable.
+"""
+
+import os
+import re
+import shutil
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF = os.environ.get("ABFT_REFERENCE_DIR", "/root/reference")
+
+pytestmark = pytest.mark.skipif(
+    not (os.path.isdir(REF) and shutil.which("g++") and shutil.which("gcc")),
+    reason="reference source or toolchain unavailable",
+)
+
+from abft_sparse_cg_tpu.backends import create  # noqa: E402
+from abft_sparse_cg_tpu.formats import build_protected, load_matrix  # noqa: E402
+from abft_sparse_cg_tpu.utils.glibc_rand import glibc_rand, glibc_rand_uniform  # noqa: E402
+from abft_sparse_cg_tpu.utils.matgen import spd_tridiagonal, write_mm_triangle  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def ref_exes(tmp_path_factory):
+    d = tmp_path_factory.mktemp("refbuild")
+    mmio_o = str(d / "mmio.o")
+    subprocess.run(
+        ["gcc", "-O2", "-c", f"{REF}/mmio.c", "-o", mmio_o, f"-I{REF}"],
+        check=True, capture_output=True)
+    exes = {}
+    for fmt, ctx in (("csr", "CSR"), ("coo", "COO")):
+        exe = str(d / f"cg-{fmt}-ref")
+        subprocess.run(
+            ["g++", "-O2", "-fopenmp", f"-I{REF}", f"{REF}/cg.cpp",
+             f"{REF}/CGContext.cpp", f"{REF}/{ctx}/CPUContext.cpp",
+             mmio_o, "-o", exe],
+            check=True, capture_output=True)
+        exes[fmt] = exe
+    mtx = str(d / "tri.mtx")
+    rows, cols, vals, n = spd_tridiagonal(128)
+    write_mm_triangle(mtx, rows, cols, vals, n)
+    return exes, mtx
+
+
+def run_ref(exe, mtx, mode, blocks=4):
+    p = subprocess.run(
+        [exe, "-f", mtx, "-b", str(blocks), "-t", "cpu", "-m", mode],
+        capture_output=True, text=True, timeout=120)
+    assert p.returncode == 0, p.stdout + p.stderr
+    rr = [float(m) for m in re.findall(r"rr =\s+([\d.]+)", p.stdout)]
+    iters = int(re.search(r"ran for (\d+) iterations", p.stdout).group(1))
+    total_err = float(re.search(r"total error = ([\d.]+)", p.stdout).group(1))
+    return rr, iters, total_err
+
+
+def test_glibc_rand_matches_compiled_c(tmp_path):
+    src = tmp_path / "p.c"
+    src.write_text(
+        '#include <stdio.h>\n#include <stdlib.h>\n'
+        'int main(){for(int i=0;i<64;i++)printf("%d\\n",rand());return 0;}\n')
+    exe = str(tmp_path / "p")
+    subprocess.run(["gcc", str(src), "-o", exe], check=True)
+    out = subprocess.run([exe], capture_output=True, text=True).stdout.split()
+    assert glibc_rand(64).tolist() == [int(x) for x in out]
+
+
+@pytest.mark.parametrize("fmt", ["csr", "coo"])
+@pytest.mark.parametrize("mode", ["none", "sed", "sec7", "sec8", "secded",
+                                  "constraints"])
+@pytest.mark.parametrize("target", ["jnp", "cpu"])
+def test_residual_trajectory_matches_reference(ref_exes, fmt, mode, target):
+    exes, mtx = ref_exes
+    rr_ref, iters_ref, err_ref = run_ref(exes[fmt], mtx, mode)
+
+    a = load_matrix(mtx, 4)
+    m = build_protected(fmt, a, mode)
+    b = glibc_rand_uniform(m.N)  # bit-identical to the reference's b
+    res = create(target, mode).solve(m, b, 1000, 0.001, verbose=False,
+                                     dtype="f64")
+    assert not res.failed
+    assert res.iterations == iters_ref
+    # The reference prints rr to 4 decimals; different (but valid) f64
+    # summation orders shift the low digits.
+    ours = res.rr_trace[: res.iterations]
+    np.testing.assert_allclose(ours, rr_ref, rtol=1e-6, atol=6e-5)
+
+    # Final ||Ax-b|| agrees too (reference prints 6 decimals).
+    w, errcode, _ = create(target, mode).spmv_once(m, res.x, dtype="f64")
+    assert errcode == 0
+    total_err = float(np.sqrt(np.sum((b - w) ** 2)))
+    assert abs(total_err - err_ref) < 5e-5 + 1e-6 * err_ref
