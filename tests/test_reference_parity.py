@@ -103,3 +103,81 @@ def test_residual_trajectory_matches_reference(ref_exes, fmt, mode, target):
     assert errcode == 0
     total_err = float(np.sqrt(np.sum((b - w) ** 2)))
     assert abs(total_err - err_ref) < 5e-5 + 1e-6 * err_ref
+
+
+def _flip_same(m, index, bits):
+    """Apply the reference's exact injected flips to our matrix."""
+    from abft_sparse_cg_tpu.ecc import codec
+
+    words = codec.flip_bits(m.words_list(), index, bits, m.layout)
+    return m.with_planes(dict(zip(m.layout.word_names, words)))
+
+
+def run_ref_inject(exe, mtx, mode, nflips=1, blocks=4):
+    p = subprocess.run(
+        [exe, "-f", mtx, "-b", str(blocks), "-t", "cpu", "-m", mode,
+         "-x", str(nflips)],
+        capture_output=True, text=True, timeout=120)
+    flips = [(int(b), int(i)) for b, i in
+             re.findall(r"\*\*\* flipping bit (\d+) at index (\d+) \*\*\*",
+                        p.stdout)]
+    return p, flips
+
+
+@pytest.mark.parametrize("fmt", ["csr", "coo"])
+@pytest.mark.parametrize("mode", ["sec7", "sec8", "secded"])
+def test_fault_replay_correction_matches_reference(ref_exes, fmt, mode):
+    """Replay the reference's own (time-seeded) injected flip into our
+    matrix and demand the identical correction event and outcome."""
+    exes, mtx = ref_exes
+    p, flips = run_ref_inject(exes[fmt], mtx, mode)
+    assert flips, p.stdout
+    index = flips[0][1]
+    bits = [b for b, _ in flips]
+
+    a = load_matrix(mtx, 4)
+    m = _flip_same(build_protected(fmt, a, mode), index, bits)
+    b = glibc_rand_uniform(m.N)
+    res = create("jnp", mode).solve(m, b, 1000, 0.001, verbose=False,
+                                    dtype="f64")
+
+    ref_corr = re.findall(
+        r"\[ECC\] corrected (?:bit (\d+)|overall parity bit) at index (\d+)",
+        p.stdout)
+    if p.returncode == 0:
+        # Reference corrected and converged; we must too, with the same
+        # located bit at the same element.
+        assert not res.failed
+        assert res.corrected_count >= 1
+        assert ref_corr, p.stdout
+        got = res.messages[0]
+        want_bit, want_idx = ref_corr[0]
+        assert f"at index {want_idx}" in got
+        if want_bit:
+            assert f"corrected bit {want_bit} " in got
+        else:
+            assert "overall parity bit" in got
+        # Corrected solve == the reference's clean trajectory.
+        rr_ref, iters_ref, _ = run_ref(exes[fmt], mtx, mode)
+        assert res.iterations == iters_ref
+        np.testing.assert_allclose(res.rr_trace[: res.iterations], rr_ref,
+                                   rtol=1e-6, atol=6e-5)
+    else:
+        # Rare alias (e.g. a flip the mode cannot handle): both must fail.
+        assert res.failed or res.corrected_count >= 1
+
+
+@pytest.mark.parametrize("fmt", ["csr", "coo"])
+def test_fault_replay_sed_detection_matches_reference(ref_exes, fmt):
+    exes, mtx = ref_exes
+    p, flips = run_ref_inject(exes[fmt], mtx, "sed")
+    assert flips and p.returncode == 1
+    idx_ref = int(re.search(r"error detected at index (\d+)", p.stdout).group(1))
+
+    a = load_matrix(mtx, 4)
+    m = _flip_same(build_protected(fmt, a, "sed"), flips[0][1],
+                   [b for b, _ in flips])
+    res = create("jnp", "sed").solve(m, glibc_rand_uniform(m.N), 1000, 0.001,
+                                     verbose=False, dtype="f64")
+    assert res.failed and res.errcode == 1
+    assert res.err_index == idx_ref
