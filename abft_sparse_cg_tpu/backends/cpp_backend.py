@@ -77,7 +77,8 @@ def load_library():
         ct.c_char_p, ct.c_char_p,
         u32p, u32p, u32p, ct.c_void_p,
         ct.c_void_p, ct.c_int64, ct.c_int64,
-        f64p, ct.c_void_p, f64p, ct.c_void_p, ct.c_int, ct.c_double,
+        f64p, ct.c_void_p, ct.c_void_p, f64p, ct.c_void_p,
+        ct.c_int, ct.c_double,
         ct.POINTER(_CgResult),
     ]
     lib.abft_spmv.restype = ct.c_int
@@ -161,6 +162,8 @@ class CppBackend(Backend):
             row_ptr.ctypes.data_as(ct.c_void_p) if row_ptr is not None else None,
             mat.N, mat.nnz, b,
             minv.ctypes.data_as(ct.c_void_p) if minv is not None else None,
+            np.ascontiguousarray(mat.flat_cksum).ctypes.data_as(ct.c_void_p)
+            if mat.flat_cksum is not None else None,
             x,
             trace.ctypes.data_as(ct.c_void_p),
             max_itrs, conv_threshold, ct.byref(res),

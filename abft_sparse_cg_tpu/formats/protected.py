@@ -80,6 +80,9 @@ class ProtectedMatrix:
     # time — fault injection must NOT refresh them (they play the role of
     # stored ECC metadata for the lazy-verification fast path).
     ell_cksum: np.ndarray = None
+    # Same idea over the canonical FLAT planes, 8-element blocks —
+    # consumed by the native backend's fast-scan path: (W, ceil(nnz/8)).
+    flat_cksum: np.ndarray = None
     dia_offsets: tuple = ()         # DIA only: diagonal offsets, sorted
     block_size: int = 0
     num_blocks: int = 1
@@ -279,6 +282,13 @@ def build_protected(fmt: str, assembled: AssembledMatrix, mode: str,
 
     ell_cksum = compute_exec_checksums(ell, layout.word_names,
                                        0 if exec_kind == "ell" else 1)
+    nb = -(-max(nnz, 1) // CKSUM_BLOCK)
+    flat_cksum = np.zeros((layout.num_words, nb), dtype=np.uint32)
+    for wi, name in enumerate(layout.word_names):
+        p = np.zeros(nb * CKSUM_BLOCK, dtype=np.uint32)
+        p[:nnz] = planes[name]
+        flat_cksum[wi] = np.bitwise_xor.reduce(
+            p.reshape(nb, CKSUM_BLOCK), axis=1)
 
     return ProtectedMatrix(
         fmt=fmt,
@@ -294,6 +304,7 @@ def build_protected(fmt: str, assembled: AssembledMatrix, mode: str,
         ell_slot=ell_slot,
         ell_gather_word=gather_word,
         ell_cksum=ell_cksum,
+        flat_cksum=flat_cksum,
         dia_offsets=dia_offsets,
         block_size=assembled.block_size,
         num_blocks=assembled.num_blocks,
