@@ -282,13 +282,15 @@ def build_protected(fmt: str, assembled: AssembledMatrix, mode: str,
 
     ell_cksum = compute_exec_checksums(ell, layout.word_names,
                                        0 if exec_kind == "ell" else 1)
-    nb = -(-max(nnz, 1) // CKSUM_BLOCK)
-    flat_cksum = np.zeros((layout.num_words, nb), dtype=np.uint32)
-    for wi, name in enumerate(layout.word_names):
-        p = np.zeros(nb * CKSUM_BLOCK, dtype=np.uint32)
-        p[:nnz] = planes[name]
-        flat_cksum[wi] = np.bitwise_xor.reduce(
-            p.reshape(nb, CKSUM_BLOCK), axis=1)
+    flat_cksum = None
+    if mode in codec.ECC_MODES:  # only the native lazy paths consume it
+        nb = -(-max(nnz, 1) // CKSUM_BLOCK)
+        flat_cksum = np.zeros((layout.num_words, nb), dtype=np.uint32)
+        for wi, name in enumerate(layout.word_names):
+            p = np.zeros(nb * CKSUM_BLOCK, dtype=np.uint32)
+            p[:nnz] = planes[name]
+            flat_cksum[wi] = np.bitwise_xor.reduce(
+                p.reshape(nb, CKSUM_BLOCK), axis=1)
 
     return ProtectedMatrix(
         fmt=fmt,

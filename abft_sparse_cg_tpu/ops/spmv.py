@@ -34,9 +34,13 @@ whole-solve granularity, and extended so even secded keeps it:
     (the reference's write-back semantics, functionally) and refreshed
     checksums, so the resumed fast loop is clean again.
 
-Soundness: every <=2-bit fault fires (a) or (b), so the fast path never
-silently uses corrupted data where the reference would have detected or
-corrected it; >2-bit faults are undefined in the reference as well (and
+Soundness: every <=2-bit fault *within one element* (the reference's
+injection model) fires (a) or (b), as does any odd-weight fault and any
+even-weight fault whose flips do not pairwise cancel per bit position
+within an 8-row checksum block; the one blind spot is sec7 (no stored
+parity bit) with the same bit flipped in two elements of one block,
+which the eagerly-checking reference would correct.  >2-bit faults per
+element are undefined in the reference as well (and
 a miscorrection re-checksums to a self-consistent state, exactly like
 the reference's in-place write-back of an aliased "correction").  The
 fault-free iteration costs within a few VPU ops/element of mode "none".

@@ -219,6 +219,14 @@ inline bool check_element(const Layout& L, int mode, uint32_t* w,
 // per-element locate/correct pass (which also scrubs in place) and
 // refresh the checksums.  This is why the reference's secded costs ~4.3x
 // on the host while ours costs ~sed (BASELINE.md cost table).
+//
+// Detection scope (same as the jnp/pallas fast paths): sed/sec8/secded
+// see every odd-weight per-element fault via parity, and secded/sec7
+// see even-weight faults via the block checksums.  sec7 (no stored
+// parity bit) relies on checksums alone, so the pathological pair "same
+// bit flipped in two elements of one 8-element block" is not detected —
+// the eagerly-checking reference corrects both.  All single-element
+// faults (the reference's injection model) are covered.
 // ---------------------------------------------------------------------
 
 static void refresh_cksums(const uint32_t* const* planes, int nw, int64_t nnz,
@@ -240,14 +248,14 @@ static void refresh_cksums(const uint32_t* const* planes, int nw, int64_t nnz,
 // uint32 planes per element costs ~1.7x; same trick as the TPU
 // MatrixDevice.values plane).
 static void spmv_plain_csr(const double* vals, const uint32_t* col,
-                           const int64_t* row_ptr, int64_t N, bool mask,
+                           const int64_t* row_ptr, int64_t N,
                            const double* x, double* y) {
 #pragma omp parallel for schedule(static)
   for (int64_t r = 0; r < N; r++) {
     double acc = 0.0;
     const int64_t end = row_ptr[r + 1];
     for (int64_t i = row_ptr[r]; i < end; i++) {
-      const uint32_t c = mask ? (col[i] & kColMask) : col[i];
+      const uint32_t c = col[i];
       acc += vals[i] * x[c < (uint32_t)N ? c : 0];
     }
     y[r] = acc;
@@ -256,10 +264,10 @@ static void spmv_plain_csr(const double* vals, const uint32_t* col,
 
 static void spmv_plain_coo(const double* vals, const uint32_t* col,
                            const uint32_t* row, int64_t N, int64_t nnz,
-                           bool mask, const double* x, double* y) {
+                           const double* x, double* y) {
   std::memset(y, 0, N * sizeof(double));
   for (int64_t i = 0; i < nnz; i++) {
-    const uint32_t c = mask ? (col[i] & kColMask) : col[i];
+    const uint32_t c = col[i];
     const uint32_t r = row[i];
     if (c < (uint32_t)N && r < (uint32_t)N)
       y[c] += vals[i] * x[r];
@@ -436,11 +444,12 @@ static int spmv_csr(int mode, uint32_t* vlo, uint32_t* vhi, uint32_t* col,
     }
 #pragma omp critical
     {
-      if (local.errcode && !st.errcode) {
+      // Deterministic merge: the violation at the smallest canonical
+      // index wins, moving (errcode, err_index) as a pair.
+      if (local.errcode &&
+          (!st.errcode || local.err_index < st.err_index)) {
         st.errcode = local.errcode;
         st.err_index = local.err_index;
-      } else if (local.errcode && local.err_index < st.err_index) {
-        st.err_index = local.err_index;  // deterministic: first index wins
       }
       st.corrected_count += local.corrected_count;
       if (local.first_cor_index >= 0 &&
@@ -566,9 +575,9 @@ int abft_cg_solve(const char* fmt, const char* mode_s,
       ran_fast = true;
     } else if (mode == M_NONE) {
       if (csr)
-        spmv_plain_csr(vals, w2, row_ptr, N, false, p, w);
+        spmv_plain_csr(vals, w2, row_ptr, N, p, w);
       else
-        spmv_plain_coo(vals, w0, w1, N, nnz, false, p, w);
+        spmv_plain_coo(vals, w0, w1, N, nnz, p, w);
       ran_fast = true;
     } else if (lazy) {
       // Fused fast pass: SpMV + parity signal in one read of the planes;

@@ -109,3 +109,26 @@ def test_scrub_reports_sed_and_double():
     _, rep = scrub(m2)
     assert rep.uncorrectable == 1
     assert any("error detected at index" in s for s in rep.messages)
+
+
+def test_segmented_solve_with_fault_matches_straight(tmp_path):
+    """Lazy classify/scrub works across segment boundaries too."""
+    m = protected("secded")
+    m2 = inject_bitflips(m, "ANY", 1, np.random.default_rng(9),
+                         echo=lambda s: None)
+    b = bvec(m2)
+    md = _device_arrays(m2, jnp.float64)
+    impl = make_spmv(m2, jnp.float64)
+
+    seg = CheckpointedSolve(impl, 1e-12, every=2,
+                            path=str(tmp_path / "ck.npz")).run(
+        md, b, max_itrs=500)
+    ref = create("jnp", "secded").solve(
+        m2, np.asarray(b)[: m2.N], 500, 1e-12, verbose=False, dtype="f64")
+    assert not ref.failed
+    assert int(seg.stats.errcode) == 0
+    assert int(seg.iterations) == ref.iterations
+    np.testing.assert_allclose(np.asarray(seg.x)[: m2.N], ref.x, rtol=1e-12)
+    # Corrections were applied (at least once; the scrub is re-derived per
+    # segment because each segment restarts from the unscrubbed planes).
+    assert int(seg.stats.corrected_count) >= 1
