@@ -9,7 +9,7 @@ import numpy as np
 
 from ..ecc import OVERALL_PARITY_BIT
 from ..formats.protected import ProtectedMatrix
-from ..ops.spmv import ERRCODES, ERR_DOUBLE
+from ..ops.spmv import ERRCODES
 
 __all__ = ["HostResult", "Backend", "default_dtype", "stats_to_messages"]
 
@@ -30,6 +30,11 @@ class HostResult:
     solve_seconds: float = 0.0
     compile_seconds: float = 0.0
     rr_trace: Optional[np.ndarray] = None
+    scrubbed: Optional[ProtectedMatrix] = None
+    # ^ repaired matrix when the solve corrected a fault (the reference's
+    #   in-place write-back, observable post-solve).  Populated when
+    #   corrections occurred; on non-CPU platforms only if the backend was
+    #   asked (the plane download through a remote-device tunnel is slow).
 
     @property
     def failed(self) -> bool:
@@ -86,10 +91,10 @@ def stats_to_messages(mat: ProtectedMatrix, errcode, err_slot, cor_slot, cor_bit
         template = ERRCODES[mat.fmt][errcode]
         if err_slot >= 0:
             err_index = int(inv[err_slot])
-        if errcode == ERR_DOUBLE:
-            msgs.append(template)
-        else:
+        if "{index}" in template:
             msgs.append(template.format(index=err_index))
+        else:
+            msgs.append(template)  # double-bit / breakdown: no index
 
     return msgs, err_index
 

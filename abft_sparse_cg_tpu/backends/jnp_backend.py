@@ -61,7 +61,8 @@ class JnpBackend(Backend):
     # -- Backend API ----------------------------------------------------
 
     def solve(self, mat, b, max_itrs, conv_threshold, verbose=True,
-              dtype="auto", precond="none") -> HostResult:
+              dtype="auto", precond="none",
+              want_scrubbed="auto") -> HostResult:
         import jax
         import jax.numpy as jnp
 
@@ -110,6 +111,18 @@ class JnpBackend(Backend):
             mat, errcode, int(st.err_slot), int(st.first_cor_slot),
             int(st.first_cor_bit),
         )
+        # Repaired planes, observable post-solve (the reference's in-place
+        # write-back).  "auto" skips the download on remote devices where
+        # bulk transfers cost seconds.
+        scrubbed = None
+        if int(st.corrected_count) > 0 and (
+            want_scrubbed is True
+            or (want_scrubbed == "auto"
+                and jax.devices()[0].platform == "cpu")
+        ):
+            from ..scrub import scrubbed_from_device
+
+            scrubbed = scrubbed_from_device(mat, res.md)
         return HostResult(
             x=x_host,
             iterations=int(res.iterations),
@@ -123,6 +136,7 @@ class JnpBackend(Backend):
             solve_seconds=(t2 - t1) / reps,
             compile_seconds=t1 - t0,
             rr_trace=np.asarray(res.rr_trace),
+            scrubbed=scrubbed,
         )
 
     def spmv_once(self, mat, x, dtype="auto"):

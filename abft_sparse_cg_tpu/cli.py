@@ -265,6 +265,13 @@ def main(argv=None, fmt="csr"):
             precond=params["precond"],
         )
 
+    # ABFT event messages print FIRST: injection happens pre-loop, so the
+    # reference's detection/correction lines appear at iteration 0, before
+    # any residual line (its kernels print mid-SpMV; cg.cpp:97 runs before
+    # the rr print at cg.cpp:117).
+    for msg in res.messages:
+        print(msg)
+
     # Per-iteration residual lines (reference cg.cpp:116-117), printed
     # from the carried trace (host callbacks are unsupported on axon TPU).
     if not params["quiet"] and res.rr_trace is not None:
@@ -276,8 +283,6 @@ def main(argv=None, fmt="csr"):
         if shown < res.iterations:
             print(f"... ({res.iterations - shown} further iterations untraced)")
 
-    for msg in res.messages:
-        print(msg)
     if res.failed:
         raise SystemExit(1)
 

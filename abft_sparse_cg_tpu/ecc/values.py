@@ -68,16 +68,18 @@ def planes_to_f32(lo, hi):
     f32_bits = (sign << u(31)) | (exp_field << u(23)) | mant23
 
     inf_bits = (sign << u(31)) | u(0x7F800000)
-    nan_bits = (sign << u(31)) | u(0x7F800000) | jnp.maximum(mant23, u(1))
+    # jnp.maximum on uint32 crashes the remote Mosaic compiler (see
+    # CLAUDE.md); where() keeps this function Pallas-kernel-safe.
+    nan_bits = (sign << u(31)) | u(0x7F800000) | jnp.where(mant23 == u(0),
+                                                           u(1), mant23)
     zero_bits = sign << u(31)
 
     f32_bits = jnp.where(overflow, inf_bits, f32_bits)
     f32_bits = jnp.where(underflow, zero_bits, f32_bits)
     f32_bits = jnp.where(is_zero_or_denorm, zero_bits, f32_bits)
     f32_bits = jnp.where(is_naninf & (mant23 == 0), inf_bits, f32_bits)
-    f32_bits = jnp.where(
-        is_naninf & ((mant23 != 0) | (lo & u(0x1FFFFFFF)) != 0), nan_bits, f32_bits
-    )
+    is_nan = is_naninf & ((mant23 != 0) | ((lo & u(0x1FFFFFFF)) != 0))
+    f32_bits = jnp.where(is_nan, nan_bits, f32_bits)
 
     return jax.lax.bitcast_convert_type(f32_bits.astype(jnp.uint32), jnp.float32)
 

@@ -150,6 +150,26 @@ class ProtectedMatrix:
         ell = _scatter_exec(planes, self.layout, self.ell_slot, shape)
         return replace(self, planes=planes, ell=ell)
 
+    def with_scrubbed_planes(self, planes: Dict[str, np.ndarray]
+                             ) -> "ProtectedMatrix":
+        """Like ``with_planes``, but the new planes are *repaired* data:
+        the stored checksums are refreshed so the matrix is fully
+        self-consistent again (what the reference's in-place write-back
+        leaves behind, CSR/CPUContext.cpp:275-277)."""
+        out = self.with_planes(planes)
+        ell_cksum = compute_exec_checksums(out.ell, out.layout.word_names,
+                                           out.exec_row_axis)
+        flat_cksum = out.flat_cksum
+        if flat_cksum is not None:
+            nb = flat_cksum.shape[1]
+            flat_cksum = np.empty_like(flat_cksum)
+            for wi, name in enumerate(out.layout.word_names):
+                p = np.zeros(nb * CKSUM_BLOCK, dtype=np.uint32)
+                p[: out.nnz] = planes[name]
+                flat_cksum[wi] = np.bitwise_xor.reduce(
+                    p.reshape(nb, CKSUM_BLOCK), axis=1)
+        return replace(out, ell_cksum=ell_cksum, flat_cksum=flat_cksum)
+
 
 def _encode_planes(fmt, assembled: AssembledMatrix, mode: str):
     """Build the canonical flat planes, ECC bits included."""

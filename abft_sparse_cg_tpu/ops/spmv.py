@@ -76,6 +76,11 @@ ERR_COL_SIZE = 3     # constraints: col out of range
 ERR_COL_ORDER = 4    # constraints: col order violated
 ERR_ROW_SIZE = 5     # constraints (coo): row out of range
 ERR_ROW_ORDER = 6    # constraints (coo): row order violated
+ERR_BREAKDOWN = 7    # solver: p.A.p <= 0 or non-finite residual (CG
+#                      breakdown — matrix not SPD, or corrupted beyond
+#                      what the active ABFT mode can see).  The reference
+#                      silently NaNs here (cg.cpp:102 divides by pw
+#                      unguarded); the framework fails loudly instead.
 
 # Constraint-violation strings differ between the reference's two
 # executables (CSR/CPUContext.cpp:175-198 vs COO/CPUContext.cpp:158-185);
@@ -84,6 +89,8 @@ _COMMON = {
     ERR_NONE: None,
     ERR_SED: "[ECC] error detected at index {index}",
     ERR_DOUBLE: "[ECC] double-bit error detected",
+    ERR_BREAKDOWN: "[CG] breakdown detected: p.A.p is not positive "
+                   "(matrix is not SPD, or corrupted beyond detection)",
 }
 ERRCODES = {
     "csr": {

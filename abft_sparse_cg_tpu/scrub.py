@@ -20,7 +20,30 @@ import numpy as np
 from .ecc import OVERALL_PARITY_BIT, codec
 from .formats.protected import ProtectedMatrix
 
-__all__ = ["ScrubReport", "scrub"]
+__all__ = ["ScrubReport", "scrub", "scrubbed_from_device"]
+
+
+def scrubbed_from_device(mat: ProtectedMatrix, md) -> ProtectedMatrix:
+    """Materialize a solve's final device planes as a host matrix.
+
+    ``md`` is the MatrixDevice a solver returned (``CGResult.md``).  When
+    the lazy loop repaired a fault, those planes are the scrubbed data —
+    this is the observable equivalent of the reference's in-place
+    write-back (CSR/CPUContext.cpp:275-277): after a faulty solve, the
+    caller holds a repaired, fully self-consistent matrix.
+    """
+    planes = {}
+    shape0 = mat.ell[mat.layout.word_names[0]].shape
+    for name, w in zip(mat.layout.word_names, md.words):
+        arr = np.asarray(w)
+        if arr.shape != shape0:
+            # Mesh-padded planes (parallel.sharded): strip the row padding
+            # so flat slot indices line up with the canonical slot map.
+            ra = mat.exec_row_axis
+            arr = arr[: shape0[0]] if ra == 0 else arr[:, : shape0[1]]
+        planes[name] = np.ascontiguousarray(arr.reshape(-1)[mat.ell_slot],
+                                            dtype=np.uint32)
+    return mat.with_scrubbed_planes(planes)
 
 
 @dataclass

@@ -38,7 +38,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.blas1 import calc_p, calc_xr, dot
-from ..ops.spmv import SpmvImpl, SpmvStats
+from ..ops.spmv import ERR_BREAKDOWN, SpmvImpl, SpmvStats
 
 __all__ = ["CGResult", "CGState", "make_cg_solver", "make_cg_continue",
            "init_state"]
@@ -52,6 +52,10 @@ class CGResult(NamedTuple):
     rr: jnp.ndarray           # final squared residual norm
     stats: SpmvStats          # accumulated ABFT stats (first events kept)
     rr_trace: jnp.ndarray     # (max_itrs,) rr after each iteration (nan-padded)
+    md: object = None         # final MatrixDevice — scrubbed planes if the
+    #                           lazy loop repaired a fault (the functional
+    #                           analogue of the reference's in-place
+    #                           write-back, CSR/CPUContext.cpp:275-277)
 
 
 class CGState(NamedTuple):
@@ -72,7 +76,13 @@ class CGState(NamedTuple):
 def _iterate(x, r, p, rr, rz, w, minv):
     """One (P)CG update.  ``minv`` is the Jacobi M^-1 diagonal or None;
     with None this is bit-for-bit the reference's iteration
-    (cg.cpp:93-118)."""
+    (cg.cpp:93-118).
+
+    Also returns ``bad``: CG breakdown — p.A.p not positive (matrix not
+    SPD) or a non-finite residual.  The reference divides by pw unguarded
+    (cg.cpp:102) and silently rides the NaN to a fake "convergence"; here
+    the caller turns ``bad`` into ERR_BREAKDOWN and fail-stops.
+    """
     pw = dot(p, w)
     alpha = rz / pw
     x1, r1, rr1 = calc_xr(x, r, p, w, alpha)
@@ -83,7 +93,8 @@ def _iterate(x, r, p, rr, rz, w, minv):
         z = minv * r1
         rz1 = dot(r1, z)
         p1 = calc_p(p, z, rz1 / rz)
-    return x1, r1, p1, rr1, rz1
+    bad = (pw <= 0) | ~jnp.isfinite(rr1)
+    return x1, r1, p1, rr1, rz1, bad
 
 
 def init_state(b, max_itrs: int, trace_rr: bool = True,
@@ -112,12 +123,15 @@ def init_state(b, max_itrs: int, trace_rr: bool = True,
 
 def make_cg_continue(impl: SpmvImpl, conv_threshold: float,
                      trace_rr: bool = True):
-    """Build ``continue_(md, state, upto) -> CGState``.
+    """Build ``continue_(md, state, upto) -> (CGState, MatrixDevice)``.
 
     Advances the solve until ``itr == upto`` (a runtime scalar — one
     compilation serves every segment length), convergence, or a
     fail-stop.  This is the checkpointable core: callers snapshot the
-    returned ``CGState`` between segments and resume by calling again.
+    returned ``CGState`` between segments and resume by calling again
+    **with the returned MatrixDevice** — after a repair it holds the
+    scrubbed planes, so a persistent fault classifies exactly once per
+    solve, not once per segment.
     """
     if impl.classify is None:
         return _make_simple_continue(impl.full, conv_threshold, trace_rr)
@@ -134,10 +148,10 @@ def make_cg_solver(impl: SpmvImpl, max_itrs: int, conv_threshold: float,
     cont = make_cg_continue(impl, conv_threshold, trace_rr)
 
     def solve(md, b, minv=None):
-        s = cont(md, init_state(b, max_itrs, trace_rr, minv),
-                 jnp.int32(max_itrs), minv)
+        s, md_out = cont(md, init_state(b, max_itrs, trace_rr, minv),
+                         jnp.int32(max_itrs), minv)
         return CGResult(x=s.x, iterations=s.itr, rr=s.rr, stats=s.stats,
-                        rr_trace=s.trace)
+                        rr_trace=s.trace, md=md_out)
 
     return solve
 
@@ -153,7 +167,13 @@ def _make_simple_continue(spmv_full, conv_threshold, trace_rr):
             w, st1 = spmv_full(md, s.p)
             st = s.stats.merge_first(st1)
             ok = st1.errcode == 0
-            x1, r1, p1, rr1, rz1 = _iterate(s.x, s.r, s.p, s.rr, s.rz, w, minv)
+            x1, r1, p1, rr1, rz1, bad = _iterate(s.x, s.r, s.p, s.rr, s.rz,
+                                                 w, minv)
+            bad = bad & ok  # SpMV fail-stop takes precedence
+            st = st.merge_first(SpmvStats.clean()._replace(
+                errcode=jnp.where(bad, jnp.int32(ERR_BREAKDOWN),
+                                  jnp.int32(0))))
+            ok = ok & ~bad
             # On fail-stop the reference dies mid-SpMV; discard the update.
             x = jnp.where(ok, x1, s.x)
             r = jnp.where(ok, r1, s.r)
@@ -166,7 +186,7 @@ def _make_simple_continue(spmv_full, conv_threshold, trace_rr):
             itr = jnp.where(ok, s.itr + 1, s.itr)
             return CGState(itr, x, r, p, rr, rz, st, trace)
 
-        return jax.lax.while_loop(cond, body, state)
+        return jax.lax.while_loop(cond, body, state), md
 
     return continue_
 
@@ -180,14 +200,23 @@ def _make_lazy_continue(impl, conv_threshold, trace_rr):
 
             def cond(c):
                 s, trig = c
-                return (s.itr < upto) & (s.rr > conv) & (~trig)
+                return ((s.itr < upto) & (s.rr > conv) & (~trig)
+                        & (s.stats.errcode == 0))
 
             def body(c):
                 s, _ = c
                 w, trig = impl.fast(md, s.p)
                 ok = ~trig
-                x1, r1, p1, rr1, rz1 = _iterate(s.x, s.r, s.p, s.rr, s.rz,
-                                                w, minv)
+                x1, r1, p1, rr1, rz1, bad = _iterate(s.x, s.r, s.p, s.rr,
+                                                     s.rz, w, minv)
+                # A triggered iteration's w may be corrupt — breakdown is
+                # only meaningful when no fault fired (the iteration is
+                # re-executed on the scrubbed matrix otherwise).
+                bad = bad & ok
+                st = s.stats.merge_first(SpmvStats.clean()._replace(
+                    errcode=jnp.where(bad, jnp.int32(ERR_BREAKDOWN),
+                                      jnp.int32(0))))
+                ok = ok & ~bad
                 # A triggered iteration is re-executed after the repair,
                 # so its (corrupt-value) update is discarded.
                 x = jnp.where(ok, x1, s.x)
@@ -201,7 +230,7 @@ def _make_lazy_continue(impl, conv_threshold, trace_rr):
                         jnp.where(ok, rr, trace[s.itr])
                     )
                 itr = jnp.where(ok, s.itr + 1, s.itr)
-                return (CGState(itr, x, r, p, rr, rz, s.stats, trace), trig)
+                return (CGState(itr, x, r, p, rr, rz, st, trace), trig)
 
             return jax.lax.while_loop(cond, body, s0)
 
@@ -225,9 +254,9 @@ def _make_lazy_continue(impl, conv_threshold, trace_rr):
             done = (~trig) | (st.errcode != 0)
             return (done, md, s)
 
-        _, _, s = jax.lax.while_loop(
+        _, md_out, s = jax.lax.while_loop(
             outer_cond, outer_body, (jnp.bool_(False), md, state)
         )
-        return s
+        return s, md_out
 
     return continue_

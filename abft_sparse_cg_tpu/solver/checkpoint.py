@@ -84,11 +84,14 @@ class CheckpointedSolve:
             if itr >= max_itrs or int(state.stats.errcode) != 0:
                 break
             upto = min(itr + self.every, max_itrs)
-            state = self._cont(md, state, jnp.int32(upto), minv)
+            # The returned md carries any scrub forward, so a persistent
+            # fault classifies exactly once per solve (not per segment)
+            # and corrected_count stays exact.
+            state, md = self._cont(md, state, jnp.int32(upto), minv)
             new_itr = int(state.itr)  # forces sync; segment finished
             save_state(self.path, state)
             if new_itr < upto or int(state.stats.errcode) != 0:
                 break  # converged or fail-stopped mid-segment
 
         return CGResult(x=state.x, iterations=state.itr, rr=state.rr,
-                        stats=state.stats, rr_trace=state.trace)
+                        stats=state.stats, rr_trace=state.trace, md=md)

@@ -129,6 +129,32 @@ def test_segmented_solve_with_fault_matches_straight(tmp_path):
     assert int(seg.stats.errcode) == 0
     assert int(seg.iterations) == ref.iterations
     np.testing.assert_allclose(np.asarray(seg.x)[: m2.N], ref.x, rtol=1e-12)
-    # Corrections were applied (at least once; the scrub is re-derived per
-    # segment because each segment restarts from the unscrubbed planes).
-    assert int(seg.stats.corrected_count) >= 1
+    # The scrubbed MatrixDevice is carried across segments, so the fault
+    # classifies exactly once — corrected_count is exact, not inflated.
+    assert int(seg.stats.corrected_count) == 1
+    # And the returned device planes are the repaired data.
+    from abft_sparse_cg_tpu.scrub import scrubbed_from_device
+
+    repaired = scrubbed_from_device(m2, seg.md)
+    for n in m.layout.word_names:
+        assert (repaired.planes[n] == m.planes[n]).all()
+
+
+def test_solve_returns_scrubbed_matrix():
+    """HostResult.scrubbed: post-solve API for the repaired planes
+    (reference's in-place write-back, CSR/CPUContext.cpp:275-277)."""
+    m = protected("secded")
+    m2 = inject_bitflips(m, "ANY", 1, np.random.default_rng(21),
+                         echo=lambda s: None)
+    b = RNG.random(m.N)
+    res = create("jnp", "secded").solve(m2, b, 300, 1e-10, verbose=False,
+                                        dtype="f64")
+    assert not res.failed and res.corrected_count == 1
+    assert res.scrubbed is not None
+    for n in m.layout.word_names:
+        assert (res.scrubbed.planes[n] == m.planes[n]).all()
+    # Fully self-consistent: solves clean with no further events.
+    res2 = create("jnp", "secded").solve(res.scrubbed, b, 300, 1e-10,
+                                         verbose=False, dtype="f64")
+    assert not res2.failed and res2.corrected_count == 0
+    assert res2.scrubbed is None  # nothing was corrected

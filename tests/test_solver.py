@@ -162,6 +162,25 @@ def test_f32_compute_converges():
     assert rel < 2 * np.sqrt(1e-3) / np.linalg.norm(b)
 
 
+@pytest.mark.parametrize("mode", ["none", "secded"])
+def test_cg_breakdown_fails_loudly(mode):
+    """An indefinite matrix must raise ERR_BREAKDOWN, not NaN-as-converged
+    (the reference divides by pw unguarded, cg.cpp:102).  Covers both the
+    simple loop (none) and the lazy detect-fast loop (secded)."""
+    from abft_sparse_cg_tpu.ops.spmv import ERR_BREAKDOWN
+
+    n = 32
+    idx = np.arange(n)
+    a = assemble(idx, idx, -np.ones(n), n, 1)   # A = -I: p.A.p < 0
+    m = build_protected("csr", a, mode)
+    b = RNG.random(n)
+    res = create("jnp", mode).solve(m, b, 100, 1e-10, verbose=False,
+                                    dtype="f64")
+    assert res.failed and res.errcode == ERR_BREAKDOWN
+    assert any("breakdown" in s for s in res.messages)
+    assert res.iterations == 0  # the bad update was discarded
+
+
 def test_constraints_messages_are_format_specific():
     """The reference's two executables print different violation strings
     (CSR/CPUContext.cpp:190 vs COO/CPUContext.cpp:163)."""
