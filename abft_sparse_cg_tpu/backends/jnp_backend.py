@@ -68,15 +68,19 @@ class JnpBackend(Backend):
 
         dt = default_dtype(dtype)
         md = _device_arrays(mat, dt)
+        # Vectors enter the solver in execution order (identity unless an
+        # RCM reordering was adopted at build time; formats.reorder).
         bpad = np.zeros(mat.R, dtype=np.float64)
-        bpad[: mat.N] = b
+        bpad[: mat.N] = mat.to_exec_order(b)
         bdev = jnp.asarray(bpad, dtype=dt)
 
         minv = None
         if precond == "jacobi":
             d = mat.diagonal()
             mpad = np.zeros(mat.R)
-            mpad[: mat.N] = np.where(d != 0.0, 1.0 / np.where(d == 0, 1, d), 1.0)
+            mpad[: mat.N] = mat.to_exec_order(
+                np.where(d != 0.0, 1.0 / np.where(d == 0, 1, d), 1.0)
+            )
             minv = jnp.asarray(mpad, dtype=dt)
         elif precond != "none":
             raise ValueError(f"unknown preconditioner: {precond!r}")
@@ -103,7 +107,9 @@ class JnpBackend(Backend):
             res = compiled(md, bdev, minv)
         _ = float(res.rr)  # scalar transfer = true sync
         t2 = time.perf_counter()
-        x_host = np.asarray(res.x)[: mat.N]  # bulk transfer, not timed
+        x_host = mat.from_exec_order(
+            np.asarray(res.x)[: mat.N]  # bulk transfer, not timed
+        )
 
         st = res.stats
         errcode = int(st.errcode)
@@ -145,7 +151,7 @@ class JnpBackend(Backend):
         dt = default_dtype(dtype)
         md = _device_arrays(mat, dt)
         xpad = np.zeros(mat.R, dtype=np.float64)
-        xpad[: mat.N] = x
+        xpad[: mat.N] = mat.to_exec_order(x)
         spmv = self._get_spmv(mat, dt)
         w, st = spmv(md, jnp.asarray(xpad, dtype=dt))
         errcode = int(st.errcode)
@@ -153,7 +159,7 @@ class JnpBackend(Backend):
             mat, errcode, int(st.err_slot), int(st.first_cor_slot),
             int(st.first_cor_bit),
         )
-        return np.asarray(w)[: mat.N], errcode, msgs
+        return mat.from_exec_order(np.asarray(w)[: mat.N]), errcode, msgs
 
 
 def _register():

@@ -16,10 +16,13 @@ backend consumes them directly.
 
 For the TPU compute path they are re-tiled into an *execution layout*:
 
-  - **ELL** (general): 2-D ``(R, K)`` planes grouped by output index
+  - **ELL** (general): 2-D ``(K, R)`` planes grouped by output index
     (matrix row for CSR; matrix column for COO — valid because the
-    loader symmetrizes), ``K`` = max group size.  SpMV is gather +
-    multiply + row-reduce.
+    loader symmetrizes), ``K`` = max group size.  Slots live on the
+    sublane axis and rows on the 128-wide lane axis — the transpose of
+    textbook ELL, because a ``(R, K)`` array with small K pads its minor
+    dimension to 128 on TPU and wastes up to 20x the HBM traffic.  SpMV
+    is gather + multiply + slot-axis reduce.
   - **DIA** (banded fast path, chosen automatically): 2-D ``(D, R)``
     planes, one row per nonzero diagonal (offset = gather index − output
     index).  SpMV becomes a *stencil* — shifted multiply-adds with zero
@@ -28,6 +31,13 @@ For the TPU compute path they are re-tiled into an *execution layout*:
     all-gather.  Selected when the matrix has few distinct diagonals and
     they fill reasonably (mesh/CFD matrices like the reference's
     shallow_water1 and its block replicas qualify).
+
+When the natural element order is not banded, ``build_protected`` can
+apply a bandwidth-reducing symmetric permutation (RCM — see
+formats.reorder) to the *execution* space only; the canonical planes,
+their ECC bits, fault injection and all reference-visible indices stay
+in the original order.  ``perm`` records it; vectors cross the boundary
+via ``to_exec_order``/``from_exec_order``.
 
 Both layouts pad with all-zero codewords (self-consistent under every
 ECC mode) and keep a slot map from canonical element index to execution
@@ -71,7 +81,7 @@ class ProtectedMatrix:
     row_ptr: np.ndarray             # (N+1,) int64 — CSR only (None for coo)
     # Execution layout (derived; rebuilt after injection):
     exec_kind: str                  # "ell" | "dia"
-    ell: Dict[str, np.ndarray]      # word name -> (R, K) or (D, R) uint32
+    ell: Dict[str, np.ndarray]      # word name -> (K, R) or (D, R) uint32
     ell_len: np.ndarray             # (R,) int32 valid slots per output row
     ell_slot: np.ndarray            # (nnz,) int64 canonical idx -> flat slot
     ell_gather_word: str            # which word holds the gather index
@@ -86,23 +96,39 @@ class ProtectedMatrix:
     dia_offsets: tuple = ()         # DIA only: diagonal offsets, sorted
     block_size: int = 0
     num_blocks: int = 1
+    # Exec-space reordering (formats.reorder): perm[new_row] = old_row,
+    # None = identity.  Exec-space bandwidth max|gather - output| after
+    # any reordering (the banded kernels' window bound).
+    perm: np.ndarray = None
+    band: int = 0
 
     @property
     def K(self) -> int:
         """ELL slots per row, or number of diagonals for DIA."""
-        shp = self.ell[self.ell_gather_word].shape
-        return shp[1] if self.exec_kind == "ell" else shp[0]
+        return self.ell[self.ell_gather_word].shape[0]
 
     @property
     def R(self) -> int:
         """Padded output-row count of the execution layout."""
-        shp = self.ell[self.ell_gather_word].shape
-        return shp[0] if self.exec_kind == "ell" else shp[1]
+        return self.ell[self.ell_gather_word].shape[1]
 
     @property
     def exec_row_axis(self) -> int:
-        """Which axis of the execution planes is the output-row axis."""
-        return 0 if self.exec_kind == "ell" else 1
+        """Which axis of the execution planes is the output-row axis.
+        Both layouts keep rows on the minor (128-lane) axis."""
+        return 1
+
+    def to_exec_order(self, v: np.ndarray) -> np.ndarray:
+        """Canonical (N,) vector -> execution order (permuted rows)."""
+        return v if self.perm is None else v[self.perm]
+
+    def from_exec_order(self, v: np.ndarray) -> np.ndarray:
+        """Execution-order (N,) vector -> canonical order."""
+        if self.perm is None:
+            return v
+        out = np.empty_like(v)
+        out[self.perm] = v
+        return out
 
     @property
     def exec_size(self) -> int:
@@ -224,12 +250,39 @@ def _scatter_exec(planes, layout, slot, shape):
     return out
 
 
+# A reordering is adopted for the banded-ELL kernel when it brings the
+# exec-space bandwidth under this bound (rows + halo must fit a VMEM
+# window) — or when it makes the matrix DIA-eligible outright.
+_BAND_KERNEL_MAX = 16384
+
+
+def _group_structure(group, gidx, N, nnz, presorted):
+    """Per-group slot positions + group sizes, entries ordered by gather
+    index within each group."""
+    glen = np.bincount(group, minlength=N)
+    gptr = np.zeros(N + 1, dtype=np.int64)
+    np.cumsum(glen, out=gptr[1:])
+    within = np.empty(nnz, dtype=np.int64)
+    if presorted:
+        within = np.arange(nnz, dtype=np.int64) - gptr[group]
+    else:
+        order = np.lexsort((gidx, group))
+        within[order] = np.arange(nnz, dtype=np.int64) - gptr[group[order]]
+    return within, glen
+
+
 def build_protected(fmt: str, assembled: AssembledMatrix, mode: str,
-                    force_exec: str = None) -> ProtectedMatrix:
+                    force_exec: str = None,
+                    reorder: str = "auto") -> ProtectedMatrix:
     """Encode + lay out a protected matrix.
 
     ``force_exec``: None = auto-select execution layout; "ell"/"dia"
     forces one (tests, benchmarking layout comparisons).
+    ``reorder``: "auto" = apply an RCM exec-space permutation when the
+    natural order is not banded and the permuted one is (see
+    formats.reorder); "rcm" = always attempt; None/"none" = never.
+    Constraints mode never reorders (its checks assert the reference's
+    natural-order invariants verbatim).
     """
     if fmt not in FORMATS:
         raise ValueError(f"unknown format: {fmt!r}")
@@ -238,70 +291,90 @@ def build_protected(fmt: str, assembled: AssembledMatrix, mode: str,
     rows = assembled.rows.astype(np.int64)
     cols = assembled.cols.astype(np.int64)
     N, nnz = assembled.N, assembled.nnz
+    R = -(-N // _SUBLANE) * _SUBLANE
 
     # CSR row pointer over the canonical (row, col) order.
     counts = np.bincount(rows, minlength=N)
     row_ptr = np.zeros(N + 1, dtype=np.int64)
     np.cumsum(counts, out=row_ptr[1:])
 
-    if fmt == "csr":
-        # Group by matrix row; canonical order is already grouped.
-        group = rows
-        within = np.arange(nnz, dtype=np.int64) - row_ptr[rows]
-        glen = counts
-        gather_word = "col"  # low 24 bits = column index
-    else:
-        # Group by matrix column (the COO kernel scatters into `col`,
-        # reference COO/CPUContext.cpp:119); gather index is the row word.
-        group = cols
-        order = np.lexsort((rows, cols))
-        within = np.empty(nnz, dtype=np.int64)
-        ccounts = np.bincount(cols, minlength=N)
-        cptr = np.zeros(N + 1, dtype=np.int64)
-        np.cumsum(ccounts, out=cptr[1:])
-        within[order] = np.arange(nnz, dtype=np.int64) - cptr[cols[order]]
-        glen = ccounts
-        gather_word = "row"
+    # Group = output index (matrix row for CSR; matrix column for COO —
+    # the reference's COO kernel scatters into `col`,
+    # COO/CPUContext.cpp:119); gather = the other index.
+    gather_word = "col" if fmt == "csr" else "row"
 
-    K = max(1, int(glen.max()) if nnz else 1)
-    R = -(-N // _SUBLANE) * _SUBLANE
-    ell_len = np.zeros(R, dtype=np.int32)
-    ell_len[:N] = glen
+    def exec_indices(perm):
+        if perm is None:
+            er, ec = rows, cols
+        else:
+            from .reorder import inverse_permutation
 
-    # DIA detection: offset = gather index - output index.  Banded
-    # matrices with few distinct diagonals get the stencil layout.
-    gidx = rows if fmt == "coo" else cols
-    offs = gidx - group
-    uoffs, inv = np.unique(offs, return_inverse=True)
-    D = len(uoffs)
-    dia_ok = (
-        nnz > 0
-        and D <= _DIA_MAX_D
-        and D * R <= _DIA_MAX_EXPAND * max(nnz, 1)
-    )
+            pos = inverse_permutation(perm)
+            er, ec = pos[rows], pos[cols]
+        return (er, ec) if fmt == "csr" else (ec, er)
+
+    def dia_check(group, gidx):
+        offs = gidx - group
+        uoffs, inv = np.unique(offs, return_inverse=True)
+        ok = (
+            nnz > 0
+            and len(uoffs) <= _DIA_MAX_D
+            and len(uoffs) * R <= _DIA_MAX_EXPAND * max(nnz, 1)
+        )
+        if ok:
+            # A (group, offset) collision (duplicate entries) cannot be
+            # represented densely; fall back to ELL.
+            ok = np.unique(inv * R + group).size == nnz
+        return ok, uoffs, inv
+
+    perm = None
+    group, gidx = exec_indices(None)
+    dia_ok, uoffs, inv = dia_check(group, gidx)
+    band = int(np.abs(gidx - group).max()) if nnz else 0
+
+    if (not dia_ok and mode != "constraints" and nnz > 0
+            and reorder in ("auto", "rcm")):
+        from .reorder import rcm_permutation
+
+        cand = rcm_permutation(rows, cols, N)
+        pgroup, pgidx = exec_indices(cand)
+        pdia_ok, puoffs, pinv = dia_check(pgroup, pgidx)
+        pband = int(np.abs(pgidx - pgroup).max())
+        # Adopt when it unlocks the DIA stencil, or narrows the band
+        # enough for the windowed banded-ELL kernel.
+        if pdia_ok or (pband < band and pband <= _BAND_KERNEL_MAX):
+            perm = cand
+            group, gidx = pgroup, pgidx
+            dia_ok, uoffs, inv = pdia_ok, puoffs, pinv
+            band = pband
+
     if force_exec == "ell":
         dia_ok = False
     elif force_exec == "dia" and not dia_ok:
         raise ValueError("matrix is not representable as DIA")
-    if dia_ok:
-        slot = inv * R + group
-        # A (group, offset) collision (duplicate entries) cannot be
-        # represented densely; fall back to ELL.
-        dia_ok = np.unique(slot).size == nnz
+
+    within, glen = _group_structure(
+        group, gidx, N, nnz,
+        presorted=(perm is None and fmt == "csr"),
+    )
+    K = max(1, int(glen.max()) if nnz else 1)
+    ell_len = np.zeros(R, dtype=np.int32)
+    ell_len[:N] = glen
 
     if dia_ok:
         exec_kind = "dia"
-        ell_slot = slot
-        ell = _scatter_exec(planes, layout, ell_slot, (D, R))
+        ell_slot = inv * R + group
+        ell = _scatter_exec(planes, layout, ell_slot, (len(uoffs), R))
         dia_offsets = tuple(int(o) for o in uoffs)
     else:
         exec_kind = "ell"
-        ell_slot = group * K + within
-        ell = _scatter_exec(planes, layout, ell_slot, (R, K))
+        # Transposed ELL: slots on sublanes, rows on lanes (see module
+        # docstring) — flat slot = k * R + r.
+        ell_slot = within * R + group
+        ell = _scatter_exec(planes, layout, ell_slot, (K, R))
         dia_offsets = ()
 
-    ell_cksum = compute_exec_checksums(ell, layout.word_names,
-                                       0 if exec_kind == "ell" else 1)
+    ell_cksum = compute_exec_checksums(ell, layout.word_names, row_axis=1)
     flat_cksum = None
     if mode in codec.ECC_MODES:  # only the native lazy paths consume it
         nb = -(-max(nnz, 1) // CKSUM_BLOCK)
@@ -330,4 +403,6 @@ def build_protected(fmt: str, assembled: AssembledMatrix, mode: str,
         dia_offsets=dia_offsets,
         block_size=assembled.block_size,
         num_blocks=assembled.num_blocks,
+        perm=perm,
+        band=band,
     )

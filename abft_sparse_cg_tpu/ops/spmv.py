@@ -4,8 +4,8 @@ TPU-first formulation, two execution layouts (see formats.protected):
 
   - **DIA** (banded): planes ``(D, R)``; SpMV is a stencil of shifted
     multiply-adds — zero gathers.
-  - **ELL** (general): planes ``(R, K)``; gather + multiply + row-sum —
-    scatter-free.
+  - **ELL** (general): transposed planes ``(K, R)`` (rows on the lane
+    axis); gather + multiply + slot-axis sum — scatter-free.
 
 Correction is value-level (correct-on-read): corrected elements feed the
 product, stored planes are untouched.  Errors become codes in
@@ -152,6 +152,15 @@ class MatrixDevice(NamedTuple):
     #                               than the whole stencil; doing it per
     #                               iteration halves SpMV throughput).
     #                               Re-derived by classify() after a scrub.
+    gidx: jnp.ndarray = None      # (K, R) int32 exec-space gather indices —
+    #                               only when an RCM reordering is active
+    #                               (formats.reorder): the stored codeword
+    #                               holds the *canonical* index, and mapping
+    #                               it through the permutation per iteration
+    #                               would be a gather of its own.  Derived
+    #                               once at upload; re-derived on scrub.
+    perm_pos: jnp.ndarray = None  # (R,) int32 canonical row -> exec row
+    #                               (classify()'s re-derivation needs it)
 
 
 class SpmvImpl(NamedTuple):
@@ -179,6 +188,20 @@ def _first_slot(flags2d):
     return any_, jnp.where(any_, slot, jnp.int32(-1))
 
 
+def exec_gather_host(mat) -> np.ndarray:
+    """Host-side exec-space gather-index plane for a permuted ELL matrix:
+    the stored codeword index mapped through the RCM permutation (clipped
+    — a corrupted index still poisons the product, and detection happens
+    on the raw planes)."""
+    from ..formats.reorder import inverse_permutation
+
+    pos = inverse_permutation(mat.perm)
+    g = mat.ell[mat.ell_gather_word]
+    if mat.mode in codec.ECC_MODES and mat.ell_gather_word == "col":
+        g = g & np.uint32(ECC_COL_MASK)
+    return pos[np.clip(g.astype(np.int64), 0, mat.N - 1)].astype(np.int32)
+
+
 def make_matrix_device(mat, dtype=jnp.float32) -> MatrixDevice:
     """Upload a ProtectedMatrix's execution layout to the default device.
 
@@ -189,11 +212,21 @@ def make_matrix_device(mat, dtype=jnp.float32) -> MatrixDevice:
     words = tuple(jnp.asarray(mat.ell[n]) for n in mat.layout.word_names)
     vlo = mat.layout.word_names.index("value_lo")
     vhi = mat.layout.word_names.index("value_hi")
+    gidx = perm_pos = None
+    if mat.perm is not None and mat.exec_kind == "ell":
+        from ..formats.reorder import inverse_permutation
+
+        gidx = jnp.asarray(exec_gather_host(mat))
+        pp = np.zeros(mat.R, dtype=np.int32)
+        pp[: mat.N] = inverse_permutation(mat.perm)
+        perm_pos = jnp.asarray(pp)
     return MatrixDevice(
         words=words,
         ell_len=jnp.asarray(mat.ell_len),
         cksum=jnp.asarray(mat.ell_cksum),
         values=planes_to_value(words[vlo], words[vhi], dtype),
+        gidx=gidx,
+        perm_pos=perm_pos,
     )
 
 
@@ -273,19 +306,21 @@ def make_spmv(mat, dtype=jnp.float32, mode: str = None) -> SpmvImpl:
         # constraints use the raw column.
         cfg = _EllConfig(mat.fmt, mat.layout, mat.N,
                          ecc_mode=mode in codec.ECC_MODES)
-        row_axis = 0
+        row_axis = 1
 
     # ---- full: single-call check+compute (semantic oracle) -----------
 
     def full(md: MatrixDevice, x):
         if mode == "none":
-            w = cfg.compute_w(md, list(md.words), x, dtype, values=md.values)
+            w = cfg.compute_w(md, list(md.words), x, dtype, values=md.values,
+                              stored=True)
             return w, SpmvStats.clean()
 
         if mode == "constraints":
             errcode, err_slot = cfg.constraints(md, jnp.int32(ERR_NONE),
                                                 jnp.int32(-1))
-            w = cfg.compute_w(md, list(md.words), x, dtype, values=md.values)
+            w = cfg.compute_w(md, list(md.words), x, dtype, values=md.values,
+                              stored=True)
             return w, SpmvStats(errcode, err_slot, jnp.int32(0),
                                 jnp.int32(-1), jnp.int32(-1))
 
@@ -312,7 +347,8 @@ def make_spmv(mat, dtype=jnp.float32, mode: str = None) -> SpmvImpl:
             raise ValueError(
                 "MatrixDevice.values is required — build with make_matrix_device"
             )
-        w = cfg.compute_w(md, list(md.words), x, dtype, values=md.values)
+        w = cfg.compute_w(md, list(md.words), x, dtype, values=md.values,
+                          stored=True)
         if mode == "sec7":
             trigger = _cksum_mismatch(md, row_axis)  # no parity bit stored
         elif mode in ("sed", "sec8"):
@@ -339,12 +375,17 @@ def make_spmv(mat, dtype=jnp.float32, mode: str = None) -> SpmvImpl:
         # (the functional analogue of the reference's in-place write-back,
         # CSR/CPUContext.cpp:275-277 — after repair, stored data is
         # self-consistent again, so the fast loop stays fast).
+        gidx2 = md.gidx
+        if gidx2 is not None:
+            gidx2 = cfg.gather_indices(md, checked, stored=False)
         md2 = MatrixDevice(
             words=tuple(checked),
             ell_len=md.ell_len,
             cksum=_device_checksums(checked, row_axis),
             values=planes_to_value(checked[cfg.vlo_w], checked[cfg.vhi_w],
                                    dtype),
+            gidx=gidx2,
+            perm_pos=md.perm_pos,
         )
         return stats, md2
 
@@ -376,7 +417,7 @@ class _DiaConfig:
         self.vlo_w = names.index("value_lo")
         self.vhi_w = names.index("value_hi")
 
-    def compute_w(self, md, words, x, dtype, values=None):
+    def compute_w(self, md, words, x, dtype, values=None, stored=False):
         vals = values if values is not None else planes_to_value(
             words[self.vlo_w], words[self.vhi_w], dtype
         )
@@ -427,7 +468,9 @@ class _DiaConfig:
 
 
 # --------------------------------------------------------------------------
-# ELL: gather over (R, K) planes
+# ELL: gather over transposed (K, R) planes — slots on sublanes, rows on
+# the 128-wide lane axis (an (R, K) layout with small K pads its minor
+# dim to 128 on TPU and wastes the HBM traffic).
 # --------------------------------------------------------------------------
 
 class _EllConfig:
@@ -443,22 +486,35 @@ class _EllConfig:
         self.ecc_gather_mask = ecc_mode and self.gather_w == self.col_w
 
     def _valid(self, md):
-        R, K = md.words[0].shape
-        kio = jax.lax.broadcasted_iota(jnp.int32, (R, K), 1)
-        return kio < md.ell_len[:, None], kio
+        K, R = md.words[0].shape
+        kio = jax.lax.broadcasted_iota(jnp.int32, (K, R), 0)
+        return kio < md.ell_len[None, :], kio
 
-    def compute_w(self, md, words, x, dtype, values=None):
-        valid, _ = self._valid(md)
+    def gather_indices(self, md, words, stored=False):
+        """Exec-space gather indices.  ``stored=True`` means ``words``
+        are the resident planes, so the pre-derived ``md.gidx`` (RCM
+        case) applies; otherwise (scrubbed/corrected words) the index is
+        re-mapped through the permutation — a device gather, acceptable
+        on the rare classify path only."""
+        if stored and md.gidx is not None:
+            return md.gidx
         gidx = words[self.gather_w]
         if self.ecc_gather_mask:
             gidx = gidx & ECC_COL_MASK
         gidx = gidx.astype(jnp.int32)
+        if md.perm_pos is not None:
+            gidx = md.perm_pos[gidx]  # out-of-range clamps
+        return gidx
+
+    def compute_w(self, md, words, x, dtype, values=None, stored=False):
+        valid, _ = self._valid(md)
+        gidx = self.gather_indices(md, words, stored)
         vals = values if values is not None else planes_to_value(
             words[self.vlo_w], words[self.vhi_w], dtype
         )
         xg = x[gidx]  # XLA gather; out-of-range clamps
         contrib = jnp.where(valid, vals * xg, jnp.zeros((), dtype))
-        return jnp.sum(contrib, axis=1)
+        return jnp.sum(contrib, axis=0)
 
     def constraints(self, md, errcode, err_slot):
         words = md.words
@@ -466,21 +522,21 @@ class _EllConfig:
         col = words[self.col_w]
         errcode, err_slot = _raise_err(
             ERR_COL_SIZE, valid & (col >= np.uint32(self.N)), errcode, err_slot)
-        pair_valid = (kio[:, :-1] + 1) < md.ell_len[:, None]
+        pair_valid = (kio[:-1, :] + 1) < md.ell_len[None, :]
         if self.fmt == "coo":
             row = words[self.gather_w]
             errcode, err_slot = _raise_err(
                 ERR_ROW_SIZE, valid & (row >= np.uint32(self.N)), errcode, err_slot)
-            bad = pair_valid & (row[:, 1:] <= row[:, :-1])
-            bad = jnp.pad(bad, ((0, 0), (0, 1)))
+            bad = pair_valid & (row[1:, :] <= row[:-1, :])
+            bad = jnp.pad(bad, ((0, 1), (0, 0)))
             errcode, err_slot = _raise_err(ERR_ROW_ORDER, bad, errcode, err_slot)
-            R, K = words[0].shape
-            grp = jax.lax.broadcasted_iota(jnp.uint32, (R, K), 0)
+            K, R = words[0].shape
+            grp = jax.lax.broadcasted_iota(jnp.uint32, (K, R), 1)
             errcode, err_slot = _raise_err(
                 ERR_COL_ORDER, valid & (col != grp), errcode, err_slot)
         else:
-            bad = pair_valid & (col[:, 1:] <= col[:, :-1])
-            bad = jnp.pad(bad, ((0, 0), (0, 1)))
+            bad = pair_valid & (col[1:, :] <= col[:-1, :])
+            bad = jnp.pad(bad, ((0, 1), (0, 0)))
             errcode, err_slot = _raise_err(ERR_COL_ORDER, bad, errcode, err_slot)
         return errcode, err_slot
 

@@ -3,9 +3,10 @@
 The reference is strictly single-node (no MPI/NCCL anywhere — SURVEY §2);
 this is the TPU-native scaling axis it lacks.  Design (GSPMD):
 
-  - ELL planes ``(R, K)`` and all vectors ``(R,)`` are sharded along rows
-    of a 1-D ``("shard",)`` mesh (``R`` padded to a multiple of
-    8 * n_devices so shards stay sublane-aligned);
+  - exec planes ``(K, R)``/``(D, R)`` and all vectors ``(R,)`` are
+    sharded along rows of a 1-D ``("shard",)`` mesh (``R`` padded to a
+    multiple of 8 * n_devices so shards stay sublane-aligned; rows are
+    the lane axis of every plane);
   - the solve is the *same* single-device program (``ops.spmv`` +
     ``solver.cg``) jitted with sharding annotations: XLA's SPMD
     partitioner inserts the one all-gather CG needs (the SpMV reads
@@ -57,11 +58,10 @@ def _device_put_sharded(mat: ProtectedMatrix, b: np.ndarray, mesh, dtype):
     axis = mesh.axis_names[0]
     R_pad = -(-mat.R // (8 * ndev)) * (8 * ndev)
 
-    # Execution planes: ELL is (rows, K) -> shard dim 0; DIA is
-    # (D, rows) -> shard dim 1 (rows live on the lane dimension).
+    # Execution planes are (K, rows) / (D, rows): rows live on the lane
+    # dimension for both layouts -> shard dim 1.
     ra = mat.exec_row_axis
-    plane_spec = P(axis, None) if ra == 0 else P(None, axis)
-    row2d = NamedSharding(mesh, plane_spec)
+    row2d = NamedSharding(mesh, P(None, axis))
     row1d = NamedSharding(mesh, P(axis))
 
     from ..ops.spmv import MatrixDevice
@@ -83,9 +83,20 @@ def _device_put_sharded(mat: ProtectedMatrix, b: np.ndarray, mesh, dtype):
     values = planes_to_value(
         words[names.index("value_lo")], words[names.index("value_hi")], dtype
     )
-    md = MatrixDevice(words=words, ell_len=ell_len, cksum=cksum, values=values)
+    gidx = perm_pos = None
+    if mat.perm is not None and mat.exec_kind == "ell":
+        from ..formats.reorder import inverse_permutation
+        from ..ops.spmv import exec_gather_host
+
+        gidx = jax.device_put(pad_rows(exec_gather_host(mat), R_pad, 1),
+                              row2d)
+        pp = np.zeros(R_pad, dtype=np.int32)
+        pp[: mat.N] = inverse_permutation(mat.perm)
+        perm_pos = jax.device_put(pp, row1d)
+    md = MatrixDevice(words=words, ell_len=ell_len, cksum=cksum,
+                      values=values, gidx=gidx, perm_pos=perm_pos)
     bpad = np.zeros(R_pad, dtype=np.float64)
-    bpad[: mat.N] = b
+    bpad[: mat.N] = mat.to_exec_order(b)
     bdev = jax.device_put(jnp.asarray(bpad, dtype=dtype), row1d)
     return md, bdev
 
@@ -102,7 +113,13 @@ def make_sharded_solver(mat: ProtectedMatrix, mesh, max_itrs: int,
 
 def solve_sharded(mat: ProtectedMatrix, b: np.ndarray, max_itrs: int,
                   conv_threshold: float, mesh=None, dtype=None):
-    """Row-sharded CG over all (or the given mesh's) devices."""
+    """Row-sharded CG over all (or the given mesh's) devices.
+
+    ``b`` is in canonical order; the returned ``CGResult.x`` is in
+    execution order (map back with ``mat.from_exec_order`` after
+    stripping the mesh padding) — identical unless the matrix was built
+    with an RCM reordering.
+    """
     import jax.numpy as jnp
 
     if mesh is None:

@@ -13,7 +13,21 @@ import numpy as np
 
 from ..formats.mmio import write_coordinate
 
-__all__ = ["spd_tridiagonal", "spd_laplacian_2d", "write_mm_triangle"]
+__all__ = ["spd_tridiagonal", "spd_laplacian_2d", "shuffle_labels",
+           "write_mm_triangle"]
+
+
+def shuffle_labels(rows, cols, vals, n, seed=0):
+    """Apply a random symmetric relabeling to triplets — turns a banded
+    matrix into an "unstructured-looking" one (same spectrum, same CG
+    behaviour) the way an arbitrary mesh numbering would.  The lower
+    triangle is re-established after relabeling."""
+    rng = np.random.default_rng(seed)
+    relab = rng.permutation(n)
+    r2, c2 = relab[rows], relab[cols]
+    swap = r2 < c2
+    r2[swap], c2[swap] = c2[swap], r2[swap]
+    return r2, c2, vals, n
 
 
 def spd_tridiagonal(n: int, diag: float = 4.0, off: float = -1.0):
