@@ -23,6 +23,11 @@ test: all
 pytest:
 	$(PYTHON) -m pytest tests/ -q
 
+# Hardware smoke: compiled Pallas kernels, clean + injected solves on the
+# real TPU (skipped in the regular CPU-pinned suite).
+test-tpu:
+	ABFT_TPU_SMOKE=1 $(PYTHON) -m pytest tests/test_tpu.py -q
+
 benchmark: all
 	./run_benchmark "$(PYTHON) bin/cg-csr" -b 10
 	./run_benchmark "$(PYTHON) bin/cg-coo" -b 10
@@ -33,4 +38,4 @@ bench: all
 clean:
 	$(MAKE) -C native clean
 
-.PHONY: all native matrix test pytest benchmark bench clean
+.PHONY: all native matrix test test-tpu pytest benchmark bench clean

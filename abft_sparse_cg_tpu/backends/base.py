@@ -67,15 +67,28 @@ def slot_to_canonical(mat: ProtectedMatrix) -> np.ndarray:
     return inv
 
 
-def stats_to_messages(mat: ProtectedMatrix, errcode, err_slot, cor_slot, cor_bit):
+def stats_to_messages(mat: ProtectedMatrix, errcode, err_slot, cor_slot,
+                      cor_bit, r_dev: int = None):
     """Render ABFT events with the reference's exact stdout strings.
 
     The correction strings come from CSR/CPUContext.cpp:278,324,331; the
     detection strings from :233,398 (grep'd verbatim by run_tests:35,75).
     Slots are flat ELL positions; they are mapped back to the canonical
-    element index the reference would print.
+    element index the reference would print.  ``r_dev``: the device
+    planes' row count when it differs from ``mat.R`` (mesh padding —
+    parallel.sharded pads rows to a multiple of 8 * n_devices), so flat
+    device slots re-map onto the canonical slot grid.
     """
     inv = slot_to_canonical(mat)
+
+    def canon_slot(slot):
+        if r_dev is None or r_dev == mat.R or slot < 0:
+            return slot
+        k, r = divmod(slot, r_dev)
+        return k * mat.R + r if r < mat.R else -1
+
+    err_slot = canon_slot(err_slot)
+    cor_slot = canon_slot(cor_slot)
     msgs = []
     err_index = -1
     opb_global = mat.layout.col_word * 32 + OVERALL_PARITY_BIT
@@ -106,7 +119,10 @@ class Backend:
 
     def solve(self, mat: ProtectedMatrix, b: np.ndarray, max_itrs: int,
               conv_threshold: float, verbose: bool = True,
-              dtype: str = "auto", precond: str = "none") -> HostResult:
+              dtype: str = "auto", precond: str = "none",
+              devices: int = 0) -> HostResult:
+        """``devices`` > 1: row-shard the solve over a 1-D device mesh
+        (GSPMD; parallel.sharded).  0/1 = single device."""
         raise NotImplementedError
 
     def spmv_once(self, mat: ProtectedMatrix, x: np.ndarray,

@@ -37,7 +37,10 @@ class JnpBackend(Backend):
 
     # -- construction of jitted callables (cached) ---------------------
 
-    def _get_solver(self, mat, dtype, max_itrs, conv):
+    def _get_solver(self, mat, dtype, max_itrs, conv, r_dev=None):
+        # r_dev (mesh-padded row count) only matters to targets whose
+        # kernels bake static shapes (pallas); the jnp program is shape-
+        # polymorphic under jit.
         import jax
 
         key = ("solve", mat.fmt, self.mode, mat.exec_kind, mat.dia_offsets,
@@ -61,31 +64,49 @@ class JnpBackend(Backend):
     # -- Backend API ----------------------------------------------------
 
     def solve(self, mat, b, max_itrs, conv_threshold, verbose=True,
-              dtype="auto", precond="none",
+              dtype="auto", precond="none", devices: int = 0,
               want_scrubbed="auto") -> HostResult:
         import jax
         import jax.numpy as jnp
 
         dt = default_dtype(dtype)
-        md = _device_arrays(mat, dt)
-        # Vectors enter the solver in execution order (identity unless an
-        # RCM reordering was adopted at build time; formats.reorder).
-        bpad = np.zeros(mat.R, dtype=np.float64)
-        bpad[: mat.N] = mat.to_exec_order(b)
-        bdev = jnp.asarray(bpad, dtype=dt)
-
-        minv = None
+        minv_host = None
         if precond == "jacobi":
             d = mat.diagonal()
-            mpad = np.zeros(mat.R)
-            mpad[: mat.N] = mat.to_exec_order(
-                np.where(d != 0.0, 1.0 / np.where(d == 0, 1, d), 1.0)
-            )
-            minv = jnp.asarray(mpad, dtype=dt)
+            minv_host = np.where(d != 0.0, 1.0 / np.where(d == 0, 1, d), 1.0)
         elif precond != "none":
             raise ValueError(f"unknown preconditioner: {precond!r}")
 
-        solver = self._get_solver(mat, dt, max_itrs, conv_threshold)
+        r_dev = None
+        if devices and devices > 1:
+            # GSPMD row-sharded solve over a 1-D mesh (parallel.sharded):
+            # same program, sharding annotations on the inputs.
+            from ..parallel.sharded import _device_put_sharded, default_mesh
+
+            if devices > len(jax.devices()):
+                raise ValueError(
+                    f"requested {devices} devices, "
+                    f"found {len(jax.devices())}"
+                )
+            mesh = default_mesh(devices)
+            md, bdev, put_vec = _device_put_sharded(mat, b, mesh, dt)
+            minv = put_vec(minv_host) if minv_host is not None else None
+            r_dev = int(md.words[0].shape[-1])
+        else:
+            md = _device_arrays(mat, dt)
+            # Vectors enter the solver in execution order (identity unless
+            # an RCM reordering was adopted at build time; formats.reorder).
+            bpad = np.zeros(mat.R, dtype=np.float64)
+            bpad[: mat.N] = mat.to_exec_order(b)
+            bdev = jnp.asarray(bpad, dtype=dt)
+            minv = None
+            if minv_host is not None:
+                mpad = np.zeros(mat.R)
+                mpad[: mat.N] = mat.to_exec_order(minv_host)
+                minv = jnp.asarray(mpad, dtype=dt)
+
+        solver = self._get_solver(mat, dt, max_itrs, conv_threshold,
+                                  r_dev=r_dev)
 
         from ..utils.platform import warm_device
 
@@ -115,7 +136,7 @@ class JnpBackend(Backend):
         errcode = int(st.errcode)
         msgs, err_index = stats_to_messages(
             mat, errcode, int(st.err_slot), int(st.first_cor_slot),
-            int(st.first_cor_bit),
+            int(st.first_cor_bit), r_dev=r_dev,
         )
         # Repaired planes, observable post-solve (the reference's in-place
         # write-back).  "auto" skips the download on remote devices where

@@ -19,11 +19,18 @@ __all__ = ["PallasBackend"]
 class PallasBackend(JnpBackend):
     target = "pallas"
 
-    def _get_solver(self, mat, dtype, max_itrs, conv):
+    def _get_solver(self, mat, dtype, max_itrs, conv, r_dev=None):
         import jax
 
+        if r_dev is not None and r_dev != mat.R:
+            # Mesh-sharded solve: the kernels bake static single-chip row
+            # counts; the GSPMD path uses the shape-polymorphic jnp program.
+            return super()._get_solver(mat, dtype, max_itrs, conv, r_dev)
+        # band + permutation presence shape the ELL kernel (window size,
+        # gather-index source) — same-shaped matrices must not collide.
         key = ("psolve", mat.fmt, self.mode, mat.exec_kind, mat.dia_offsets,
-               mat.R, mat.K, mat.N, str(dtype), max_itrs, float(conv))
+               mat.R, mat.K, mat.N, mat.band, mat.perm is not None,
+               str(dtype), max_itrs, float(conv))
         if key not in _SOLVER_CACHE:
             spmv = make_pallas_spmv(mat, dtype, self.mode)
             _SOLVER_CACHE[key] = jax.jit(make_cg_solver(spmv, max_itrs, conv))
@@ -33,7 +40,8 @@ class PallasBackend(JnpBackend):
         import jax
 
         key = ("pspmv", mat.fmt, self.mode, mat.exec_kind, mat.dia_offsets,
-               mat.R, mat.K, mat.N, str(dtype))
+               mat.R, mat.K, mat.N, mat.band, mat.perm is not None,
+               str(dtype))
         if key not in _SOLVER_CACHE:
             impl = make_pallas_spmv(mat, dtype, self.mode)
             _SOLVER_CACHE[key] = jax.jit(impl.full)

@@ -41,6 +41,7 @@ _USAGE_OPTIONS = """Options:
       --dtype           D     Compute dtype: auto | f32 | f64
       --quiet                 Suppress per-iteration residual output
       --profile         DIR   Write a jax.profiler trace of the solve
+      --devices         N     Row-shard the solve over N devices (GSPMD)
   -p  --precond         P     Preconditioner: none | jacobi
 
   The -l|--list argument will provide a list of tuples that describe
@@ -90,6 +91,7 @@ def parse_arguments(argv, fmt):
         "list": False,
         "profile": None,
         "precond": "none",
+        "devices": 0,
     }
     i = 0
     n = len(argv)
@@ -173,6 +175,12 @@ def parse_arguments(argv, fmt):
                 print("Profile directory required")
                 raise SystemExit(1)
             params["profile"] = argv[i]
+        elif a == "--devices":
+            i += 1
+            if i >= n or (v := _parse_int(argv[i])) < 1:
+                print("Invalid device count")
+                raise SystemExit(1)
+            params["devices"] = v
         elif a in ("--precond", "-p"):
             i += 1
             if i >= n or argv[i] not in ("none", "jacobi"):
@@ -259,11 +267,20 @@ def main(argv=None, fmt="csr"):
         profile_cm = contextlib.nullcontext()
 
     with profile_cm:
-        res = backend.solve(
-            mat, b, params["max_itrs"], params["conv_threshold"],
-            verbose=not params["quiet"], dtype=params["dtype"],
-            precond=params["precond"],
-        )
+        try:
+            res = backend.solve(
+                mat, b, params["max_itrs"], params["conv_threshold"],
+                verbose=not params["quiet"], dtype=params["dtype"],
+                precond=params["precond"], devices=params["devices"],
+            )
+        except (TypeError, ValueError) as e:
+            if params["devices"]:
+                # Targets without a sharded path (cpu/native) or meshes
+                # bigger than the host: fail loudly, reference-style.
+                print(f"--devices {params['devices']} unsupported for "
+                      f"target '{params['target']}': {e}")
+                raise SystemExit(1)
+            raise
 
     # ABFT event messages print FIRST: injection happens pre-loop, so the
     # reference's detection/correction lines appear at iteration 0, before

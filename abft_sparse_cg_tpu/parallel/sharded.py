@@ -95,10 +95,14 @@ def _device_put_sharded(mat: ProtectedMatrix, b: np.ndarray, mesh, dtype):
         perm_pos = jax.device_put(pp, row1d)
     md = MatrixDevice(words=words, ell_len=ell_len, cksum=cksum,
                       values=values, gidx=gidx, perm_pos=perm_pos)
-    bpad = np.zeros(R_pad, dtype=np.float64)
-    bpad[: mat.N] = mat.to_exec_order(b)
-    bdev = jax.device_put(jnp.asarray(bpad, dtype=dtype), row1d)
-    return md, bdev
+
+    def put_vec(v):
+        """Canonical (N,) host vector -> exec-order, padded, row-sharded."""
+        vpad = np.zeros(R_pad, dtype=np.float64)
+        vpad[: mat.N] = mat.to_exec_order(v)
+        return jax.device_put(jnp.asarray(vpad, dtype=dtype), row1d)
+
+    return md, put_vec(b), put_vec
 
 
 def make_sharded_solver(mat: ProtectedMatrix, mesh, max_itrs: int,
@@ -125,6 +129,6 @@ def solve_sharded(mat: ProtectedMatrix, b: np.ndarray, max_itrs: int,
     if mesh is None:
         mesh = default_mesh()
     dtype = dtype or jnp.float32
-    md, bdev = _device_put_sharded(mat, b, mesh, dtype)
+    md, bdev, _ = _device_put_sharded(mat, b, mesh, dtype)
     solver = make_sharded_solver(mat, mesh, max_itrs, conv_threshold, dtype)
     return solver(md, bdev)

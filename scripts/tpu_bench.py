@@ -1,0 +1,105 @@
+"""TPU benchmark sweep: every (target, mode, layout) solve configuration.
+
+Produces one JSON line per configuration (appended to BENCH_TPU.jsonl and
+echoed to stdout) with the same timing protocol as the CLI's `time taken`
+(compile once, warm once, dispatch 20 solves, sync once — see
+BENCH_NOTES.md for why through the axon tunnel).
+
+Usage: python scripts/tpu_bench.py [--blocks 10] [--targets jnp,pallas]
+       [--modes none,...] [--layouts dia,ell,rcm-ell] [--formats csr,coo]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+ALL_MODES = ("none", "constraints", "sed", "sec7", "sec8", "secded")
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build(fmt, mode, layout, blocks):
+    from abft_sparse_cg_tpu.formats import assemble, build_protected
+    from abft_sparse_cg_tpu.utils.matgen import shuffle_labels, spd_tridiagonal
+
+    tri = spd_tridiagonal(81920)
+    if layout == "rcm-ell":
+        tri = shuffle_labels(*tri, seed=9)
+    a = assemble(tri[1], tri[0], tri[2], tri[3], blocks)
+    force = "dia" if layout == "dia" else "ell"
+    return build_protected(fmt, a, mode, force_exec=force)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--blocks", type=int, default=10)
+    ap.add_argument("--targets", default="jnp,pallas")
+    ap.add_argument("--modes", default=",".join(ALL_MODES))
+    ap.add_argument("--layouts", default="dia,ell,rcm-ell")
+    ap.add_argument("--formats", default="csr")
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH_TPU.jsonl"))
+    args = ap.parse_args()
+
+    from abft_sparse_cg_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
+    import jax
+
+    from abft_sparse_cg_tpu.backends import create
+
+    log(f"device: {jax.devices()[0]}")
+    out = open(args.out, "a")
+
+    for fmt in args.formats.split(","):
+        for layout in args.layouts.split(","):
+            for mode in args.modes.split(","):
+                if mode == "constraints" and layout == "rcm-ell":
+                    continue  # constraints never reorders
+                mat = None
+                for target in args.targets.split(","):
+                    try:
+                        if mat is None:
+                            mat = build(fmt, mode, layout, args.blocks)
+                        b = np.random.default_rng(12345).random(mat.N)
+                        backend = create(target, mode)
+                        t0 = time.time()
+                        res = backend.solve(mat, b, 1000, 0.001,
+                                            verbose=False, dtype="f32")
+                        rec = {
+                            "fmt": fmt, "layout": layout, "mode": mode,
+                            "target": target,
+                            "exec_kind": mat.exec_kind,
+                            "perm": mat.perm is not None,
+                            "band": mat.band, "K": mat.K,
+                            "solve_ms": round(res.solve_seconds * 1e3, 3),
+                            "compile_s": round(res.compile_seconds, 1),
+                            "iters": res.iterations,
+                            "rr": res.rr,
+                            "failed": res.failed,
+                            "wall_s": round(time.time() - t0, 1),
+                        }
+                    except Exception as e:  # noqa: BLE001 — record and move on
+                        rec = {
+                            "fmt": fmt, "layout": layout, "mode": mode,
+                            "target": target,
+                            "error": f"{type(e).__name__}: {e}"[:300],
+                        }
+                    line = json.dumps(rec)
+                    print(line, flush=True)
+                    out.write(line + "\n")
+                    out.flush()
+    out.close()
+
+
+if __name__ == "__main__":
+    main()

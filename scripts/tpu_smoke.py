@@ -1,0 +1,86 @@
+"""TPU smoke test body: compiled Pallas kernels, clean + injected solves.
+
+Run directly on a TPU host (`python scripts/tpu_smoke.py`), or via
+`ABFT_TPU_SMOKE=1 pytest tests/test_tpu.py` / `make test-tpu`.
+Exercises, per execution layout (DIA stencil, banded ELL, RCM-permuted
+banded ELL):
+
+  - a clean pallas-target solve (no trigger, converges),
+  - an injected single-bit fault (sec modes correct it; the solution
+    matches the clean solve exactly),
+  - an injected fault under sed (detects, fail-stops).
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    from abft_sparse_cg_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
+    import jax
+
+    from abft_sparse_cg_tpu.backends import create
+    from abft_sparse_cg_tpu.formats import assemble, build_protected
+    from abft_sparse_cg_tpu.inject import inject_bitflips
+    from abft_sparse_cg_tpu.ops.spmv_pallas import supports
+    from abft_sparse_cg_tpu.utils.matgen import (
+        shuffle_labels,
+        spd_tridiagonal,
+    )
+    from abft_sparse_cg_tpu.utils.platform import warm_device
+
+    platform = jax.devices()[0].platform
+    assert platform != "cpu", f"not a TPU host (platform={platform})"
+    print(f"device: {jax.devices()[0]}", flush=True)
+    warm_device()
+
+    import jax.numpy as jnp
+
+    configs = [
+        ("dia", False, "dia"),
+        ("ellb", False, "ell"),
+        ("ellb-perm", True, "ell"),
+    ]
+    for name, shuffle, force in configs:
+        tri = spd_tridiagonal(4096)
+        if shuffle:
+            tri = shuffle_labels(*tri, seed=3)
+        a = assemble(tri[1], tri[0], tri[2], tri[3], 2)
+
+        m = build_protected("csr", a, "secded", force_exec=force)
+        assert supports(m, jnp.float32), name
+        b = np.random.default_rng(7).random(m.N)
+        backend = create("pallas", "secded")
+
+        clean = backend.solve(m, b, 500, 1e-6, verbose=False, dtype="f32")
+        assert not clean.failed and clean.corrected_count == 0, name
+
+        m2 = inject_bitflips(m, "ANY", 1, np.random.default_rng(5),
+                             echo=lambda s: None)
+        res = backend.solve(m2, b, 500, 1e-6, verbose=False, dtype="f32")
+        assert not res.failed and res.corrected_count == 1, name
+        assert res.iterations == clean.iterations, name
+        np.testing.assert_array_equal(res.x, clean.x, err_msg=name)
+
+        msed = build_protected("csr", a, "sed", force_exec=force)
+        m3 = inject_bitflips(msed, "ANY", 1, np.random.default_rng(6),
+                             echo=lambda s: None)
+        res = create("pallas", "sed").solve(m3, b, 500, 1e-6,
+                                            verbose=False, dtype="f32")
+        assert res.failed and res.errcode == 1, name
+        assert any("error detected at index" in s for s in res.messages)
+
+        print(f"{name}: clean + corrected + detected OK "
+              f"(solve {clean.solve_seconds * 1e3:.2f} ms)", flush=True)
+
+    print("TPU SMOKE OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -103,11 +103,62 @@ def test_backend_solve_sed_halts():
     assert any("error detected at index" in s for s in res.messages)
 
 
-def test_ell_falls_back_to_jnp():
-    """Non-DIA matrices transparently use the jnp implementation."""
-    rows, cols, vals, n = spd_tridiagonal(64)
-    a = assemble(cols, rows, vals, n, 1)
-    m_ell = build_protected("csr", a, "secded", force_exec="ell")
+def protected_ell(mode, fmt="csr", n=200, blocks=2, shuffle=False):
+    """Forced-ELL matrix for the banded windowed-gather kernel; with
+    ``shuffle`` the band only exists after the RCM permutation."""
+    from abft_sparse_cg_tpu.utils.matgen import shuffle_labels
+
+    tri = spd_tridiagonal(n)
+    if shuffle:
+        tri = shuffle_labels(*tri, seed=3)
+    a = assemble(tri[1], tri[0], tri[2], tri[3], blocks)
+    return build_protected(fmt, a, mode, force_exec="ell")
+
+
+@pytest.mark.parametrize("shuffle", [False, True])
+@pytest.mark.parametrize("mode", ["none", "sed", "sec7", "sec8", "secded"])
+def test_ellb_kernel_matches_jnp(mode, shuffle):
+    """Banded-ELL windowed gather: bit-identical product, no trigger."""
+    m = protected_ell(mode, shuffle=shuffle)
+    assert supports(m, jnp.float32) and m.exec_kind == "ell"
+    assert (m.perm is not None) == shuffle
+    md = device_matrix(m)
+    x = jnp.asarray(RNG.random(m.R), jnp.float32)
+    impl_p = make_pallas_spmv(m, jnp.float32, mode, interpret=True)
+    impl_j = make_spmv(m, jnp.float32, mode)
+    if mode == "none":
+        wp, _ = jax.jit(impl_p.full)(md, x)
+        wj, _ = jax.jit(impl_j.full)(md, x)
+    else:
+        wp, trig_p = jax.jit(impl_p.fast)(md, x)
+        wj, trig_j = jax.jit(impl_j.fast)(md, x)
+        assert not bool(trig_p) and not bool(trig_j)
+    np.testing.assert_array_equal(np.asarray(wp), np.asarray(wj))
+
+
+@pytest.mark.parametrize("mode", ["sed", "sec7", "sec8", "secded"])
+def test_ellb_kernel_triggers_on_fault(mode):
+    m = protected_ell(mode, shuffle=True)
+    x = jnp.asarray(RNG.random(m.R), jnp.float32)
+    impl = make_pallas_spmv(m, jnp.float32, mode, interpret=True)
+    for seed in range(3):
+        m2 = inject_bitflips(m, "ANY", 1, np.random.default_rng(seed),
+                             echo=lambda s: None)
+        _, trig = jax.jit(impl.fast)(device_matrix(m2), x)
+        assert bool(trig), f"seed {seed}: single-bit fault missed by {mode}"
+
+
+def test_wide_band_falls_back_to_jnp():
+    """Matrices outside the windowed kernel's envelope (band too wide —
+    here a label shuffle with reordering disabled) transparently use the
+    jnp implementation."""
+    from abft_sparse_cg_tpu.utils.matgen import shuffle_labels
+
+    tri = shuffle_labels(*spd_tridiagonal(16384), seed=1)
+    a = assemble(tri[1], tri[0], tri[2], tri[3], 1)
+    m_ell = build_protected("csr", a, "secded", reorder="none")
+    assert m_ell.exec_kind == "ell" and m_ell.band > 4096
+    assert not supports(m_ell, jnp.float32)
     impl = make_pallas_spmv(m_ell, jnp.float32, "secded", interpret=True)
     md = device_matrix(m_ell)
     x = jnp.asarray(RNG.random(m_ell.R), jnp.float32)

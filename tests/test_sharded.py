@@ -72,3 +72,79 @@ def test_sharded_uneven_rows_padding():
     res = solve_sharded(m, b, 500, 1e-12, mesh=default_mesh(8), dtype=jnp.float64)
     ref = create("jnp", "none").solve(m, b, 500, 1e-12, verbose=False, dtype="f64")
     np.testing.assert_allclose(np.asarray(res.x)[: m.N], ref.x, rtol=1e-12)
+
+
+@pytest.mark.parametrize("mode", ["sed", "sec7", "sec8", "secded"])
+def test_devices_ell_fault_events_match_single(mode):
+    """ELL layout on the 8-device mesh: injected faults produce the same
+    canonical events as the single-device solve — exercises the sharded
+    gather (all-gather of p) and the err_slot mapping under mesh padding
+    (N=148 rows pad to 192 on 8 devices)."""
+    rows, cols, vals, n = spd_tridiagonal(37)
+    a = assemble(cols, rows, vals, n, 4)  # N = 148
+    m = build_protected("csr", a, mode, force_exec="ell")
+    assert m.exec_kind == "ell"
+    b = RNG.random(m.N)
+    backend = create("jnp", mode)
+    for seed in range(3):
+        m2 = inject_bitflips(m, "ANY", 1, np.random.default_rng(seed),
+                             echo=lambda s: None)
+        single = backend.solve(m2, b, 300, 1e-10, verbose=False, dtype="f64")
+        shard = backend.solve(m2, b, 300, 1e-10, verbose=False, dtype="f64",
+                              devices=8)
+        assert shard.errcode == single.errcode, f"seed {seed}"
+        assert shard.err_index == single.err_index, f"seed {seed}"
+        assert shard.corrected_count == single.corrected_count
+        assert shard.messages == single.messages, f"seed {seed}"
+        if not single.failed:
+            np.testing.assert_allclose(shard.x, single.x, rtol=1e-12)
+
+
+def test_devices_flag_permuted_matrix():
+    """RCM-permuted matrix through the sharded backend path."""
+    from abft_sparse_cg_tpu.utils.matgen import shuffle_labels
+
+    tri = shuffle_labels(*spd_tridiagonal(64), seed=5)
+    a = assemble(tri[1], tri[0], tri[2], tri[3], 4)
+    m = build_protected("csr", a, "secded")
+    assert m.perm is not None
+    b = RNG.random(m.N)
+    backend = create("jnp", "secded")
+    single = backend.solve(m, b, 300, 1e-10, verbose=False, dtype="f64")
+    shard = backend.solve(m, b, 300, 1e-10, verbose=False, dtype="f64",
+                          devices=8)
+    assert not shard.failed
+    assert shard.iterations == single.iterations
+    np.testing.assert_allclose(shard.x, single.x, rtol=1e-12)
+
+
+def test_devices_flag_cli():
+    """`--devices 8` drives the GSPMD path black-box through the CLI."""
+    import subprocess
+    import sys
+
+    import os
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    mtx = os.path.join(repo, "matrices", "shallow_water1",
+                       "shallow_water1.mtx")
+    if not os.path.exists(mtx):
+        pytest.skip("bundled matrix not generated")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "bin", "cg-csr"), "-b", "2",
+         "-m", "secded", "--devices", "8", "--seed", "11", "--quiet"],
+        capture_output=True, text=True, timeout=600,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "time taken" in proc.stdout
+
+
+def test_devices_flag_rejected_for_native_target():
+    m = protected("csr", "none", n=32, blocks=1)
+    b = RNG.random(m.N)
+    try:
+        backend = create("cpu", "none")
+    except Exception:
+        pytest.skip("native backend unavailable")
+    with pytest.raises(ValueError):
+        backend.solve(m, b, 100, 1e-8, verbose=False, devices=8)
