@@ -60,7 +60,10 @@ __all__ = ["ProtectedMatrix", "build_protected", "FORMATS"]
 
 FORMATS = ("csr", "coo")
 
-_SUBLANE = 8  # float32 sublane tile; ELL row count padded to a multiple
+_SUBLANE = 128  # rows pad to whole 128-lane vregs: the exec-plane row
+#                 axis is the lane axis, and the Pallas kernels' lane-
+#                 group machinery (gathers, checksum blocks) needs whole
+#                 groups.  Zero codewords are self-consistent padding.
 
 # DIA is selected when distinct diagonals <= _DIA_MAX_D and the dense
 # (D, R) layout wastes at most _DIA_MAX_EXPAND x the nnz footprint.

@@ -174,11 +174,17 @@ class SpmvImpl(NamedTuple):
     ``classify(md) -> (SpmvStats, MatrixDevice)`` — one-shot locate /
     correct / fail-stop classify; returns scrubbed+re-checksummed planes
     (None when the mode has no lazy schedule).
+    ``fast_pw(md, x) -> (w, trigger, pw)`` — like ``fast`` but also
+    returns the fused reduction ``pw = dot(x, w)``, saving the hot loop
+    a separate kernel pass that would re-read both vectors from HBM
+    (the CG iteration consumes exactly this dot, cg.cpp:100).  None
+    when the implementation has no fused form.
     """
 
     full: object
     fast: object = None
     classify: object = None
+    fast_pw: object = None
 
 
 def _first_slot(flags2d):
@@ -338,6 +344,13 @@ def make_spmv(mat, dtype=jnp.float32, mode: str = None) -> SpmvImpl:
         return w, _corrected_stats(flags, errcode, err_slot)
 
     if mode in ("none", "constraints"):
+        if mode == "none":
+            def fast_pw_none(md, x):
+                w = cfg.compute_w(md, list(md.words), x, dtype,
+                                  values=md.values, stored=True)
+                return w, jnp.bool_(False), jnp.sum(x * w)
+
+            return SpmvImpl(full=full, fast_pw=fast_pw_none)
         return SpmvImpl(full=full)
 
     # ---- fast: hot-loop kernel, detection signals only ---------------
@@ -356,6 +369,10 @@ def make_spmv(mat, dtype=jnp.float32, mode: str = None) -> SpmvImpl:
         else:  # secded: parity for odd-weight, checksum for even-weight
             trigger = _parity_any(md.words) | _cksum_mismatch(md, row_axis)
         return w, trigger
+
+    def fast_pw(md: MatrixDevice, x):
+        w, trigger = fast(md, x)
+        return w, trigger, jnp.sum(x * w)
 
     # ---- classify: one-shot locate/correct/fail-stop + scrub ---------
 
@@ -389,7 +406,8 @@ def make_spmv(mat, dtype=jnp.float32, mode: str = None) -> SpmvImpl:
         )
         return stats, md2
 
-    return SpmvImpl(full=full, fast=fast, classify=classify)
+    return SpmvImpl(full=full, fast=fast, classify=classify,
+                    fast_pw=fast_pw)
 
 
 # --------------------------------------------------------------------------

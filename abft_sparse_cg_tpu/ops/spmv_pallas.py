@@ -19,14 +19,18 @@ Two kernels, selected by the matrix's execution layout:
   the remote Mosaic compiler, and XLA's 1-D gather runs ~7 ns/element
   serialized on this device), so the gather is *computed*: each grid
   step owns CR consecutive output rows whose sources all live in a
-  static window of x (rows ± band); the in-window index is split
-  radix-128 (the lane width, so x keeps its native tiling) and resolved
+  static window of x (rows ± band); per 128-lane row group the window is
+  a handful of 128-lane rows of the pre-tiled x, and the gather resolves
+  with the hardware lane shuffle (tpu.dynamic_gather — the one gather
+  form Mosaic lowers, same-shape (rows, 128) operands):
 
-      xg = onehot(idx / 128) @ x_window2d    # MXU contraction
-      xg = sum(onehot(idx % 128) * xg, -1)   # VPU lane select
+      for s in window rows:   # ~2*band/128 + 1 rounds, unrolled
+          cand = take_along_axis(bcast(xw[s]), idx % 128, axis=1)
+          xg   = where(idx // 128 == s, cand, xg)
 
-  — a two-level one-hot gather: the row pick rides the MXU (the one-hot
-  never leaves VMEM), the lane pick is a 128-wide select.  This
+  — cost ~4 VPU ops per entry per window row (a one-hot MXU contraction
+  at these shapes measured 14x slower: nnz*window MACs through 10/128-
+  utilized systolic passes).  This
   is the TPU-native replacement for the reference's general-case OpenMP
   row-gather kernel (/root/reference/CSR/CPUContext.cpp:115-133).
   Caveat vs a true gather: a non-finite x value inside the window
@@ -58,31 +62,26 @@ _ELL_CHUNK = 1024    # banded ELL: output rows per grid step (the stored
 #                      checksum block is CR//8 lanes — Mosaic requires
 #                      lane-dim blocks be 128-divisible or whole-array)
 _ELL_MAX_K = 16      # slots unrolled in the kernel
-_ELL_MAX_WD = 4096   # x-window lanes (CR + 2*rounded band)
+_ELL_MAX_WROWS = 31  # window rows per 128-lane group (band <= 1920)
 _ELL_MAX_RES = 2_000_000  # rows for the resident-x strategy (~8 MB VMEM)
-_LO = 128            # radix of the select stage = the lane width, so the
-#                      x window needs no in-kernel reshape (Mosaic has no
-#                      1-D -> 2-D lane shape cast)
 
 
-def _ell_window(mat, CR):
-    """(left pad, window lanes): window = chunk rows + band on each side,
-    rounded up to a whole number of radix-_LO groups."""
-    side = -(-max(mat.band, 0) // _LO) * _LO
-    wd = -(-(CR + 2 * side) // _LO) * _LO
-    return side, wd
+def _ell_window(mat):
+    """(side pad, window rows per 128-lane group)."""
+    side = -(-max(mat.band, 0) // 128) * 128
+    return side, 2 * (side // 128) + 1
 
 
 def _ellb_ok(mat) -> bool:
     if mat.exec_kind != "ell" or mat.K > _ELL_MAX_K:
         return False
-    if mat.R > _ELL_MAX_RES:
+    if mat.R > _ELL_MAX_RES or mat.R % 128:
         return False
     # Either one whole-array chunk or 128-divisible checksum blocks.
     if mat.R > _ELL_CHUNK and mat.R % _ELL_CHUNK:
         return False
-    _, wd = _ell_window(mat, min(_ELL_CHUNK, mat.R))
-    return wd <= _ELL_MAX_WD
+    _, wrows = _ell_window(mat)
+    return wrows <= _ELL_MAX_WROWS
 
 
 def supports(mat, dtype) -> bool:
@@ -158,26 +157,27 @@ def make_pallas_spmv(mat, dtype=jnp.float32, mode: str = None,
     if not supports(mat, dtype):
         return make_jnp_spmv(mat, dtype, mode)
 
+    if mode == "constraints":
+        return make_jnp_spmv(mat, dtype, mode)  # the checks are the point
+
     if mat.exec_kind == "dia":
-        fast = _make_dia_fast(mat, mode, interpret)
+        fast, fast_pw = _make_dia_fast(mat, mode, interpret)
     else:
-        fast = _make_ellb_fast(mat, mode, interpret)
+        fast, fast_pw = _make_ellb_fast(mat, mode, interpret)
 
     jnp_impl = make_jnp_spmv(mat, dtype, mode)
 
-    if mode in ("none", "constraints"):
-        if mode == "constraints":
-            return jnp_impl  # the checks are the point; no lazy schedule
-
+    if mode == "none":
         def full_none(md, x):
             w, _ = fast(md, x)
             return w, SpmvStats.clean()
 
-        return SpmvImpl(full=full_none)
+        return SpmvImpl(full=full_none, fast_pw=fast_pw)
 
     # ECC modes: Pallas fast kernel in the hot loop; the jnp paths do the
     # (rare) one-shot classification/scrub and serve as the full oracle.
-    return SpmvImpl(full=jnp_impl.full, fast=fast, classify=jnp_impl.classify)
+    return SpmvImpl(full=jnp_impl.full, fast=fast,
+                    classify=jnp_impl.classify, fast_pw=fast_pw)
 
 
 # --------------------------------------------------------------------------
@@ -205,6 +205,9 @@ def _make_dia_fast(mat, mode, interpret):
     D = len(offsets)
     R = mat.R
     use_parity, use_cksum, NW = _mode_signals(mode, W)
+    # Fused pw = dot(x, w) reuses the offset-0 shifted-x plane (an SPD
+    # matrix always has its main diagonal; guarded anyway).
+    d0 = offsets.index(0) if 0 in offsets else None
 
     C = min(_CHUNK, R)
     while R % C:
@@ -214,7 +217,7 @@ def _make_dia_fast(mat, mode, interpret):
     def kernel(*refs):
         # refs: NW plane chunks (D, C), cksum chunk (W, C//8) [if NW],
         #       vals chunk (D, C) f32, xs chunk (D, C) [pre-shifted x],
-        #       outputs: w (C,), trig (1,1)
+        #       outputs: w (C,), pw (1,1) SMEM, trig (1,1) SMEM
         word_refs = refs[:NW]
         k = NW
         if NW:
@@ -223,15 +226,20 @@ def _make_dia_fast(mat, mode, interpret):
         vals_ref = refs[k]
         xs_ref = refs[k + 1]
         w_ref = refs[k + 2]
-        trig_ref = refs[k + 3]
+        pw_ref = refs[k + 3]
+        trig_ref = refs[k + 4]
 
         i = pl.program_id(0)
 
         @pl.when(i == 0)
         def _():
             trig_ref[0, 0] = 0
+            pw_ref[0, 0] = 0.0
 
-        w_ref[...] = jnp.sum(vals_ref[...] * xs_ref[...], axis=0)
+        w = jnp.sum(vals_ref[...] * xs_ref[...], axis=0)
+        w_ref[...] = w
+        if d0 is not None:
+            pw_ref[0, 0] = pw_ref[0, 0] + jnp.sum(w * xs_ref[d0])
 
         if NW:
             words = [r[...] for r in word_refs]
@@ -241,7 +249,7 @@ def _make_dia_fast(mat, mode, interpret):
             # output pattern).
             trig_ref[0, 0] = trig_ref[0, 0] | trig
 
-    def fast(md: MatrixDevice, x):
+    def call(md: MatrixDevice, x):
         # Pre-shift x once per call (cheap fused pads/slices in XLA) so
         # the kernel reads aligned (D, C) blocks — no dynamic slicing.
         from .spmv import _shift_read
@@ -265,20 +273,31 @@ def _make_dia_fast(mat, mode, interpret):
             out_specs=[
                 pl.BlockSpec((C,), lambda i: (i,), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             ],
         )
-        w, trig = pl.pallas_call(
+        w, pw, trig = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
             out_shape=[
                 jax.ShapeDtypeStruct((R,), jnp.float32),
+                jax.ShapeDtypeStruct((1, 1), jnp.float32),
                 jax.ShapeDtypeStruct((1, 1), jnp.int32),
             ],
             interpret=interpret,
         )(*args)
-        return w, trig[0, 0] != 0
+        return w, trig[0, 0] != 0, pw[0, 0]
 
-    return fast
+    def fast(md: MatrixDevice, x):
+        w, trig, _ = call(md, x)
+        return w, trig
+
+    fast_pw = None
+    if d0 is not None:
+        def fast_pw(md: MatrixDevice, x):
+            return call(md, x)
+
+    return fast, fast_pw
 
 
 # --------------------------------------------------------------------------
@@ -299,8 +318,9 @@ def _make_ellb_fast(mat, mode, interpret):
     while R % CR:
         CR //= 2
     G = R // CR
-    SIDE, WD = _ell_window(mat, CR)
-    HI = WD // _LO
+    LG = CR // 128            # 128-lane row groups per chunk
+    SIDE, WROWS = _ell_window(mat)
+    S0 = SIDE // 128
 
     # Gather-index source: the pre-derived exec plane when an RCM
     # permutation is active, else the stored codeword word (masked
@@ -313,7 +333,7 @@ def _make_ellb_fast(mat, mode, interpret):
     def kernel(*refs):
         # refs: NW word chunks (K, CR), cksum (W, CR//8) [if NW],
         #       vals (K, CR) f32, gsrc (K, CR), x2 (Lx/128, 128) resident,
-        #       outputs: w (CR,), trig (1,1)
+        #       outputs: w (CR,), pw (1,1) SMEM, trig (1,1) SMEM
         word_refs = refs[:NW]
         k = NW
         if NW:
@@ -323,64 +343,60 @@ def _make_ellb_fast(mat, mode, interpret):
         gsrc_ref = refs[k + 1]
         x_ref = refs[k + 2]
         w_ref = refs[k + 3]
-        trig_ref = refs[k + 4]
+        pw_ref = refs[k + 4]
+        trig_ref = refs[k + 5]
 
         i = pl.program_id(0)
 
         @pl.when(i == 0)
         def _():
             trig_ref[0, 0] = 0
+            pw_ref[0, 0] = 0.0
 
         g = gsrc_ref[...]
         if not has_gidx:
             if mask_ecc:
                 g = g & np.uint32(ECC_COL_MASK)
             g = jax.lax.bitcast_convert_type(g, jnp.int32)
-        # In-window position of each entry's source row.  Valid entries
-        # land in [0, WD) by the band bound; corrupted indices are
-        # clamped (they still poison the product — detection happens on
-        # the raw planes, not here).
-        local = g - i * CR + SIDE
-        local = jnp.where(local < 0, 0, local)
-        local = jnp.where(local >= WD, WD - 1, local)
-        hi = local >> 7   # _LO == 128
-        lo = local & (_LO - 1)
-
-        # The window is HI whole 128-lane rows of the pre-tiled x.
-        xw = x_ref[pl.ds(i * (CR // _LO) if G > 1 else 0, HI), :]
         vals = vals_ref[...]
 
-        hi_iota = jax.lax.broadcasted_iota(jnp.int32, (CR, HI), 1)
-        lo_iota = jax.lax.broadcasted_iota(jnp.int32, (CR, _LO), 1)
-        wacc = jnp.zeros((CR,), jnp.float32)
-        for kk in range(K):
-            # Stage 1 (MXU): pick each entry's 128-lane row of the window.
-            onehot = (hi[kk][:, None] == hi_iota).astype(jnp.float32)
-            # HIGHEST: the MXU's default f32 path rounds operands to
-            # bf16; the gathered values must be the exact f32 x entries.
-            xg128 = jax.lax.dot_general(
-                onehot, xw,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            # Stage 2 (VPU): select the lane.
-            sel = (lo[kk][:, None] == lo_iota).astype(jnp.float32)
-            xg = jnp.sum(xg128 * sel, axis=1)
-            wacc = wacc + vals[kk] * xg
-        w_ref[...] = wacc
+        pw = jnp.float32(0.0)
+        for j in range(LG):
+            cols = slice(j * 128, (j + 1) * 128)
+            # In-window position of each entry's source row; the window
+            # for this lane group is WROWS consecutive 128-lane rows of
+            # the pre-tiled x.  Valid entries land inside by the band
+            # bound; corrupted indices are clamped (they still poison
+            # the product — detection happens on the raw planes).
+            local = g[:, cols] - (i * CR + j * 128) + SIDE
+            local = jnp.where(local < 0, 0, local)
+            local = jnp.where(local >= WROWS * 128, WROWS * 128 - 1, local)
+            hi = local >> 7
+            lo = local & 127
+            base = i * LG + j
+            xg = jnp.zeros((K, 128), jnp.float32)
+            for s in range(WROWS):
+                row = x_ref[pl.ds(base + s, 1), :]           # (1, 128)
+                tbl = jnp.broadcast_to(row, (K, 128))
+                cand = jnp.take_along_axis(tbl, lo, axis=1)  # lane shuffle
+                xg = jnp.where(hi == s, cand, xg)
+            wj = jnp.sum(vals[:, cols] * xg, axis=0)         # (128,)
+            w_ref[cols] = wj
+            # Fused pw = dot(x, w): this group's aligned x is the
+            # window's center row — already resident, no extra input.
+            xc = x_ref[pl.ds(base + S0, 1), :]
+            pw = pw + jnp.sum(wj * xc[0])
+        pw_ref[0, 0] = pw_ref[0, 0] + pw
 
         if NW:
             words = [r[...] for r in word_refs]
             trig = _detect_trigger(words, ck_ref, use_parity, use_cksum)
             trig_ref[0, 0] = trig_ref[0, 0] | trig
 
-    def fast(md: MatrixDevice, x):
-        # Pad so every chunk's window is whole 128-lane rows: left SIDE,
-        # right up to (G-1)*CR + WD total, rounded to 128.
-        Lx = -(-((G - 1) * CR + WD) // _LO) * _LO
-        xpad = jnp.pad(x, (SIDE, Lx - R - SIDE))
-        x2 = xpad.reshape(Lx // _LO, _LO)  # free: native (8,128) tiling
+    def call(md: MatrixDevice, x):
+        # Pad so every lane group's window exists: SIDE rows each side.
+        xpad = jnp.pad(x, (SIDE, SIDE))
+        x2 = xpad.reshape((R + 2 * SIDE) // 128, 128)  # native tiling
         plane_spec = pl.BlockSpec((K, CR), lambda i: (0, i),
                                   memory_space=pltpu.VMEM)
         in_specs = [plane_spec] * NW
@@ -404,17 +420,26 @@ def _make_ellb_fast(mat, mode, interpret):
             out_specs=[
                 pl.BlockSpec((CR,), lambda i: (i,), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             ],
         )
-        w, trig = pl.pallas_call(
+        w, pw, trig = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
             out_shape=[
                 jax.ShapeDtypeStruct((R,), jnp.float32),
+                jax.ShapeDtypeStruct((1, 1), jnp.float32),
                 jax.ShapeDtypeStruct((1, 1), jnp.int32),
             ],
             interpret=interpret,
         )(*args)
-        return w, trig[0, 0] != 0
+        return w, trig[0, 0] != 0, pw[0, 0]
 
-    return fast
+    def fast(md: MatrixDevice, x):
+        w, trig, _ = call(md, x)
+        return w, trig
+
+    def fast_pw(md: MatrixDevice, x):
+        return call(md, x)
+
+    return fast, fast_pw

@@ -73,17 +73,19 @@ class CGState(NamedTuple):
     trace: jnp.ndarray
 
 
-def _iterate(x, r, p, rr, rz, w, minv):
+def _iterate(x, r, p, rr, rz, w, minv, pw=None):
     """One (P)CG update.  ``minv`` is the Jacobi M^-1 diagonal or None;
     with None this is bit-for-bit the reference's iteration
-    (cg.cpp:93-118).
+    (cg.cpp:93-118).  ``pw``: the dot(p, w) reduction when the SpMV
+    already fused it (SpmvImpl.fast_pw), else computed here.
 
     Also returns ``bad``: CG breakdown — p.A.p not positive (matrix not
     SPD) or a non-finite residual.  The reference divides by pw unguarded
     (cg.cpp:102) and silently rides the NaN to a fake "convergence"; here
     the caller turns ``bad`` into ERR_BREAKDOWN and fail-stops.
     """
-    pw = dot(p, w)
+    if pw is None:
+        pw = dot(p, w)
     alpha = rz / pw
     x1, r1, rr1 = calc_xr(x, r, p, w, alpha)
     if minv is None:
@@ -134,7 +136,7 @@ def make_cg_continue(impl: SpmvImpl, conv_threshold: float,
     solve, not once per segment.
     """
     if impl.classify is None:
-        return _make_simple_continue(impl.full, conv_threshold, trace_rr)
+        return _make_simple_continue(impl, conv_threshold, trace_rr)
     return _make_lazy_continue(impl, conv_threshold, trace_rr)
 
 
@@ -156,7 +158,9 @@ def make_cg_solver(impl: SpmvImpl, max_itrs: int, conv_threshold: float,
     return solve
 
 
-def _make_simple_continue(spmv_full, conv_threshold, trace_rr):
+def _make_simple_continue(impl, conv_threshold, trace_rr):
+    spmv_full = impl.full
+
     def continue_(md, state: CGState, upto, minv=None):
         conv = jnp.asarray(conv_threshold, state.rr.dtype)
 
@@ -164,11 +168,16 @@ def _make_simple_continue(spmv_full, conv_threshold, trace_rr):
             return (s.itr < upto) & (s.rr > conv) & (s.stats.errcode == 0)
 
         def body(s):
-            w, st1 = spmv_full(md, s.p)
+            if impl.fast_pw is not None:  # mode none: no checks to run
+                w, _, pw = impl.fast_pw(md, s.p)
+                st1 = SpmvStats.clean()
+            else:
+                w, st1 = spmv_full(md, s.p)
+                pw = None
             st = s.stats.merge_first(st1)
             ok = st1.errcode == 0
             x1, r1, p1, rr1, rz1, bad = _iterate(s.x, s.r, s.p, s.rr, s.rz,
-                                                 w, minv)
+                                                 w, minv, pw)
             bad = bad & ok  # SpMV fail-stop takes precedence
             st = st.merge_first(SpmvStats.clean()._replace(
                 errcode=jnp.where(bad, jnp.int32(ERR_BREAKDOWN),
@@ -205,10 +214,14 @@ def _make_lazy_continue(impl, conv_threshold, trace_rr):
 
             def body(c):
                 s, _ = c
-                w, trig = impl.fast(md, s.p)
+                if impl.fast_pw is not None:
+                    w, trig, pw = impl.fast_pw(md, s.p)
+                else:
+                    w, trig = impl.fast(md, s.p)
+                    pw = None
                 ok = ~trig
                 x1, r1, p1, rr1, rz1, bad = _iterate(s.x, s.r, s.p, s.rr,
-                                                     s.rz, w, minv)
+                                                     s.rz, w, minv, pw)
                 # A triggered iteration's w may be corrupt — breakdown is
                 # only meaningful when no fault fired (the iteration is
                 # re-executed on the scrubbed matrix otherwise).

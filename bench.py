@@ -5,11 +5,16 @@ Metric: full CG solve wall time, cg-csr / secded, `-b 10` scale
 reference in BASELINE.md: 239.6 ms on the host CPU).  ``vs_baseline`` is
 the speedup factor (baseline_ms / ours_ms, higher is better).
 
+Tier selection is measured, not assumed: both the jnp (XLA stencil) and
+pallas (hand-written fused kernel) targets run for the headline modes
+and the faster one is reported (named in the JSON's ``tier`` field).
+Diagnostics on stderr: the full per-mode table on the winning tier, the
+worst (slowest) mode, and the ABFT overhead vs mode none.
+
 Timing protocol: the whole solve is one device program (AOT-compiled
 first); K executions are dispatched back-to-back and synced once, because
 through the axon tunnel only host transfers actually synchronize and each
-sync costs ~28 ms RTT.  Diagnostics (per-mode table, ABFT overhead) go to
-stderr; stdout carries exactly the one JSON line.
+sync costs ~28 ms RTT.  See BENCH_NOTES.md.
 """
 
 import json
@@ -21,10 +26,18 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
-BASELINE_SECDED_MS = 239.6   # reference cg-csr cpu-secded, BASELINE.md
-BASELINE_NONE_MS = 56.3      # reference cg-csr cpu-none,   BASELINE.md
+# Reference cg-csr measurements from BASELINE.md (`run_benchmark`, -b 10).
+BASELINE_MS = {
+    "none": 56.3,
+    "constraints": 61.0,
+    "sed": 63.8,
+    "sec7": 235.6,
+    "sec8": 66.1,
+    "secded": 239.6,
+}
 BLOCKS = 10
 REPS = 20
+ALL_MODES = ("none", "constraints", "sed", "sec7", "sec8", "secded")
 
 
 def log(*a):
@@ -44,41 +57,20 @@ def ensure_matrix():
     return path
 
 
-def bench_mode(mat, b, mode, reps=REPS):
+def bench_mode(mat, b, mode, target, reps=REPS):
     import jax
-    import jax.numpy as jnp
 
-    from abft_sparse_cg_tpu.ops.spmv import make_matrix_device, make_spmv
-    from abft_sparse_cg_tpu.solver.cg import make_cg_solver
+    from abft_sparse_cg_tpu.backends import create
 
-    dtype = jnp.float32 if jax.devices()[0].platform != "cpu" else jnp.float64
-    spmv = make_spmv(mat, dtype, mode)
-    solver = jax.jit(make_cg_solver(spmv, 1000, 0.001, trace_rr=False))
-
-    md = make_matrix_device(mat, dtype)
-    bpad = np.zeros(mat.R)
-    bpad[: mat.N] = b
-    bdev = jnp.asarray(bpad, dtype)
-
-    t0 = time.perf_counter()
-    compiled = solver.lower(md, bdev).compile()
-    tc = time.perf_counter() - t0
-
-    # Warmup + correctness sniff (forces a real sync through the tunnel).
-    res = compiled(md, bdev)
-    iters = int(res.iterations)
-    rr = float(res.rr)
-
-    t0 = time.perf_counter()
-    last = None
-    for _ in range(reps):
-        last = compiled(md, bdev)
-    _ = float(last.rr)  # host transfer = true sync
-    dt = (time.perf_counter() - t0) / reps
-
-    log(f"  {mode:12s}: {dt * 1e3:8.2f} ms/solve  ({iters} iters, "
-        f"rr={rr:.4f}, compile {tc:.1f}s)")
-    return dt * 1e3
+    dtype = "f32" if jax.devices()[0].platform != "cpu" else "f64"
+    res = create(target, mode).solve(mat, b, 1000, 0.001, verbose=False,
+                                     dtype=dtype)
+    assert not res.failed, (mode, target, res.messages)
+    ms = res.solve_seconds * 1e3
+    log(f"  {target:6s} {mode:12s}: {ms:8.2f} ms/solve  "
+        f"({res.iterations} iters, rr={res.rr:.6f}, "
+        f"compile {res.compile_seconds:.1f}s)")
+    return ms
 
 
 def main():
@@ -96,21 +88,32 @@ def main():
     log(f"matrix: N={a.N:,} nnz={a.nnz:,} (-b {BLOCKS})")
 
     b = np.random.default_rng(12345).random(a.N)
+    mats = {m: build_protected("csr", a, m) for m in ALL_MODES}
 
-    times = {}
-    for mode in ("none", "secded"):
-        mat = build_protected("csr", a, mode)
-        times[mode] = bench_mode(mat, b, mode)
+    # Tier pick: measure the headline mode on both targets.
+    tier_ms = {t: bench_mode(mats["secded"], b, "secded", t)
+               for t in ("jnp", "pallas")}
+    tier = min(tier_ms, key=tier_ms.get)
+    log(f"tier: {tier} (secded {tier_ms[tier]:.2f} ms vs "
+        f"{max(tier_ms.values()):.2f} ms)")
+
+    times = {"secded": tier_ms[tier]}
+    for mode in ALL_MODES:
+        if mode not in times:
+            times[mode] = bench_mode(mats[mode], b, mode, tier)
 
     overhead = (times["secded"] - times["none"]) / times["none"] * 100
-    log(f"ABFT secded overhead vs none: {overhead:+.1f}% "
-        f"(reference: +326%)")
+    worst = max(times, key=times.get)
+    log(f"ABFT secded overhead vs none: {overhead:+.1f}% (reference: +326%)")
+    log(f"worst mode: {worst} at {times[worst]:.2f} ms "
+        f"(reference {BASELINE_MS[worst]:.1f} ms, "
+        f"{BASELINE_MS[worst] / times[worst]:.0f}x)")
 
     print(json.dumps({
-        "metric": "cg_csr_secded_solve_ms_b10",
+        "metric": f"cg_csr_secded_solve_ms_b10_{tier}",
         "value": round(times["secded"], 3),
         "unit": "ms",
-        "vs_baseline": round(BASELINE_SECDED_MS / times["secded"], 2),
+        "vs_baseline": round(BASELINE_MS["secded"] / times["secded"], 2),
     }))
 
 
