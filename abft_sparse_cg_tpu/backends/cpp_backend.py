@@ -78,7 +78,7 @@ def load_library():
         u32p, u32p, u32p, ct.c_void_p,
         ct.c_void_p, ct.c_int64, ct.c_int64,
         f64p, ct.c_void_p, ct.c_void_p, f64p, ct.c_void_p,
-        ct.c_int, ct.c_double,
+        ct.c_int, ct.c_double, ct.c_int,
         ct.POINTER(_CgResult),
     ]
     lib.abft_spmv.restype = ct.c_int
@@ -171,9 +171,15 @@ class CppBackend(Backend):
             if mat.flat_cksum is not None else None,
             x,
             trace.ctypes.data_as(ct.c_void_p),
-            max_itrs, conv_threshold, ct.byref(res),
+            max_itrs, conv_threshold, 1 if verbose else 0, ct.byref(res),
         )
         dt = time.perf_counter() - t0
+        msgs = _msgs(mat, res)
+        if verbose:
+            # Live mode already streamed the rr lines and the correction
+            # event from the solve loop (reference byte order); only
+            # detection/fail-stop messages remain for the driver.
+            msgs = [m for m in msgs if not m.startswith("[ECC] corrected")]
         return HostResult(
             x=x,
             iterations=res.iterations,
@@ -183,10 +189,10 @@ class CppBackend(Backend):
             corrected_count=res.corrected_count,
             corrected_index=res.first_cor_index,
             corrected_bit=res.first_cor_bit,
-            messages=_msgs(mat, res),
+            messages=msgs,
             solve_seconds=res.solve_ms / 1e3 if res.solve_ms else dt,
             compile_seconds=0.0,
-            rr_trace=trace,
+            rr_trace=None if verbose else trace,
         )
 
     def spmv_once(self, mat, x, dtype="auto"):

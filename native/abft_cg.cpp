@@ -20,6 +20,7 @@
 //     reference CSR/CPUContext.cpp:275-277).
 
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 #include <cmath>
 #include <chrono>
@@ -119,6 +120,7 @@ enum {
   ERR_COL_ORDER = 4,
   ERR_ROW_SIZE = 5,
   ERR_ROW_ORDER = 6,
+  ERR_BREAKDOWN = 7,  // p.A.p <= 0 or non-finite residual (see solver/cg.py)
 };
 
 struct Stats {
@@ -518,7 +520,7 @@ int abft_cg_solve(const char* fmt, const char* mode_s,
                   const double* b, const double* minv,
                   const uint32_t* flat_cksum, double* x,
                   double* rr_trace, int max_itrs, double conv,
-                  CgResult* out) {
+                  int live, CgResult* out) {
   const int mode = mode_of(mode_s);
   if (mode < 0) return -1;
   const bool csr = !std::strcmp(fmt, "csr");
@@ -592,8 +594,24 @@ int abft_cg_solve(const char* fmt, const char* mode_s,
     if (ran_fast && !trig) {
       // fall through to the iteration update below
     } else {
+      const int64_t prev_cor = st.corrected_count;
       int err = csr ? spmv_csr(mode, w0, w1, w2, row_ptr, N, nnz, p, w, st)
                     : spmv_coo(mode, w0, w1, w2, w3, N, nnz, p, w, st);
+      // Live mode prints the first correction event at the iteration it
+      // happened, like the reference's mid-SpMV printf
+      // (CSR/CPUContext.cpp:324-331); the driver then skips its own
+      // post-hoc copy of this message.
+      if (live && st.corrected_count > prev_cor && prev_cor == 0 &&
+          st.first_cor_index >= 0) {
+        const int opb = (csr ? 2 : 0) * 32 + 24;  // col word, parity bit 24
+        if (st.first_cor_bit == opb)
+          std::printf("[ECC] corrected overall parity bit at index %lld\n",
+                      (long long)st.first_cor_index);
+        else
+          std::printf("[ECC] corrected bit %d at index %lld\n",
+                      st.first_cor_bit, (long long)st.first_cor_index);
+        std::fflush(stdout);
+      }
       if (err) break;
       // The checked pass scrubbed the planes in place; re-derive the
       // checksums so the fast path resumes.
@@ -603,6 +621,12 @@ int abft_cg_solve(const char* fmt, const char* mode_s,
     double pw = 0.0;
 #pragma omp parallel for reduction(+ : pw) schedule(static)
     for (int64_t i = 0; i < N; i++) pw += p[i] * w[i];
+
+    // CG breakdown guard (the reference divides unguarded, cg.cpp:102).
+    if (!(pw > 0.0)) {
+      st.raise_err(ERR_BREAKDOWN, -1);
+      break;
+    }
 
     const double alpha = rz / pw;
 
@@ -634,9 +658,20 @@ int abft_cg_solve(const char* fmt, const char* mode_s,
       for (int64_t i = 0; i < N; i++) p[i] = r[i] + beta * p[i];
     }
 
+    if (!std::isfinite(rr_new)) {
+      st.raise_err(ERR_BREAKDOWN, -1);
+      break;
+    }
     rr = rr_new;
     rz = rz_new;
     if (rr_trace) rr_trace[itr] = rr;
+    // Live per-iteration residual (reference cg.cpp:116-117) — the host
+    // target streams it during the solve; device targets replay the
+    // carried trace post-hoc (no host callbacks on the TPU runtime).
+    if (live) {
+      std::printf("iteration %5d :  rr = %12.4f\n", itr, rr);
+      std::fflush(stdout);
+    }
   }
 
   const auto t1 = std::chrono::steady_clock::now();

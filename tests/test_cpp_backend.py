@@ -69,3 +69,31 @@ def test_writeback_scrubs_planes():
     # _plane_args copies planes, so m2 itself stays corrupted; but within
     # one solve the scrub means each element is corrected at most once.
     assert r1.corrected_count == 1
+
+
+def test_native_breakdown_guard():
+    """Indefinite matrix -> ERR_BREAKDOWN from the native loop too."""
+    from abft_sparse_cg_tpu.ops.spmv import ERR_BREAKDOWN
+
+    n = 32
+    idx = np.arange(n)
+    a = assemble(idx, idx, -np.ones(n), n, 1)  # A = -I
+    m = build_protected("csr", a, "none")
+    b = RNG.random(n)
+    res = create("cpu", "none").solve(m, b, 100, 1e-10, verbose=False)
+    assert res.failed and res.errcode == ERR_BREAKDOWN
+    assert any("breakdown" in s for s in res.messages)
+
+
+def test_live_streaming_skips_duplicate_messages():
+    """verbose=True: the native loop streams rr + correction lines
+    itself; the HostResult then carries no duplicate correction message
+    and no trace to replay."""
+    m = protected("csr", "sec8")
+    b = RNG.random(m.N)
+    m2 = inject_bitflips(m, "ANY", 1, np.random.default_rng(2),
+                         echo=lambda s: None)
+    res = create("cpu", "sec8").solve(m2, b, 500, 1e-10, verbose=True)
+    assert res.corrected_count == 1
+    assert not any(s.startswith("[ECC] corrected") for s in res.messages)
+    assert res.rr_trace is None
