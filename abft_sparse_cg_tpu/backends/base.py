@@ -120,9 +120,11 @@ class Backend:
     def solve(self, mat: ProtectedMatrix, b: np.ndarray, max_itrs: int,
               conv_threshold: float, verbose: bool = True,
               dtype: str = "auto", precond: str = "none",
-              devices: int = 0) -> HostResult:
+              devices: int = 0, solver: str = "standard") -> HostResult:
         """``devices`` > 1: row-shard the solve over a 1-D device mesh
-        (GSPMD; parallel.sharded).  0/1 = single device."""
+        (GSPMD; parallel.sharded).  0/1 = single device.
+        ``solver``: "standard" (the reference loop) or "pipelined"
+        (Ghysels-Vanroose, one reduction point per iteration)."""
         raise NotImplementedError
 
     def spmv_once(self, mat: ProtectedMatrix, x: np.ndarray,

@@ -141,11 +141,17 @@ class CppBackend(Backend):
         self.lib = load_library()
 
     def solve(self, mat, b, max_itrs, conv_threshold, verbose=True,
-              dtype="auto", precond="none", devices: int = 0) -> HostResult:
+              dtype="auto", precond="none", devices: int = 0,
+              solver: str = "standard") -> HostResult:
         if devices and devices > 1:
             raise ValueError(
                 "the native cpu target is single-node (OpenMP threads); "
                 "use -t jnp for a mesh-sharded solve"
+            )
+        if solver != "standard":
+            raise ValueError(
+                "the native cpu target implements the standard CG loop; "
+                "use -t jnp/pallas for --solver pipelined"
             )
         w, w3, row_ptr = _plane_args(mat)
         x = np.zeros(mat.N, dtype=np.float64)

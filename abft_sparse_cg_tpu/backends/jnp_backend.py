@@ -37,17 +37,24 @@ class JnpBackend(Backend):
 
     # -- construction of jitted callables (cached) ---------------------
 
-    def _get_solver(self, mat, dtype, max_itrs, conv, r_dev=None):
+    def _get_solver(self, mat, dtype, max_itrs, conv, r_dev=None,
+                    variant="standard"):
         # r_dev (mesh-padded row count) only matters to targets whose
         # kernels bake static shapes (pallas); the jnp program is shape-
         # polymorphic under jit.
         import jax
 
-        key = ("solve", mat.fmt, self.mode, mat.exec_kind, mat.dia_offsets,
-               mat.R, mat.K, mat.N, str(dtype), max_itrs, float(conv))
+        key = ("solve", variant, mat.fmt, self.mode, mat.exec_kind,
+               mat.dia_offsets, mat.R, mat.K, mat.N, str(dtype), max_itrs,
+               float(conv))
         if key not in _SOLVER_CACHE:
             spmv = make_spmv(mat, dtype, self.mode)
-            solver = make_cg_solver(spmv, max_itrs, conv)
+            if variant == "pipelined":
+                from ..solver.pipelined import make_pipelined_solver
+
+                solver = make_pipelined_solver(spmv, max_itrs, conv)
+            else:
+                solver = make_cg_solver(spmv, max_itrs, conv)
             _SOLVER_CACHE[key] = jax.jit(solver)
         return _SOLVER_CACHE[key]
 
@@ -65,7 +72,7 @@ class JnpBackend(Backend):
 
     def solve(self, mat, b, max_itrs, conv_threshold, verbose=True,
               dtype="auto", precond="none", devices: int = 0,
-              want_scrubbed="auto") -> HostResult:
+              solver: str = "standard", want_scrubbed="auto") -> HostResult:
         import jax
         import jax.numpy as jnp
 
@@ -105,15 +112,15 @@ class JnpBackend(Backend):
                 mpad[: mat.N] = mat.to_exec_order(minv_host)
                 minv = jnp.asarray(mpad, dtype=dt)
 
-        solver = self._get_solver(mat, dt, max_itrs, conv_threshold,
-                                  r_dev=r_dev)
+        solve_fn = self._get_solver(mat, dt, max_itrs, conv_threshold,
+                                    r_dev=r_dev, variant=solver)
 
         from ..utils.platform import warm_device
 
         warm_device()  # absorb one-time device init before timing
 
         t0 = time.perf_counter()
-        compiled = solver.lower(md, bdev, minv).compile()
+        compiled = solve_fn.lower(md, bdev, minv).compile()
         # First execution also uploads/initializes the executable on the
         # device — run it once untimed so `time taken` is steady-state
         # (the reference's benchmark averages warm runs too).

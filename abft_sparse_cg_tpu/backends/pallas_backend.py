@@ -19,21 +19,29 @@ __all__ = ["PallasBackend"]
 class PallasBackend(JnpBackend):
     target = "pallas"
 
-    def _get_solver(self, mat, dtype, max_itrs, conv, r_dev=None):
+    def _get_solver(self, mat, dtype, max_itrs, conv, r_dev=None,
+                    variant="standard"):
         import jax
 
         if r_dev is not None and r_dev != mat.R:
             # Mesh-sharded solve: the kernels bake static single-chip row
             # counts; the GSPMD path uses the shape-polymorphic jnp program.
-            return super()._get_solver(mat, dtype, max_itrs, conv, r_dev)
+            return super()._get_solver(mat, dtype, max_itrs, conv, r_dev,
+                                       variant)
         # band + permutation presence shape the ELL kernel (window size,
         # gather-index source) — same-shaped matrices must not collide.
-        key = ("psolve", mat.fmt, self.mode, mat.exec_kind, mat.dia_offsets,
-               mat.R, mat.K, mat.N, mat.band, mat.perm is not None,
-               str(dtype), max_itrs, float(conv))
+        key = ("psolve", variant, mat.fmt, self.mode, mat.exec_kind,
+               mat.dia_offsets, mat.R, mat.K, mat.N, mat.band,
+               mat.perm is not None, str(dtype), max_itrs, float(conv))
         if key not in _SOLVER_CACHE:
             spmv = make_pallas_spmv(mat, dtype, self.mode)
-            _SOLVER_CACHE[key] = jax.jit(make_cg_solver(spmv, max_itrs, conv))
+            if variant == "pipelined":
+                from ..solver.pipelined import make_pipelined_solver
+
+                solver = make_pipelined_solver(spmv, max_itrs, conv)
+            else:
+                solver = make_cg_solver(spmv, max_itrs, conv)
+            _SOLVER_CACHE[key] = jax.jit(solver)
         return _SOLVER_CACHE[key]
 
     def _get_spmv(self, mat, dtype):

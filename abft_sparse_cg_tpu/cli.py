@@ -42,6 +42,7 @@ _USAGE_OPTIONS = """Options:
       --quiet                 Suppress per-iteration residual output
       --profile         DIR   Write a jax.profiler trace of the solve
       --devices         N     Row-shard the solve over N devices (GSPMD)
+      --solver          S     CG variant: standard | pipelined
   -p  --precond         P     Preconditioner: none | jacobi
 
   The -l|--list argument will provide a list of tuples that describe
@@ -92,6 +93,7 @@ def parse_arguments(argv, fmt):
         "profile": None,
         "precond": "none",
         "devices": 0,
+        "solver": "standard",
     }
     i = 0
     n = len(argv)
@@ -181,6 +183,12 @@ def parse_arguments(argv, fmt):
                 print("Invalid device count")
                 raise SystemExit(1)
             params["devices"] = v
+        elif a == "--solver":
+            i += 1
+            if i >= n or argv[i] not in ("standard", "pipelined"):
+                print("Invalid solver (standard|pipelined)")
+                raise SystemExit(1)
+            params["solver"] = argv[i]
         elif a in ("--precond", "-p"):
             i += 1
             if i >= n or argv[i] not in ("none", "jacobi"):
@@ -272,13 +280,14 @@ def main(argv=None, fmt="csr"):
                 mat, b, params["max_itrs"], params["conv_threshold"],
                 verbose=not params["quiet"], dtype=params["dtype"],
                 precond=params["precond"], devices=params["devices"],
+                solver=params["solver"],
             )
         except (TypeError, ValueError) as e:
-            if params["devices"]:
+            if params["devices"] or params["solver"] != "standard":
                 # Targets without a sharded path (cpu/native) or meshes
                 # bigger than the host: fail loudly, reference-style.
-                print(f"--devices {params['devices']} unsupported for "
-                      f"target '{params['target']}': {e}")
+                print(f"options unsupported for target "
+                      f"'{params['target']}': {e}")
                 raise SystemExit(1)
             raise
 

@@ -63,6 +63,7 @@ __all__ = [
     "SpmvImpl",
     "ERRCODES",
     "make_spmv",
+    "make_constraints_check",
     "make_matrix_device",
     "spmv_dense_oracle",
 ]
@@ -293,6 +294,24 @@ def _raise_err(code, flags2d, errcode, err_slot):
     errcode = jnp.where(new, jnp.int32(code), errcode)
     err_slot = jnp.where(new, slot, err_slot)
     return errcode, err_slot
+
+
+def make_constraints_check(mat):
+    """``check(md) -> SpmvStats`` running only the constraints-mode
+    structural checks (no product, no gather) — lets a kernel backend
+    pair its own compute with the reference checks."""
+    if mat.exec_kind == "dia":
+        cfg = _DiaConfig(mat.fmt, mat.layout, mat.N, mat.dia_offsets)
+    else:
+        cfg = _EllConfig(mat.fmt, mat.layout, mat.N, ecc_mode=False)
+
+    def check(md: MatrixDevice) -> SpmvStats:
+        errcode, err_slot = cfg.constraints(md, jnp.int32(ERR_NONE),
+                                            jnp.int32(-1))
+        return SpmvStats(errcode, err_slot, jnp.int32(0), jnp.int32(-1),
+                         jnp.int32(-1))
+
+    return check
 
 
 def make_spmv(mat, dtype=jnp.float32, mode: str = None) -> SpmvImpl:

@@ -157,13 +157,24 @@ def make_pallas_spmv(mat, dtype=jnp.float32, mode: str = None,
     if not supports(mat, dtype):
         return make_jnp_spmv(mat, dtype, mode)
 
-    if mode == "constraints":
-        return make_jnp_spmv(mat, dtype, mode)  # the checks are the point
-
     if mat.exec_kind == "dia":
         fast, fast_pw = _make_dia_fast(mat, mode, interpret)
     else:
         fast, fast_pw = _make_ellb_fast(mat, mode, interpret)
+
+    if mode == "constraints":
+        # The structural checks are pure plane inspection (no gather);
+        # pair them with the kernel's product so forced-ELL constraints
+        # does not fall back to XLA's serialized gather.
+        from .spmv import make_constraints_check
+
+        check = make_constraints_check(mat)
+
+        def full_cons(md, x):
+            w, _ = fast(md, x)
+            return w, check(md)
+
+        return SpmvImpl(full=full_cons)
 
     jnp_impl = make_jnp_spmv(mat, dtype, mode)
 

@@ -148,6 +148,29 @@ def test_ellb_kernel_triggers_on_fault(mode):
         assert bool(trig), f"seed {seed}: single-bit fault missed by {mode}"
 
 
+def test_constraints_pairs_kernel_with_checks():
+    """Constraints mode: the kernel computes w, the jnp structural checks
+    run alongside — violations still fail exactly like the jnp target."""
+    m = protected_ell("constraints")
+    md = device_matrix(m)
+    x = jnp.asarray(RNG.random(m.R), jnp.float32)
+    impl_p = make_pallas_spmv(m, jnp.float32, "constraints", interpret=True)
+    impl_j = make_spmv(m, jnp.float32, "constraints")
+    wp, sp_ = jax.jit(impl_p.full)(md, x)
+    wj, sj = jax.jit(impl_j.full)(md, x)
+    assert int(sp_.errcode) == int(sj.errcode) == 0
+    np.testing.assert_array_equal(np.asarray(wp), np.asarray(wj))
+    # Corrupt a column index out of range: both implementations flag it.
+    planes = {k: v.copy() for k, v in m.planes.items()}
+    planes["col"][7] |= np.uint32(1 << 23)
+    m2 = m.with_planes(planes)
+    md2 = device_matrix(m2)
+    _, s2 = jax.jit(impl_p.full)(md2, x)
+    _, s2j = jax.jit(impl_j.full)(md2, x)
+    assert int(s2.errcode) == int(s2j.errcode) != 0
+    assert int(s2.err_slot) == int(s2j.err_slot)
+
+
 def test_wide_band_falls_back_to_jnp():
     """Matrices outside the windowed kernel's envelope (band too wide —
     here a label shuffle with reordering disabled) transparently use the
