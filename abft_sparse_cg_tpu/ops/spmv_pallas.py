@@ -61,7 +61,10 @@ _CHUNK = 8 * 1024    # DIA: rows per grid step
 _ELL_CHUNK = 1024    # banded ELL: output rows per grid step (the stored
 #                      checksum block is CR//8 lanes — Mosaic requires
 #                      lane-dim blocks be 128-divisible or whole-array)
-_ELL_MAX_K = 16      # slots unrolled in the kernel
+_ELL_MAX_K = 64      # ELL slots: the lane-shuffle gathers act on whole
+#                      (K, 128) tiles, so K only costs sublanes/VMEM —
+#                      beyond this, padding waste (every row pays K
+#                      slots) argues for a tail split instead (roadmap)
 _ELL_MAX_WROWS = 31  # window rows per 128-lane group (band <= 1920)
 _ELL_MAX_RES = 2_000_000  # rows for the resident-x strategy (~8 MB VMEM)
 

@@ -171,6 +171,36 @@ def test_constraints_pairs_kernel_with_checks():
     assert int(s2.err_slot) == int(s2j.err_slot)
 
 
+def test_ellb_high_k_matrix():
+    """K up to 64 stays on the kernel: a banded matrix with ~24 entries
+    per row (penta-diagonal block bands) matches jnp bit-for-bit."""
+    n, half = 512, 12
+    rows, cols, vals = [], [], []
+    rng = np.random.default_rng(8)
+    for off in range(0, half):
+        idx = np.arange(n - off)
+        rows.append(idx + off)
+        cols.append(idx)
+        vals.append(-rng.random(n - off) * 0.05)
+    rows, cols = np.concatenate(rows), np.concatenate(cols)
+    vals = np.concatenate(vals)
+    diag = rows == cols
+    vals[diag] = 2.0 * half  # diagonally dominant -> SPD
+    a = assemble(cols, rows, vals, n, 1)
+    m = build_protected("csr", a, "secded", force_exec="ell")
+    assert m.K > 16 and supports(m, jnp.float32)
+    md = device_matrix(m)
+    x = jnp.asarray(RNG.random(m.R), jnp.float32)
+    impl_p = make_pallas_spmv(m, jnp.float32, "secded", interpret=True)
+    impl_j = make_spmv(m, jnp.float32, "secded")
+    wp, tp = jax.jit(impl_p.fast)(md, x)
+    wj, tj = jax.jit(impl_j.fast)(md, x)
+    assert not bool(tp) and not bool(tj)
+    # At this K the kernel's sequential slot accumulation and XLA's tree
+    # reduce reassociate differently (1-ulp); small-K cases stay exact.
+    np.testing.assert_allclose(np.asarray(wp), np.asarray(wj), rtol=1e-6)
+
+
 def test_wide_band_falls_back_to_jnp():
     """Matrices outside the windowed kernel's envelope (band too wide —
     here a label shuffle with reordering disabled) transparently use the
