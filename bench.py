@@ -20,7 +20,6 @@ sync costs ~28 ms RTT.  See BENCH_NOTES.md.
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 

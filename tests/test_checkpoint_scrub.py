@@ -1,7 +1,6 @@
 """Checkpoint/resume and scrub subsystems."""
 
 import numpy as np
-import pytest
 
 import jax.numpy as jnp
 

@@ -6,7 +6,7 @@ import tempfile
 import numpy as np
 import pytest
 
-from abft_sparse_cg_tpu.ecc import ECC_COL_MASK, check_and_correct, overall_parity
+from abft_sparse_cg_tpu.ecc import ECC_COL_MASK, check_and_correct
 from abft_sparse_cg_tpu.formats import (
     assemble,
     build_protected,
