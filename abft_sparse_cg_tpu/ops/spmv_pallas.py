@@ -66,7 +66,6 @@ _ELL_MAX_K = 64      # ELL slots: the lane-shuffle gathers act on whole
 #                      beyond this, padding waste (every row pays K
 #                      slots) argues for a tail split instead (roadmap)
 _ELL_MAX_WROWS = 31  # window rows per 128-lane group (band <= 1920)
-_ELL_MAX_RES = 2_000_000  # rows for the resident-x strategy (~8 MB VMEM)
 
 
 def _ell_window(mat):
@@ -78,7 +77,7 @@ def _ell_window(mat):
 def _ellb_ok(mat) -> bool:
     if mat.exec_kind != "ell" or mat.K > _ELL_MAX_K:
         return False
-    if mat.R > _ELL_MAX_RES or mat.R % 128:
+    if mat.R % 128:
         return False
     # Either one whole-array chunk or 128-divisible checksum blocks.
     if mat.R > _ELL_CHUNK and mat.R % _ELL_CHUNK:
@@ -344,10 +343,18 @@ def _make_ellb_fast(mat, mode, interpret):
                 and mode in ("sed", "sec7", "sec8", "secded"))
     has_gidx = mat.perm is not None
 
+    # The per-chunk x windows overlap (each lane group reads WROWS rows
+    # around itself), which plain BlockSpecs cannot express.  Instead x
+    # is passed XCOPIES times with shifted index maps: copy c serves the
+    # chunk's window rows [c*LG, (c+1)*LG) — every in-kernel window read
+    # becomes a static (copy, row) pair, fully prefetch-pipelined, with
+    # no resident-x VMEM cap.
+    XCOPIES = -(-(LG + WROWS - 1) // LG)
+
     def kernel(*refs):
         # refs: NW word chunks (K, CR), cksum (W, CR//8) [if NW],
-        #       vals (K, CR) f32, gsrc (K, CR), x2 (Lx/128, 128) resident,
-        #       outputs: w (CR,), pw (1,1) SMEM, trig (1,1) SMEM
+        #       vals (K, CR) f32, gsrc (K, CR), XCOPIES x-window blocks
+        #       (LG, 128), outputs: w (CR,), pw (1,1) SMEM, trig (1,1)
         word_refs = refs[:NW]
         k = NW
         if NW:
@@ -355,10 +362,10 @@ def _make_ellb_fast(mat, mode, interpret):
             k += 1
         vals_ref = refs[k]
         gsrc_ref = refs[k + 1]
-        x_ref = refs[k + 2]
-        w_ref = refs[k + 3]
-        pw_ref = refs[k + 4]
-        trig_ref = refs[k + 5]
+        xparts = refs[k + 2:k + 2 + XCOPIES]
+        w_ref = refs[k + 2 + XCOPIES]
+        pw_ref = refs[k + 3 + XCOPIES]
+        trig_ref = refs[k + 4 + XCOPIES]
 
         i = pl.program_id(0)
 
@@ -366,6 +373,10 @@ def _make_ellb_fast(mat, mode, interpret):
         def _():
             trig_ref[0, 0] = 0
             pw_ref[0, 0] = 0.0
+
+        def window_row(t):
+            """Static window row t of this chunk -> (1, 128)."""
+            return xparts[t // LG][t % LG:t % LG + 1, :]
 
         g = gsrc_ref[...]
         if not has_gidx:
@@ -387,19 +398,16 @@ def _make_ellb_fast(mat, mode, interpret):
             local = jnp.where(local >= WROWS * 128, WROWS * 128 - 1, local)
             hi = local >> 7
             lo = local & 127
-            base = i * LG + j
             xg = jnp.zeros((K, 128), jnp.float32)
             for s in range(WROWS):
-                row = x_ref[pl.ds(base + s, 1), :]           # (1, 128)
-                tbl = jnp.broadcast_to(row, (K, 128))
+                tbl = jnp.broadcast_to(window_row(j + s), (K, 128))
                 cand = jnp.take_along_axis(tbl, lo, axis=1)  # lane shuffle
                 xg = jnp.where(hi == s, cand, xg)
             wj = jnp.sum(vals[:, cols] * xg, axis=0)         # (128,)
             w_ref[cols] = wj
             # Fused pw = dot(x, w): this group's aligned x is the
-            # window's center row — already resident, no extra input.
-            xc = x_ref[pl.ds(base + S0, 1), :]
-            pw = pw + jnp.sum(wj * xc[0])
+            # window's center row — already in the window blocks.
+            pw = pw + jnp.sum(wj * window_row(j + S0)[0])
         pw_ref[0, 0] = pw_ref[0, 0] + pw
 
         if NW:
@@ -408,9 +416,11 @@ def _make_ellb_fast(mat, mode, interpret):
             trig_ref[0, 0] = trig_ref[0, 0] | trig
 
     def call(md: MatrixDevice, x):
-        # Pad so every lane group's window exists: SIDE rows each side.
-        xpad = jnp.pad(x, (SIDE, SIDE))
-        x2 = xpad.reshape((R + 2 * SIDE) // 128, 128)  # native tiling
+        # Pad so every chunk's window blocks exist: SIDE rows in front,
+        # and enough at the back for the last chunk's XCOPIES blocks.
+        back = (G - 1 + XCOPIES) * LG * 128 - (R + SIDE)
+        xpad = jnp.pad(x, (SIDE, back))
+        x2 = xpad.reshape(-1, 128)  # native (8,128) tiling
         plane_spec = pl.BlockSpec((K, CR), lambda i: (0, i),
                                   memory_space=pltpu.VMEM)
         in_specs = [plane_spec] * NW
@@ -420,13 +430,14 @@ def _make_ellb_fast(mat, mode, interpret):
                 pl.BlockSpec((W, CR // 8), lambda i: (0, i),
                              memory_space=pltpu.VMEM))
             args.append(md.cksum)
+        in_specs += [plane_spec, plane_spec]
         in_specs += [
-            plane_spec,
-            plane_spec,
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # x2, fully resident
+            pl.BlockSpec((LG, 128), lambda i, c=c: (i + c, 0),
+                         memory_space=pltpu.VMEM)
+            for c in range(XCOPIES)
         ]
         gsrc = md.gidx if has_gidx else md.words[gather_w]
-        args += [md.values, gsrc, x2]
+        args += [md.values, gsrc] + [x2] * XCOPIES
 
         grid_spec = pl.GridSpec(
             grid=(G,),
