@@ -58,9 +58,22 @@ from .spmv import MatrixDevice, SpmvImpl, SpmvStats
 __all__ = ["supports", "make_pallas_spmv"]
 
 _CHUNK = 8 * 1024    # DIA: rows per grid step
-_ELL_CHUNK = 1024    # banded ELL: output rows per grid step (the stored
+_ELL_CHUNK = 4096    # banded ELL: output rows per grid step (amortizes
+#                      per-chunk cost ~25-30% over 1024; the stored
 #                      checksum block is CR//8 lanes — Mosaic requires
 #                      lane-dim blocks be 128-divisible or whole-array)
+
+
+def _ell_chunk(R):
+    """Rows per grid step: whole-array for small R, else the largest
+    Mosaic-legal divisor (checksum block = CR//8 lanes needs CR to be a
+    1024-multiple when blocked).  0 = no legal chunking."""
+    if R <= _ELL_CHUNK:
+        return R
+    for c in (_ELL_CHUNK, 2048, 1024):
+        if R % c == 0:
+            return c
+    return 0
 _ELL_MAX_K = 64      # ELL slots: the lane-shuffle gathers act on whole
 #                      (K, 128) tiles, so K only costs sublanes/VMEM —
 #                      beyond this, padding waste (every row pays K
@@ -77,10 +90,7 @@ def _ell_window(mat):
 def _ellb_ok(mat) -> bool:
     if mat.exec_kind != "ell" or mat.K > _ELL_MAX_K:
         return False
-    if mat.R % 128:
-        return False
-    # Either one whole-array chunk or 128-divisible checksum blocks.
-    if mat.R > _ELL_CHUNK and mat.R % _ELL_CHUNK:
+    if mat.R % 128 or not _ell_chunk(mat.R):
         return False
     _, wrows = _ell_window(mat)
     return wrows <= _ELL_MAX_WROWS
@@ -327,9 +337,7 @@ def _make_ellb_fast(mat, mode, interpret):
     R = mat.R
     use_parity, use_cksum, NW = _mode_signals(mode, W)
 
-    CR = min(_ELL_CHUNK, R)
-    while R % CR:
-        CR //= 2
+    CR = _ell_chunk(R)
     G = R // CR
     LG = CR // 128            # 128-lane row groups per chunk
     SIDE, WROWS = _ell_window(mat)
