@@ -142,7 +142,9 @@ class CppBackend(Backend):
 
     def solve(self, mat, b, max_itrs, conv_threshold, verbose=True,
               dtype="auto", precond="none", devices: int = 0,
-              solver: str = "standard") -> HostResult:
+              solver: str = "standard", reps: int = 0) -> HostResult:
+        # reps is a remote-device timing knob; native host timing truly
+        # synchronizes, so a single run is already exact.
         if devices and devices > 1:
             raise ValueError(
                 "the native cpu target is single-node (OpenMP threads); "

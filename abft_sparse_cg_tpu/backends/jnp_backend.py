@@ -72,7 +72,12 @@ class JnpBackend(Backend):
 
     def solve(self, mat, b, max_itrs, conv_threshold, verbose=True,
               dtype="auto", precond="none", devices: int = 0,
-              solver: str = "standard", want_scrubbed="auto") -> HostResult:
+              solver: str = "standard", want_scrubbed="auto",
+              reps: int = 0) -> HostResult:
+        """``reps``: executions averaged into `time taken` (0 = auto:
+        20 on accelerators — through the remote tunnel only host
+        transfers sync, so a single dispatch can't be timed — 1 on
+        CPU).  Surfaced as --reps on the CLI; see BENCH_NOTES.md."""
         import jax
         import jax.numpy as jnp
 
@@ -129,7 +134,8 @@ class JnpBackend(Backend):
         # Through the remote-device tunnel a synchronization costs ~28 ms
         # regardless of the solve; dispatch a few executions and sync once
         # so `time taken` reports the per-solve mean, not the sync RTT.
-        reps = 1 if jax.devices()[0].platform == "cpu" else 20
+        if not reps:
+            reps = 1 if jax.devices()[0].platform == "cpu" else 20
         res = compiled(md, bdev, minv)
         for _i in range(reps - 1):
             res = compiled(md, bdev, minv)

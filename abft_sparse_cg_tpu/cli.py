@@ -42,6 +42,8 @@ _USAGE_OPTIONS = """Options:
       --profile         DIR   Write a jax.profiler trace of the solve
       --devices         N     Row-shard the solve over N devices (GSPMD)
       --solver          S     CG variant: standard | pipelined
+      --reps            N     Executions averaged into 'time taken'
+                              (default: 20 on TPU, 1 on CPU)
   -p  --precond         P     Preconditioner: none | jacobi
 
   The -l|--list argument will provide a list of tuples that describe
@@ -93,6 +95,7 @@ def parse_arguments(argv, fmt):
         "precond": "none",
         "devices": 0,
         "solver": "standard",
+        "reps": 0,
     }
     i = 0
     n = len(argv)
@@ -188,6 +191,12 @@ def parse_arguments(argv, fmt):
                 print("Invalid solver (standard|pipelined)")
                 raise SystemExit(1)
             params["solver"] = argv[i]
+        elif a == "--reps":
+            i += 1
+            if i >= n or (v := _parse_int(argv[i])) < 1:
+                print("Invalid rep count")
+                raise SystemExit(1)
+            params["reps"] = v
         elif a in ("--precond", "-p"):
             i += 1
             if i >= n or argv[i] not in ("none", "jacobi"):
@@ -279,7 +288,7 @@ def main(argv=None, fmt="csr"):
                 mat, b, params["max_itrs"], params["conv_threshold"],
                 verbose=not params["quiet"], dtype=params["dtype"],
                 precond=params["precond"], devices=params["devices"],
-                solver=params["solver"],
+                solver=params["solver"], reps=params["reps"],
             )
         except (TypeError, ValueError) as e:
             if params["devices"] or params["solver"] != "standard":
