@@ -135,6 +135,27 @@ def test_permuted_fault_events_match_canonical(mode):
         assert events["auto"] == events["none"], f"seed {seed}: {events}"
 
 
+def test_permuted_scrubbed_matrix_roundtrip():
+    """HostResult.scrubbed under an active RCM permutation: the exec
+    slot map is permuted, but the recovered canonical planes must equal
+    the clean ones exactly."""
+    a = shuffled_lap(seed=17)
+    m = build_protected("csr", a, "sec8")
+    assert m.perm is not None
+    b = RNG.random(m.N)
+    m2 = inject_bitflips(m, "ANY", 1, np.random.default_rng(6),
+                         echo=lambda s: None)
+    res = create("jnp", "sec8").solve(m2, b, 300, 1e-10, verbose=False,
+                                      dtype="f64")
+    assert not res.failed and res.corrected_count == 1
+    assert res.scrubbed is not None and res.scrubbed.perm is not None
+    for n in m.layout.word_names:
+        assert (res.scrubbed.planes[n] == m.planes[n]).all()
+    res2 = create("jnp", "sec8").solve(res.scrubbed, b, 300, 1e-10,
+                                       verbose=False, dtype="f64")
+    assert not res2.failed and res2.corrected_count == 0
+
+
 def test_permuted_correction_recovers_exact_solution():
     a = shuffled_lap(seed=13)
     m = build_protected("csr", a, "secded")
