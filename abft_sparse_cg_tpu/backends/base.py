@@ -61,8 +61,8 @@ def default_dtype(requested: str = "auto"):
 
 
 def slot_to_canonical(mat: ProtectedMatrix) -> np.ndarray:
-    """Inverse of ell_slot: flat ELL slot -> canonical element index."""
-    inv = np.full(mat.R * mat.K, -1, dtype=np.int64)
+    """Inverse of ell_slot: flat exec slot -> canonical element index."""
+    inv = np.full(mat.exec_size, -1, dtype=np.int64)
     inv[mat.ell_slot] = np.arange(mat.nnz, dtype=np.int64)
     return inv
 

@@ -107,13 +107,16 @@ class ProtectedMatrix:
 
     @property
     def K(self) -> int:
-        """ELL slots per row, or number of diagonals for DIA."""
+        """ELL slots per row / number of diagonals (DIA) / max group
+        length (flat)."""
+        if self.exec_kind == "flat":
+            return int(self.ell_len.max()) if len(self.ell_len) else 0
         return self.ell[self.ell_gather_word].shape[0]
 
     @property
     def R(self) -> int:
         """Padded output-row count of the execution layout."""
-        return self.ell[self.ell_gather_word].shape[1]
+        return len(self.ell_len)
 
     @property
     def exec_row_axis(self) -> int:
@@ -177,6 +180,9 @@ class ProtectedMatrix:
         """
         shape = self.ell[self.layout.word_names[0]].shape
         ell = _scatter_exec(planes, self.layout, self.ell_slot, shape)
+        for name, aux in self.ell.items():  # non-word aux planes persist
+            if name not in ell:
+                ell[name] = aux
         return replace(self, planes=planes, ell=ell)
 
     def with_scrubbed_planes(self, planes: Dict[str, np.ndarray]
@@ -246,8 +252,9 @@ def compute_exec_checksums(ell: Dict[str, np.ndarray], word_names,
 def _scatter_exec(planes, layout, slot, shape):
     """Scatter flat planes into execution planes (all-zero padding)."""
     out = {}
+    size = int(np.prod(shape))
     for name in layout.word_names:
-        flat = np.zeros(shape[0] * shape[1], dtype=np.uint32)
+        flat = np.zeros(size, dtype=np.uint32)
         flat[slot] = planes[name]
         out[name] = flat.reshape(shape)
     return out
@@ -257,6 +264,14 @@ def _scatter_exec(planes, layout, slot, shape):
 # exec-space bandwidth under this bound (rows + halo must fit a VMEM
 # window) — or when it makes the matrix DIA-eligible outright.
 _BAND_KERNEL_MAX = 16384
+
+# ELL pads every output row to the longest one; when a few dense rows
+# would blow the K*R footprint past this multiple of nnz, fall back to
+# the memory-safe FLAT layout (1-D canonical-order planes, storage
+# proportional to nnz like the reference's CSR; SpMV = gather + sorted
+# segment-sum — the slow-but-correct path for bordered matrices until
+# the outlier-split lands).
+_ELL_MAX_EXPAND = 8.0
 
 
 def _group_structure(group, gidx, N, nnz, presorted):
@@ -369,6 +384,26 @@ def build_protected(fmt: str, assembled: AssembledMatrix, mode: str,
         ell_slot = inv * R + group
         ell = _scatter_exec(planes, layout, ell_slot, (len(uoffs), R))
         dia_offsets = tuple(int(o) for o in uoffs)
+    elif force_exec != "ell" and nnz and K * R > _ELL_MAX_EXPAND * nnz:
+        # FLAT: 1-D planes in exec-sorted canonical order, padded to a
+        # multiple of 8 with zero codewords; the slot map is the sort
+        # order itself.
+        exec_kind = "flat"
+        nnz_pad = -(-nnz // CKSUM_BLOCK) * CKSUM_BLOCK
+        order = np.lexsort((gidx, group))
+        ell_slot = np.empty(nnz, dtype=np.int64)
+        ell_slot[order] = np.arange(nnz, dtype=np.int64)
+        ell = {}
+        for name in layout.word_names:
+            flat = np.zeros(nnz_pad, dtype=np.uint32)
+            flat[ell_slot] = planes[name]
+            ell[name] = flat
+        # Output index per exec slot (the segment ids of the reduce).
+        grp_exec = np.zeros(nnz_pad, dtype=np.int32)
+        grp_exec[ell_slot] = group.astype(np.int32)
+        grp_exec[nnz:] = R - 1 if R else 0   # padding joins the last row
+        ell["__flat_group__"] = grp_exec
+        dia_offsets = ()
     else:
         exec_kind = "ell"
         # Transposed ELL: slots on sublanes, rows on lanes (see module
@@ -377,7 +412,9 @@ def build_protected(fmt: str, assembled: AssembledMatrix, mode: str,
         ell = _scatter_exec(planes, layout, ell_slot, (K, R))
         dia_offsets = ()
 
-    ell_cksum = compute_exec_checksums(ell, layout.word_names, row_axis=1)
+    ell_cksum = compute_exec_checksums(
+        {n: ell[n] for n in layout.word_names}, layout.word_names,
+        row_axis=1)
     flat_cksum = None
     if mode in codec.ECC_MODES:  # only the native lazy paths consume it
         nb = -(-max(nnz, 1) // CKSUM_BLOCK)

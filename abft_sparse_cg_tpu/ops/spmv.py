@@ -153,6 +153,9 @@ class MatrixDevice(NamedTuple):
     #                               than the whole stencil; doing it per
     #                               iteration halves SpMV throughput).
     #                               Re-derived by classify() after a scrub.
+    flat_group: jnp.ndarray = None  # flat layout only: (nnz_pad,) int32
+    #                               output index per exec slot (sorted —
+    #                               the segment ids of the row reduce)
     gidx: jnp.ndarray = None      # (K, R) int32 exec-space gather indices —
     #                               only when an RCM reordering is active
     #                               (formats.reorder): the stored codeword
@@ -219,19 +222,22 @@ def make_matrix_device(mat, dtype=jnp.float32) -> MatrixDevice:
     words = tuple(jnp.asarray(mat.ell[n]) for n in mat.layout.word_names)
     vlo = mat.layout.word_names.index("value_lo")
     vhi = mat.layout.word_names.index("value_hi")
-    gidx = perm_pos = None
-    if mat.perm is not None and mat.exec_kind == "ell":
+    gidx = perm_pos = flat_group = None
+    if mat.perm is not None and mat.exec_kind in ("ell", "flat"):
         from ..formats.reorder import inverse_permutation
 
         gidx = jnp.asarray(exec_gather_host(mat))
         pp = np.zeros(mat.R, dtype=np.int32)
         pp[: mat.N] = inverse_permutation(mat.perm)
         perm_pos = jnp.asarray(pp)
+    if mat.exec_kind == "flat":
+        flat_group = jnp.asarray(mat.ell["__flat_group__"])
     return MatrixDevice(
         words=words,
         ell_len=jnp.asarray(mat.ell_len),
         cksum=jnp.asarray(mat.ell_cksum),
         values=planes_to_value(words[vlo], words[vhi], dtype),
+        flat_group=flat_group,
         gidx=gidx,
         perm_pos=perm_pos,
     )
@@ -302,6 +308,9 @@ def make_constraints_check(mat):
     pair its own compute with the reference checks."""
     if mat.exec_kind == "dia":
         cfg = _DiaConfig(mat.fmt, mat.layout, mat.N, mat.dia_offsets)
+    elif mat.exec_kind == "flat":
+        cfg = _FlatConfig(mat.fmt, mat.layout, mat.N, mat.nnz, mat.R,
+                          ecc_mode=False)
     else:
         cfg = _EllConfig(mat.fmt, mat.layout, mat.N, ecc_mode=False)
 
@@ -324,14 +333,16 @@ def make_spmv(mat, dtype=jnp.float32, mode: str = None) -> SpmvImpl:
         raise ValueError(f"unknown mode {mode!r}")
     if mat.exec_kind == "dia":
         cfg = _DiaConfig(mat.fmt, mat.layout, mat.N, mat.dia_offsets)
-        row_axis = 1
+    elif mat.exec_kind == "flat":
+        cfg = _FlatConfig(mat.fmt, mat.layout, mat.N, mat.nnz, mat.R,
+                          ecc_mode=mode in codec.ECC_MODES)
     else:
         # The reference masks the ECC byte out of the column only in ECC
         # modes (`col &= 0x00FFFFFF`, CSR/CPUContext.cpp:237); none/
         # constraints use the raw column.
         cfg = _EllConfig(mat.fmt, mat.layout, mat.N,
                          ecc_mode=mode in codec.ECC_MODES)
-        row_axis = 1
+    row_axis = 1  # rows on the lane axis for 2-D layouts; flat is 1-D
 
     # ---- full: single-call check+compute (semantic oracle) -----------
 
@@ -420,6 +431,7 @@ def make_spmv(mat, dtype=jnp.float32, mode: str = None) -> SpmvImpl:
             cksum=_device_checksums(checked, row_axis),
             values=planes_to_value(checked[cfg.vlo_w], checked[cfg.vhi_w],
                                    dtype),
+            flat_group=md.flat_group,
             gidx=gidx2,
             perm_pos=md.perm_pos,
         )
@@ -575,6 +587,82 @@ class _EllConfig:
             bad = pair_valid & (col[1:, :] <= col[:-1, :])
             bad = jnp.pad(bad, ((0, 1), (0, 0)))
             errcode, err_slot = _raise_err(ERR_COL_ORDER, bad, errcode, err_slot)
+        return errcode, err_slot
+
+
+# --------------------------------------------------------------------------
+# FLAT: 1-D exec-sorted canonical planes — the memory-safe fallback for
+# matrices whose ELL padding would explode (a few dense rows).  Storage
+# is proportional to nnz like the reference's CSR; SpMV is gather +
+# sorted segment-sum (the slow-but-correct general path).
+# --------------------------------------------------------------------------
+
+class _FlatConfig:
+    def __init__(self, fmt, layout, N, nnz, R, ecc_mode=True):
+        self.fmt = fmt
+        self.layout = layout
+        self.N = N
+        self.nnz = nnz
+        self.R = R
+        names = layout.word_names
+        self.gather_w = names.index("row" if fmt == "coo" else "col")
+        self.col_w = names.index("col")
+        self.vlo_w = names.index("value_lo")
+        self.vhi_w = names.index("value_hi")
+        self.ecc_gather_mask = ecc_mode and self.gather_w == self.col_w
+
+    def _valid(self, md):
+        E = md.words[0].shape[0]
+        return jax.lax.broadcasted_iota(jnp.int32, (E, 1), 0)[:, 0] < self.nnz
+
+    def gather_indices(self, md, words, stored=False):
+        if stored and md.gidx is not None:
+            return md.gidx
+        gidx = words[self.gather_w]
+        if self.ecc_gather_mask:
+            gidx = gidx & ECC_COL_MASK
+        gidx = gidx.astype(jnp.int32)
+        if md.perm_pos is not None:
+            gidx = md.perm_pos[gidx]
+        return gidx
+
+    def compute_w(self, md, words, x, dtype, values=None, stored=False):
+        gidx = self.gather_indices(md, words, stored)
+        vals = values if values is not None else planes_to_value(
+            words[self.vlo_w], words[self.vhi_w], dtype
+        )
+        contrib = jnp.where(self._valid(md), vals * x[gidx],
+                            jnp.zeros((), dtype))
+        return jax.ops.segment_sum(contrib, md.flat_group,
+                                   num_segments=self.R,
+                                   indices_are_sorted=True)
+
+    def constraints(self, md, errcode, err_slot):
+        words = md.words
+        valid = self._valid(md)
+        col = words[self.col_w]
+        grp = md.flat_group
+        errcode, err_slot = _raise_err(
+            ERR_COL_SIZE, valid & (col >= np.uint32(self.N)), errcode,
+            err_slot)
+        # Pair violations flag the FIRST element, like the reference
+        # ("cols[i+1] <= cols[i]" reported at i, CSR/CPUContext.cpp:196).
+        same = (grp[1:] == grp[:-1]) & valid[1:]
+        if self.fmt == "coo":
+            row = words[self.gather_w]
+            errcode, err_slot = _raise_err(
+                ERR_ROW_SIZE, valid & (row >= np.uint32(self.N)), errcode,
+                err_slot)
+            bad = same & (row[1:] <= row[:-1])
+            errcode, err_slot = _raise_err(
+                ERR_ROW_ORDER, jnp.pad(bad, (0, 1)), errcode, err_slot)
+            errcode, err_slot = _raise_err(
+                ERR_COL_ORDER, valid & (col != grp.astype(jnp.uint32)),
+                errcode, err_slot)
+        else:
+            bad = same & (col[1:] <= col[:-1])
+            errcode, err_slot = _raise_err(
+                ERR_COL_ORDER, jnp.pad(bad, (0, 1)), errcode, err_slot)
         return errcode, err_slot
 
 

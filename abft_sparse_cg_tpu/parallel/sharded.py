@@ -54,6 +54,12 @@ def _device_put_sharded(mat: ProtectedMatrix, b: np.ndarray, mesh, dtype):
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    if mat.exec_kind == "flat":
+        raise ValueError(
+            "the flat (entry-order) layout cannot be row-sharded — its "
+            "planes are per-entry, not per-row; rebuild without the ELL "
+            "padding blowup (fewer dense rows) for a sharded solve"
+        )
     ndev = mesh.devices.size
     axis = mesh.axis_names[0]
     R_pad = -(-mat.R // (8 * ndev)) * (8 * ndev)
