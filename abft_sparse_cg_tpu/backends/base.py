@@ -79,7 +79,11 @@ def stats_to_messages(mat: ProtectedMatrix, errcode, err_slot, cor_slot,
     parallel.sharded pads rows to a multiple of 8 * n_devices), so flat
     device slots re-map onto the canonical slot grid.
     """
-    inv = slot_to_canonical(mat)
+    # Composite (bordered-split) matrices own their slot routing.
+    if hasattr(mat, "slot_to_canonical"):
+        inv = mat.slot_to_canonical()
+    else:
+        inv = slot_to_canonical(mat)
 
     def canon_slot(slot):
         if r_dev is None or r_dev == mat.R or slot < 0:

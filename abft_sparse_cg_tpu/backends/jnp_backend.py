@@ -45,8 +45,8 @@ class JnpBackend(Backend):
         import jax
 
         key = ("solve", variant, mat.fmt, self.mode, mat.exec_kind,
-               mat.dia_offsets, mat.R, mat.K, mat.N, str(dtype), max_itrs,
-               float(conv))
+               mat.dia_offsets, mat.R, mat.K, mat.N, mat.nnz, str(dtype),
+               max_itrs, float(conv))
         if key not in _SOLVER_CACHE:
             spmv = make_spmv(mat, dtype, self.mode)
             if variant == "pipelined":
@@ -62,7 +62,7 @@ class JnpBackend(Backend):
         import jax
 
         key = ("spmv", mat.fmt, self.mode, mat.exec_kind, mat.dia_offsets,
-               mat.R, mat.K, mat.N, str(dtype))
+               mat.R, mat.K, mat.N, mat.nnz, str(dtype))
         if key not in _SOLVER_CACHE:
             impl = make_spmv(mat, dtype, self.mode)
             _SOLVER_CACHE[key] = jax.jit(impl.full)

@@ -31,7 +31,7 @@ class PallasBackend(JnpBackend):
         # band + permutation presence shape the ELL kernel (window size,
         # gather-index source) — same-shaped matrices must not collide.
         key = ("psolve", variant, mat.fmt, self.mode, mat.exec_kind,
-               mat.dia_offsets, mat.R, mat.K, mat.N, mat.band,
+               mat.dia_offsets, mat.R, mat.K, mat.N, mat.nnz, mat.band,
                mat.perm is not None, str(dtype), max_itrs, float(conv))
         if key not in _SOLVER_CACHE:
             spmv = make_pallas_spmv(mat, dtype, self.mode)
@@ -48,7 +48,7 @@ class PallasBackend(JnpBackend):
         import jax
 
         key = ("pspmv", mat.fmt, self.mode, mat.exec_kind, mat.dia_offsets,
-               mat.R, mat.K, mat.N, mat.band, mat.perm is not None,
+               mat.R, mat.K, mat.N, mat.nnz, mat.band, mat.perm is not None,
                str(dtype))
         if key not in _SOLVER_CACHE:
             impl = make_pallas_spmv(mat, dtype, self.mode)

@@ -196,13 +196,7 @@ class ProtectedMatrix:
                                            out.exec_row_axis)
         flat_cksum = out.flat_cksum
         if flat_cksum is not None:
-            nb = flat_cksum.shape[1]
-            flat_cksum = np.empty_like(flat_cksum)
-            for wi, name in enumerate(out.layout.word_names):
-                p = np.zeros(nb * CKSUM_BLOCK, dtype=np.uint32)
-                p[: out.nnz] = planes[name]
-                flat_cksum[wi] = np.bitwise_xor.reduce(
-                    p.reshape(nb, CKSUM_BLOCK), axis=1)
+            flat_cksum = flat_checksums(planes, out.layout, out.nnz)
         return replace(out, ell_cksum=ell_cksum, flat_cksum=flat_cksum)
 
 
@@ -230,6 +224,19 @@ def _encode_planes(fmt, assembled: AssembledMatrix, mode: str):
 
 CKSUM_BLOCK = 8  # rows per checksum block; 8 divides every padded R and
 #                  every mesh shard (shards are multiples of 8 rows)
+
+
+def flat_checksums(planes: Dict[str, np.ndarray], layout,
+                   nnz: int) -> np.ndarray:
+    """XOR checksums of the canonical FLAT planes per 8-element block —
+    consumed by the native backend's fast-scan path: (W, ceil(nnz/8))."""
+    nb = -(-max(nnz, 1) // CKSUM_BLOCK)
+    out = np.zeros((layout.num_words, nb), dtype=np.uint32)
+    for wi, name in enumerate(layout.word_names):
+        p = np.zeros(nb * CKSUM_BLOCK, dtype=np.uint32)
+        p[:nnz] = planes[name]
+        out[wi] = np.bitwise_xor.reduce(p.reshape(nb, CKSUM_BLOCK), axis=1)
+    return out
 
 
 def compute_exec_checksums(ell: Dict[str, np.ndarray], word_names,
@@ -291,7 +298,9 @@ def _group_structure(group, gidx, N, nnz, presorted):
 
 def build_protected(fmt: str, assembled: AssembledMatrix, mode: str,
                     force_exec: str = None,
-                    reorder: str = "auto") -> ProtectedMatrix:
+                    reorder: str = "auto",
+                    split: str = "auto",
+                    force_perm: np.ndarray = None):
     """Encode + lay out a protected matrix.
 
     ``force_exec``: None = auto-select execution layout; "ell"/"dia"
@@ -301,6 +310,12 @@ def build_protected(fmt: str, assembled: AssembledMatrix, mode: str,
     formats.reorder); "rcm" = always attempt; None/"none" = never.
     Constraints mode never reorders (its checks assert the reference's
     natural-order invariants verbatim).
+    ``split``: "auto" = when a few dense rows would blow up the ELL
+    padding, return a formats.split.CompositeMatrix (banded main part +
+    flat tail part); "none" = never (the flat layout then carries such
+    matrices alone).
+    ``force_perm``: impose a specific exec-space permutation (the split
+    machinery aligns its parts with this; overrides ``reorder``).
     """
     if fmt not in FORMATS:
         raise ValueError(f"unknown format: {fmt!r}")
@@ -345,12 +360,12 @@ def build_protected(fmt: str, assembled: AssembledMatrix, mode: str,
             ok = np.unique(inv * R + group).size == nnz
         return ok, uoffs, inv
 
-    perm = None
-    group, gidx = exec_indices(None)
+    perm = force_perm if mode != "constraints" else None
+    group, gidx = exec_indices(perm)
     dia_ok, uoffs, inv = dia_check(group, gidx)
     band = int(np.abs(gidx - group).max()) if nnz else 0
 
-    if (not dia_ok and mode != "constraints" and nnz > 0
+    if (perm is None and not dia_ok and mode != "constraints" and nnz > 0
             and reorder in ("auto", "rcm")):
         from .reorder import rcm_permutation
 
@@ -385,6 +400,13 @@ def build_protected(fmt: str, assembled: AssembledMatrix, mode: str,
         ell = _scatter_exec(planes, layout, ell_slot, (len(uoffs), R))
         dia_offsets = tuple(int(o) for o in uoffs)
     elif force_exec != "ell" and nnz and K * R > _ELL_MAX_EXPAND * nnz:
+        if split == "auto" and force_exec is None and force_perm is None:
+            from .split import try_split
+
+            comp = try_split(fmt, assembled, mode, layout, planes, row_ptr,
+                             reorder)
+            if comp is not None:
+                return comp
         # FLAT: 1-D planes in exec-sorted canonical order, padded to a
         # multiple of 8 with zero codewords; the slot map is the sort
         # order itself.
@@ -417,13 +439,7 @@ def build_protected(fmt: str, assembled: AssembledMatrix, mode: str,
         row_axis=1)
     flat_cksum = None
     if mode in codec.ECC_MODES:  # only the native lazy paths consume it
-        nb = -(-max(nnz, 1) // CKSUM_BLOCK)
-        flat_cksum = np.zeros((layout.num_words, nb), dtype=np.uint32)
-        for wi, name in enumerate(layout.word_names):
-            p = np.zeros(nb * CKSUM_BLOCK, dtype=np.uint32)
-            p[:nnz] = planes[name]
-            flat_cksum[wi] = np.bitwise_xor.reduce(
-                p.reshape(nb, CKSUM_BLOCK), axis=1)
+        flat_cksum = flat_checksums(planes, layout, nnz)
 
     return ProtectedMatrix(
         fmt=fmt,

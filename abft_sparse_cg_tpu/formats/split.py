@@ -1,0 +1,186 @@
+"""Outlier/bordered split: banded main part + flat tail part.
+
+Mesh matrices with a few high-degree indices (boundary conditions,
+constraint rows, Lagrange multipliers) defeat both banded layouts: the
+dense rows blow the ELL padding (K*R) and connect everywhere, so no
+reordering can recover a band.  The classical structure is *bordered*:
+removing a handful of outlier indices leaves a nicely banded core.
+
+``try_split`` decomposes A = M + T at the canonical level: ``tail`` =
+every entry incident to an outlier index, ``main`` = the rest.  Each
+part is an ordinary ProtectedMatrix (main goes through the usual
+DIA/RCM/window machinery; the tail — tiny but wide — lands on the flat
+layout), sharing one execution space (the tail is built with the main's
+permutation imposed).  The SpMV is the sum of the parts' SpMVs; ABFT
+events carry (part, slot) and map back to GLOBAL canonical indices, so
+everything reference-visible (injection banners, `[ECC] corrected bit B
+at index I`, error indices) is identical to the unsplit matrix.
+
+ECC is encoded ONCE over the global canonical planes and the planes are
+split by masks, so the codewords are bit-identical to an unsplit build
+— the native backend keeps consuming the global planes directly.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+from typing import Dict
+
+import numpy as np
+
+from .loader import AssembledMatrix
+from .protected import ProtectedMatrix, flat_checksums
+
+__all__ = ["CompositeMatrix", "try_split"]
+
+_MAX_OUTLIERS = 256
+_MAX_TAIL_FRAC = 0.25
+_DEG_FACTOR = 4
+
+
+@dataclass(frozen=True)
+class CompositeMatrix:
+    """A + S decomposition; duck-compatible with ProtectedMatrix where
+    the backends/CLI need it (planes are GLOBAL canonical order)."""
+
+    fmt: str
+    mode: str
+    N: int
+    nnz: int
+    layout: object
+    planes: Dict[str, np.ndarray]       # global canonical planes
+    row_ptr: np.ndarray                 # CSR only
+    flat_cksum: np.ndarray              # native fast-scan checksums
+    main: ProtectedMatrix
+    tail: ProtectedMatrix
+    idx_main: np.ndarray                # part canonical -> global canonical
+    idx_tail: np.ndarray
+    block_size: int = 0
+    num_blocks: int = 1
+
+    exec_kind = "split"
+
+    @property
+    def R(self) -> int:
+        return self.main.R
+
+    @property
+    def K(self) -> int:
+        return max(self.main.K, self.tail.K)
+
+    @property
+    def band(self) -> int:
+        return self.main.band
+
+    @property
+    def perm(self):
+        return self.main.perm
+
+    @property
+    def dia_offsets(self):
+        return self.main.dia_offsets
+
+    @property
+    def exec_size(self) -> int:
+        return self.main.exec_size + self.tail.exec_size
+
+    def to_exec_order(self, v: np.ndarray) -> np.ndarray:
+        return self.main.to_exec_order(v)
+
+    def from_exec_order(self, v: np.ndarray) -> np.ndarray:
+        return self.main.from_exec_order(v)
+
+    def words_list(self):
+        return [self.planes[n] for n in self.layout.word_names]
+
+    def diagonal(self) -> np.ndarray:
+        # The diagonal belongs to whichever part holds it; sum covers both.
+        return self.main.diagonal() + self.tail.diagonal()
+
+    def slot_to_canonical(self) -> np.ndarray:
+        """Flat composite exec slot -> GLOBAL canonical element index
+        (tail slots are offset by the main part's exec size)."""
+        from ..backends.base import slot_to_canonical
+
+        inv = np.full(self.exec_size, -1, dtype=np.int64)
+        im = slot_to_canonical(self.main)
+        sel = im >= 0
+        inv[: self.main.exec_size][sel] = self.idx_main[im[sel]]
+        it = slot_to_canonical(self.tail)
+        sel = it >= 0
+        inv[self.main.exec_size:][sel] = self.idx_tail[it[sel]]
+        return inv
+
+    def with_planes(self, planes: Dict[str, np.ndarray]) -> "CompositeMatrix":
+        """Corruption semantics like ProtectedMatrix.with_planes: the new
+        global planes are re-split; build-time checksums stay."""
+        mainp = {n: p[self.idx_main] for n, p in planes.items()}
+        tailp = {n: p[self.idx_tail] for n, p in planes.items()}
+        return replace(self, planes=planes,
+                       main=self.main.with_planes(mainp),
+                       tail=self.tail.with_planes(tailp))
+
+    def with_scrubbed_planes(self, planes) -> "CompositeMatrix":
+        mainp = {n: p[self.idx_main] for n, p in planes.items()}
+        tailp = {n: p[self.idx_tail] for n, p in planes.items()}
+        return replace(
+            self, planes=planes,
+            flat_cksum=(flat_checksums(planes, self.layout, self.nnz)
+                        if self.flat_cksum is not None else None),
+            main=self.main.with_scrubbed_planes(mainp),
+            tail=self.tail.with_scrubbed_planes(tailp),
+        )
+
+
+def _sub_assembled(a: AssembledMatrix, mask: np.ndarray) -> AssembledMatrix:
+    # Canonical order is the (row, col) sort; a subsequence stays sorted.
+    return AssembledMatrix(
+        rows=a.rows[mask], cols=a.cols[mask], values=a.values[mask],
+        N=a.N, nnz=int(mask.sum()),
+        block_size=a.block_size, num_blocks=a.num_blocks,
+    )
+
+
+def try_split(fmt, assembled, mode, layout, planes, row_ptr, reorder):
+    """Attempt the bordered decomposition; None if it doesn't pay off."""
+    from ..ecc.codec import ECC_MODES
+    from .protected import build_protected
+
+    rows = assembled.rows.astype(np.int64)
+    cols = assembled.cols.astype(np.int64)
+    N, nnz = assembled.N, assembled.nnz
+
+    deg = np.bincount(rows, minlength=N)
+    med = max(1, int(np.median(deg[deg > 0])))
+    cap = max(64, _DEG_FACTOR * med)
+    outliers = np.flatnonzero(deg > cap)
+    if not len(outliers) or len(outliers) > _MAX_OUTLIERS:
+        return None
+    is_out = np.zeros(N, dtype=bool)
+    is_out[outliers] = True
+    tail_mask = is_out[rows] | is_out[cols]
+    if tail_mask.sum() > _MAX_TAIL_FRAC * nnz or not (~tail_mask).any():
+        return None
+
+    a_main = _sub_assembled(assembled, ~tail_mask)
+    main = build_protected(fmt, a_main, mode, reorder=reorder, split="none")
+    if main.exec_kind == "flat":
+        return None  # the core is not banded either; flat alone is simpler
+
+    a_tail = _sub_assembled(assembled, tail_mask)
+    tail = build_protected(fmt, a_tail, mode, reorder="none", split="none",
+                           force_perm=main.perm)
+    if tail.R != main.R:
+        return None  # should not happen (same N); stay safe
+
+    flat_cksum = (flat_checksums(planes, layout, nnz)
+                  if mode in ECC_MODES else None)
+    return CompositeMatrix(
+        fmt=fmt, mode=mode, N=N, nnz=nnz, layout=layout,
+        planes=planes, row_ptr=row_ptr, flat_cksum=flat_cksum,
+        main=main, tail=tail,
+        idx_main=np.flatnonzero(~tail_mask),
+        idx_tail=np.flatnonzero(tail_mask),
+        block_size=assembled.block_size,
+        num_blocks=assembled.num_blocks,
+    )

@@ -212,13 +212,18 @@ def exec_gather_host(mat) -> np.ndarray:
     return pos[np.clip(g.astype(np.int64), 0, mat.N - 1)].astype(np.int32)
 
 
-def make_matrix_device(mat, dtype=jnp.float32) -> MatrixDevice:
+def make_matrix_device(mat, dtype=jnp.float32):
     """Upload a ProtectedMatrix's execution layout to the default device.
 
     The value plane is derived on device with the same truncating
     conversion classify() uses after a scrub, so fast-path values are
     bit-identical before and after a repair cycle.
+
+    Composite (bordered-split) matrices upload as a (main, tail) pair.
     """
+    if mat.exec_kind == "split":
+        return (make_matrix_device(mat.main, dtype),
+                make_matrix_device(mat.tail, dtype))
     words = tuple(jnp.asarray(mat.ell[n]) for n in mat.layout.word_names)
     vlo = mat.layout.word_names.index("value_lo")
     vhi = mat.layout.word_names.index("value_hi")
@@ -323,6 +328,48 @@ def make_constraints_check(mat):
     return check
 
 
+def combine_impls(impl_a: SpmvImpl, impl_b: SpmvImpl,
+                  slot_offset: int) -> SpmvImpl:
+    """Compose two part implementations into one (bordered split):
+    w = w_a + w_b, triggers OR, stats merged with part-b exec slots
+    offset past part a's exec size so the host can route them back."""
+
+    def shift(st: SpmvStats) -> SpmvStats:
+        off = jnp.int32(slot_offset)
+        return st._replace(
+            err_slot=jnp.where(st.err_slot >= 0, st.err_slot + off,
+                               st.err_slot),
+            first_cor_slot=jnp.where(st.first_cor_slot >= 0,
+                                     st.first_cor_slot + off,
+                                     st.first_cor_slot),
+        )
+
+    def full(md, x):
+        wa, sa = impl_a.full(md[0], x)
+        wb, sb = impl_b.full(md[1], x)
+        return wa + wb, sa.merge_first(shift(sb))
+
+    fast = fast_pw = classify = None
+    if impl_a.fast is not None and impl_b.fast is not None:
+        def fast(md, x):
+            wa, ta = impl_a.fast(md[0], x)
+            wb, tb = impl_b.fast(md[1], x)
+            return wa + wb, ta | tb
+    if impl_a.fast_pw is not None and impl_b.fast_pw is not None:
+        def fast_pw(md, x):
+            wa, ta, pa = impl_a.fast_pw(md[0], x)
+            wb, tb, pb = impl_b.fast_pw(md[1], x)
+            return wa + wb, ta | tb, pa + pb
+    if impl_a.classify is not None and impl_b.classify is not None:
+        def classify(md):
+            sa, mda = impl_a.classify(md[0])
+            sb, mdb = impl_b.classify(md[1])
+            return sa.merge_first(shift(sb)), (mda, mdb)
+
+    return SpmvImpl(full=full, fast=fast, classify=classify,
+                    fast_pw=fast_pw)
+
+
 def make_spmv(mat, dtype=jnp.float32, mode: str = None) -> SpmvImpl:
     """Build the SpmvImpl (full / fast / classify) for a matrix config.
 
@@ -331,6 +378,10 @@ def make_spmv(mat, dtype=jnp.float32, mode: str = None) -> SpmvImpl:
     mode = mat.mode if mode is None else mode
     if mode not in codec.MODES:
         raise ValueError(f"unknown mode {mode!r}")
+    if mat.exec_kind == "split":
+        return combine_impls(make_spmv(mat.main, dtype, mode),
+                             make_spmv(mat.tail, dtype, mode),
+                             mat.main.exec_size)
     if mat.exec_kind == "dia":
         cfg = _DiaConfig(mat.fmt, mat.layout, mat.N, mat.dia_offsets)
     elif mat.exec_kind == "flat":

@@ -165,6 +165,16 @@ def make_pallas_spmv(mat, dtype=jnp.float32, mode: str = None,
     on_cpu = _jax.devices()[0].platform == "cpu"
     if interpret is None and on_cpu:
         return make_jnp_spmv(mat, dtype, mode)
+    if mat.exec_kind == "split":
+        # Bordered split: main rides the kernels, the flat tail falls
+        # through to jnp inside the recursive call.
+        from .spmv import combine_impls
+
+        return combine_impls(
+            make_pallas_spmv(mat.main, dtype, mode, interpret),
+            make_pallas_spmv(mat.tail, dtype, mode, interpret),
+            mat.main.exec_size,
+        )
     interpret = bool(interpret) if interpret is not None else False
     if not supports(mat, dtype):
         return make_jnp_spmv(mat, dtype, mode)

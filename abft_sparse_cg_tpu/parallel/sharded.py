@@ -54,11 +54,11 @@ def _device_put_sharded(mat: ProtectedMatrix, b: np.ndarray, mesh, dtype):
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    if mat.exec_kind == "flat":
+    if mat.exec_kind in ("flat", "split"):
         raise ValueError(
-            "the flat (entry-order) layout cannot be row-sharded — its "
-            "planes are per-entry, not per-row; rebuild without the ELL "
-            "padding blowup (fewer dense rows) for a sharded solve"
+            f"the {mat.exec_kind} (bordered-matrix) layout cannot be "
+            "row-sharded yet — its planes are not purely per-row; use a "
+            "single device for dense-row matrices"
         )
     ndev = mesh.devices.size
     axis = mesh.axis_names[0]

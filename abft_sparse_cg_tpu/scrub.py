@@ -32,6 +32,16 @@ def scrubbed_from_device(mat: ProtectedMatrix, md) -> ProtectedMatrix:
     write-back (CSR/CPUContext.cpp:275-277): after a faulty solve, the
     caller holds a repaired, fully self-consistent matrix.
     """
+    if mat.exec_kind == "split":
+        main = scrubbed_from_device(mat.main, md[0])
+        tail = scrubbed_from_device(mat.tail, md[1])
+        planes = {}
+        for n in mat.layout.word_names:
+            g = mat.planes[n].copy()
+            g[mat.idx_main] = main.planes[n]
+            g[mat.idx_tail] = tail.planes[n]
+            planes[n] = g
+        return mat.with_scrubbed_planes(planes)
     planes = {}
     shape0 = mat.ell[mat.layout.word_names[0]].shape
     for name, w in zip(mat.layout.word_names, md.words):

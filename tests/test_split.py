@@ -1,0 +1,139 @@
+"""Bordered-matrix outlier split: banded main + flat tail composite."""
+
+import numpy as np
+import pytest
+
+from abft_sparse_cg_tpu.backends import available, create
+from abft_sparse_cg_tpu.formats import assemble, build_protected
+from abft_sparse_cg_tpu.inject import inject_bitflips
+from abft_sparse_cg_tpu.ops.spmv import spmv_dense_oracle
+from abft_sparse_cg_tpu.utils.matgen import spd_tridiagonal
+
+RNG = np.random.default_rng(909)
+
+
+def bordered(n=2048, dense_rows=(17, 900), spread=300, blocks=1):
+    """Tridiagonal core + a few dense rows — the split's target shape."""
+    rows, cols, vals, n = spd_tridiagonal(n)
+    rows, cols, vals = list(rows), list(cols), list(vals)
+    rng = np.random.default_rng(3)
+    for r in dense_rows:
+        targets = np.setdiff1d(rng.choice(n, size=spread, replace=False),
+                               [r - 1, r, r + 1])
+        for c in targets:
+            hi, lo = max(r, int(c)), min(r, int(c))
+            rows.append(hi)
+            cols.append(lo)
+            vals.append(-0.01)
+    rows, cols = np.array(rows), np.array(cols)
+    vals = np.array(vals, dtype=float)
+    deg = np.bincount(rows, minlength=n) + np.bincount(cols, minlength=n)
+    diag = rows == cols
+    vals[diag] = deg.astype(float)[rows[diag]] + 4.0
+    return assemble(cols, rows, vals, n, blocks)
+
+
+@pytest.mark.parametrize("fmt", ["csr", "coo"])
+def test_bordered_selects_split(fmt):
+    a = bordered()
+    m = build_protected(fmt, a, "secded")
+    assert m.exec_kind == "split"
+    assert m.main.exec_kind in ("dia", "ell")
+    assert m.tail.exec_kind == "flat"
+    assert m.main.nnz + m.tail.nnz == a.nnz
+    # opt-out falls back to the flat layout
+    m2 = build_protected(fmt, a, "secded", split="none")
+    assert m2.exec_kind == "flat"
+
+
+@pytest.mark.parametrize("fmt", ["csr", "coo"])
+@pytest.mark.parametrize("mode", ["none", "sed", "sec7", "sec8", "secded"])
+def test_split_spmv_and_solve(fmt, mode):
+    a = bordered()
+    m = build_protected(fmt, a, mode)
+    assert m.exec_kind == "split"
+    x = RNG.standard_normal(a.N)
+    backend = create("jnp", mode)
+    w, errcode, _ = backend.spmv_once(m, x, dtype="f64")
+    assert errcode == 0
+    np.testing.assert_allclose(w, spmv_dense_oracle(m.main, x)
+                               + spmv_dense_oracle(m.tail, x),
+                               rtol=1e-11, atol=1e-12)
+    b = RNG.random(a.N)
+    res = backend.solve(m, b, 3000, 1e-16, verbose=False, dtype="f64")
+    assert not res.failed
+    d = np.zeros((a.N, a.N))
+    d[a.rows, a.cols] = a.values
+    np.testing.assert_allclose(d @ res.x, b, atol=1e-6)
+
+
+@pytest.mark.parametrize("mode", ["sed", "sec7", "sec8", "secded"])
+def test_split_fault_events_match_flat(mode):
+    """Same injection seed -> identical banners and events whether the
+    matrix was built split or flat (global canonical indexing)."""
+    a = bordered()
+    b = RNG.random(a.N)
+    results = {}
+    for split in ("auto", "none"):
+        m = build_protected("csr", a, mode, split=split)
+        for seed in range(4):
+            banners = []
+            m2 = inject_bitflips(m, "ANY", 1, np.random.default_rng(seed),
+                                 echo=banners.append)
+            res = create("jnp", mode).solve(m2, b, 2000, 1e-10,
+                                            verbose=False, dtype="f64")
+            key = (split, seed)
+            results[key] = (banners, res.errcode, res.err_index,
+                            res.corrected_count, res.messages)
+    for seed in range(4):
+        assert results[("auto", seed)] == results[("none", seed)], seed
+
+
+def test_split_native_backend_agreement():
+    """The native backend consumes the composite's GLOBAL planes."""
+    if ("cpu", "secded") not in available():
+        pytest.skip("native backend unavailable")
+    a = bordered()
+    m = build_protected("csr", a, "secded")
+    assert m.exec_kind == "split"
+    b = RNG.random(a.N)
+    m2 = inject_bitflips(m, "ANY", 1, np.random.default_rng(2),
+                         echo=lambda s: None)
+    rj = create("jnp", "secded").solve(m2, b, 2000, 1e-10, verbose=False,
+                                       dtype="f64")
+    rc = create("cpu", "secded").solve(m2, b, 2000, 1e-10, verbose=False)
+    assert rj.errcode == rc.errcode == 0
+    assert rj.messages == rc.messages
+    assert rj.corrected_count == rc.corrected_count == 1
+    # Different summation orders, both converged to rr <= 1e-10: the
+    # solutions agree to the convergence-implied slack, not to ulps.
+    np.testing.assert_allclose(rj.x, rc.x, rtol=1e-4, atol=1e-7)
+
+
+def test_split_scrubbed_roundtrip():
+    a = bordered()
+    m = build_protected("csr", a, "sec8")
+    b = RNG.random(a.N)
+    m2 = inject_bitflips(m, "ANY", 1, np.random.default_rng(11),
+                         echo=lambda s: None)
+    res = create("jnp", "sec8").solve(m2, b, 2000, 1e-10, verbose=False,
+                                      dtype="f64")
+    assert not res.failed and res.corrected_count == 1
+    assert res.scrubbed.exec_kind == "split"
+    for n in m.layout.word_names:
+        assert (res.scrubbed.planes[n] == m.planes[n]).all()
+    res2 = create("jnp", "sec8").solve(res.scrubbed, b, 2000, 1e-10,
+                                       verbose=False, dtype="f64")
+    assert not res2.failed and res2.corrected_count == 0
+
+
+def test_split_jacobi_preconditioner():
+    a = bordered()
+    m = build_protected("csr", a, "none")
+    b = RNG.random(a.N)
+    res = create("jnp", "none").solve(m, b, 3000, 1e-16, verbose=False,
+                                      dtype="f64", precond="jacobi")
+    assert not res.failed
+    d = np.zeros((a.N, a.N))
+    d[a.rows, a.cols] = a.values
+    np.testing.assert_allclose(d @ res.x, b, atol=1e-6)
