@@ -356,10 +356,14 @@ def _make_ellb_fast(mat, mode, interpret):
     # Gather-index source: the pre-derived exec plane when an RCM
     # permutation is active, else the stored codeword word (masked
     # in-kernel for ECC modes — reference CSR/CPUContext.cpp:237).
+    # When the detection signals already bring every word plane into
+    # VMEM (NW > 0), the gather word is reused from there instead of
+    # being passed (and read from HBM) a second time.
     gather_w = layout.word_names.index(mat.ell_gather_word)
     mask_ecc = (mat.ell_gather_word == "col"
                 and mode in ("sed", "sec7", "sec8", "secded"))
     has_gidx = mat.perm is not None
+    gsrc_in_words = (not has_gidx) and NW > 0
 
     # The per-chunk x windows overlap (each lane group reads WROWS rows
     # around itself), which plain BlockSpecs cannot express.  Instead x
@@ -371,19 +375,25 @@ def _make_ellb_fast(mat, mode, interpret):
 
     def kernel(*refs):
         # refs: NW word chunks (K, CR), cksum (W, CR//8) [if NW],
-        #       vals (K, CR) f32, gsrc (K, CR), XCOPIES x-window blocks
-        #       (LG, 128), outputs: w (CR,), pw (1,1) SMEM, trig (1,1)
+        #       vals (K, CR) f32, gsrc (K, CR) [unless reused from the
+        #       word chunks], XCOPIES x-window blocks (LG, 128),
+        #       outputs: w (CR,), pw (1,1) SMEM, trig (1,1)
         word_refs = refs[:NW]
         k = NW
         if NW:
             ck_ref = refs[k]
             k += 1
         vals_ref = refs[k]
-        gsrc_ref = refs[k + 1]
-        xparts = refs[k + 2:k + 2 + XCOPIES]
-        w_ref = refs[k + 2 + XCOPIES]
-        pw_ref = refs[k + 3 + XCOPIES]
-        trig_ref = refs[k + 4 + XCOPIES]
+        k += 1
+        if gsrc_in_words:
+            gsrc_ref = word_refs[gather_w]
+        else:
+            gsrc_ref = refs[k]
+            k += 1
+        xparts = refs[k:k + XCOPIES]
+        w_ref = refs[k + XCOPIES]
+        pw_ref = refs[k + 1 + XCOPIES]
+        trig_ref = refs[k + 2 + XCOPIES]
 
         i = pl.program_id(0)
 
@@ -448,14 +458,17 @@ def _make_ellb_fast(mat, mode, interpret):
                 pl.BlockSpec((W, CR // 8), lambda i: (0, i),
                              memory_space=pltpu.VMEM))
             args.append(md.cksum)
-        in_specs += [plane_spec, plane_spec]
+        in_specs.append(plane_spec)
+        args.append(md.values)
+        if not gsrc_in_words:
+            in_specs.append(plane_spec)
+            args.append(md.gidx if has_gidx else md.words[gather_w])
         in_specs += [
             pl.BlockSpec((LG, 128), lambda i, c=c: (i + c, 0),
                          memory_space=pltpu.VMEM)
             for c in range(XCOPIES)
         ]
-        gsrc = md.gidx if has_gidx else md.words[gather_w]
-        args += [md.values, gsrc] + [x2] * XCOPIES
+        args += [x2] * XCOPIES
 
         grid_spec = pl.GridSpec(
             grid=(G,),

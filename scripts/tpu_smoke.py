@@ -42,19 +42,43 @@ def main():
 
     import jax.numpy as jnp
 
+    def bordered_assembled():
+        rows, cols, vals, n = spd_tridiagonal(4096)
+        rows, cols, vals = list(rows), list(cols), list(vals)
+        rng = np.random.default_rng(3)
+        for r in (100, 2222):
+            for c in rng.choice(n, size=400, replace=False):
+                hi, lo = max(r, int(c)), min(r, int(c))
+                if hi != lo:
+                    rows.append(hi)
+                    cols.append(lo)
+                    vals.append(-0.01)
+        rows, cols = np.array(rows), np.array(cols)
+        vals = np.array(vals, dtype=float)
+        deg = np.bincount(rows, minlength=n) + np.bincount(cols, minlength=n)
+        diag = rows == cols
+        vals[diag] = deg.astype(float)[rows[diag]] + 4.0
+        return assemble(cols, rows, vals, n, 2)
+
     configs = [
         ("dia", False, "dia"),
         ("ellb", False, "ell"),
         ("ellb-perm", True, "ell"),
+        ("split", None, None),
     ]
     for name, shuffle, force in configs:
-        tri = spd_tridiagonal(4096)
-        if shuffle:
-            tri = shuffle_labels(*tri, seed=3)
-        a = assemble(tri[1], tri[0], tri[2], tri[3], 2)
+        if name == "split":
+            a = bordered_assembled()
+        else:
+            tri = spd_tridiagonal(4096)
+            if shuffle:
+                tri = shuffle_labels(*tri, seed=3)
+            a = assemble(tri[1], tri[0], tri[2], tri[3], 2)
 
         m = build_protected("csr", a, "secded", force_exec=force)
-        assert supports(m, jnp.float32), name
+        if name == "split":
+            assert m.exec_kind == "split", m.exec_kind
+        assert m.exec_kind == "split" or supports(m, jnp.float32), name
         b = np.random.default_rng(7).random(m.N)
         backend = create("pallas", "secded")
 
