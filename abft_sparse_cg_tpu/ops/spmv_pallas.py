@@ -413,19 +413,27 @@ def _make_ellb_fast(mat, mode, interpret):
             g = jax.lax.bitcast_convert_type(g, jnp.int32)
         vals = vals_ref[...]
 
-        pw = jnp.float32(0.0)
+        # In-window position of each entry's source row; the window for
+        # a lane group is WROWS consecutive 128-lane rows of the
+        # pre-tiled x.  Valid entries land inside by the band bound;
+        # corrupted indices are clamped (they still poison the product —
+        # detection happens on the raw planes).  The index math runs
+        # chunk-wide (full (K, CR) tiles keep the VPU lanes busy; doing
+        # it per 128-lane group measured ~35% slower).
+        iota = jax.lax.broadcasted_iota(jnp.int32, (K, CR), 1)
+        local = g - (i * CR + ((iota >> 7) << 7)) + SIDE
+        local = jnp.where(local < 0, 0, local)
+        local = jnp.where(local >= WROWS * 128, WROWS * 128 - 1, local)
+        hi_all = local >> 7
+        lo_all = local & 127
+
+        # pw accumulates as a 128-lane vector, reduced ONCE per chunk
+        # (a cross-lane reduction per group is a pipeline stall).
+        pw_acc = jnp.zeros((1, 128), jnp.float32)
         for j in range(LG):
             cols = slice(j * 128, (j + 1) * 128)
-            # In-window position of each entry's source row; the window
-            # for this lane group is WROWS consecutive 128-lane rows of
-            # the pre-tiled x.  Valid entries land inside by the band
-            # bound; corrupted indices are clamped (they still poison
-            # the product — detection happens on the raw planes).
-            local = g[:, cols] - (i * CR + j * 128) + SIDE
-            local = jnp.where(local < 0, 0, local)
-            local = jnp.where(local >= WROWS * 128, WROWS * 128 - 1, local)
-            hi = local >> 7
-            lo = local & 127
+            hi = hi_all[:, cols]
+            lo = lo_all[:, cols]
             xg = jnp.zeros((K, 128), jnp.float32)
             for s in range(WROWS):
                 tbl = jnp.broadcast_to(window_row(j + s), (K, 128))
@@ -435,8 +443,8 @@ def _make_ellb_fast(mat, mode, interpret):
             w_ref[cols] = wj
             # Fused pw = dot(x, w): this group's aligned x is the
             # window's center row — already in the window blocks.
-            pw = pw + jnp.sum(wj * window_row(j + S0)[0])
-        pw_ref[0, 0] = pw_ref[0, 0] + pw
+            pw_acc = pw_acc + wj[None, :] * window_row(j + S0)
+        pw_ref[0, 0] = pw_ref[0, 0] + jnp.sum(pw_acc)
 
         if NW:
             words = [r[...] for r in word_refs]
