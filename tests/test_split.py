@@ -137,3 +137,23 @@ def test_split_jacobi_preconditioner():
     d = np.zeros((a.N, a.N))
     d[a.rows, a.cols] = a.values
     np.testing.assert_allclose(d @ res.x, b, atol=1e-6)
+
+
+def test_split_pipelined_solver():
+    """The composite impl drives the pipelined solver too (fast/classify
+    compose through the md tuple)."""
+    a = bordered()
+    m = build_protected("csr", a, "secded")
+    b = RNG.random(a.N)
+    backend = create("jnp", "secded")
+    std = backend.solve(m, b, 3000, 1e-12, verbose=False, dtype="f64")
+    pip = backend.solve(m, b, 3000, 1e-12, verbose=False, dtype="f64",
+                        solver="pipelined")
+    assert not pip.failed
+    assert abs(pip.iterations - std.iterations) <= 1
+    np.testing.assert_allclose(pip.x, std.x, rtol=1e-5, atol=1e-9)
+    m2 = inject_bitflips(m, "ANY", 1, np.random.default_rng(4),
+                         echo=lambda s: None)
+    res = backend.solve(m2, b, 3000, 1e-12, verbose=False, dtype="f64",
+                        solver="pipelined")
+    assert not res.failed and res.corrected_count == 1
