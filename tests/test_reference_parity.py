@@ -181,3 +181,41 @@ def test_fault_replay_sed_detection_matches_reference(ref_exes, fmt):
                                      verbose=False, dtype="f64")
     assert res.failed and res.errcode == 1
     assert res.err_index == idx_ref
+
+
+@pytest.fixture(scope="module")
+def bordered_mtx(tmp_path_factory):
+    """Bordered matrix (tridiagonal + dense rows) — exercises the split
+    layout against the reference's general-purpose kernels."""
+    from tests.test_split import bordered
+
+    a = bordered(n=512, dense_rows=(17, 300), spread=100, blocks=1)
+    keep = a.rows >= a.cols
+    mtx = str(tmp_path_factory.mktemp("bord") / "bordered.mtx")
+    write_mm_triangle(mtx, a.rows[keep], a.cols[keep], a.values[keep], a.N)
+    return mtx
+
+
+@pytest.mark.parametrize("fmt", ["csr", "coo"])
+@pytest.mark.parametrize("mode", ["none", "secded"])
+def test_bordered_trajectory_matches_reference(ref_exes, bordered_mtx, fmt,
+                                               mode):
+    """The split (bordered) execution path reproduces the reference's
+    residual trajectory line for line."""
+    exes, _ = ref_exes
+    rr_ref, iters_ref, err_ref = run_ref(exes[fmt], bordered_mtx, mode)
+
+    a = load_matrix(bordered_mtx, 4)
+    m = build_protected(fmt, a, mode)
+    assert m.exec_kind == "split"
+    b = glibc_rand_uniform(m.N)
+    res = create("jnp", mode).solve(m, b, 1000, 0.001, verbose=False,
+                                    dtype="f64")
+    assert not res.failed
+    assert res.iterations == iters_ref
+    np.testing.assert_allclose(res.rr_trace[: res.iterations], rr_ref,
+                               rtol=1e-6, atol=6e-5)
+    w, errcode, _ = create("jnp", mode).spmv_once(m, res.x, dtype="f64")
+    assert errcode == 0
+    total_err = float(np.sqrt(np.sum((b - w) ** 2)))
+    assert abs(total_err - err_ref) < 5e-5 + 1e-6 * err_ref
