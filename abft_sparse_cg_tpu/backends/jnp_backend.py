@@ -103,7 +103,15 @@ class JnpBackend(Backend):
             mesh = default_mesh(devices)
             md, bdev, put_vec = _device_put_sharded(mat, b, mesh, dt)
             minv = put_vec(minv_host) if minv_host is not None else None
-            r_dev = int(md.words[0].shape[-1])
+            if mat.exec_kind == "flat":
+                # Flat exec slots are entry positions — mesh padding
+                # appends, never shifts, so no slot remap is needed.
+                r_dev = None
+            elif mat.exec_kind == "split":
+                r_dev = int(md[0].words[0].shape[-1])  # == mat.R (asserted
+                #                                        by the sharded put)
+            else:
+                r_dev = int(md.words[0].shape[-1])
         else:
             md = _device_arrays(mat, dt)
             # Vectors enter the solver in execution order (identity unless

@@ -684,8 +684,10 @@ class _FlatConfig:
         )
         contrib = jnp.where(self._valid(md), vals * x[gidx],
                             jnp.zeros((), dtype))
+        # Segment count follows x (== self.R single-device; the mesh-padded
+        # row count under parallel.sharded) so w always matches x's shape.
         return jax.ops.segment_sum(contrib, md.flat_group,
-                                   num_segments=self.R,
+                                   num_segments=x.shape[0],
                                    indices_are_sorted=True)
 
     def constraints(self, md, errcode, err_slot):

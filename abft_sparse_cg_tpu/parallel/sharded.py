@@ -13,7 +13,12 @@ this is the TPU-native scaling axis it lacks.  Design (GSPMD):
     off-shard entries of p) and psums for the dot/argmax/sum reductions
     — exactly the two collectives SURVEY §5 calls for, riding ICI;
   - per-shard ABFT verification is purely local; error/correction
-    reductions fold in with the same automatic collectives.
+    reductions fold in with the same automatic collectives;
+  - FLAT (bordered-matrix) layouts shard their per-*entry* planes along
+    the same mesh axis instead (``_put_flat``): each shard computes
+    partial row contributions and the segment-sum's scatter-add reduces
+    them into the row-sharded w; SPLIT composites shard the banded main
+    part by rows and the flat tail by entries.
 
 Faults, detection, correction and the stdout contract are identical to
 the single-device path because it *is* the same program.
@@ -49,18 +54,102 @@ def pad_rows(arr: np.ndarray, R_pad: int, axis: int = 0):
     return np.pad(arr, width)
 
 
+def _put_flat(mat: ProtectedMatrix, mesh, dtype, R_pad: int):
+    """Entry-sharded upload of a FLAT-layout part.
+
+    Flat planes are per-*entry* (1-D, length nnz padded to a checksum
+    block), not per-row, so the mesh axis shards the entry dimension:
+    each device computes partial contributions from its entry shard and
+    the segment-sum's scatter-add folds them into the row-sharded w
+    (GSPMD inserts the reduce).  Entries pad to a multiple of
+    8 * n_devices with zero codewords (zero blocks checksum to zero and
+    fail no parity), so 8-entry checksum blocks never straddle a shard
+    and detection stays collective-free.  Exec slots are entry positions
+    — appending padding never shifts them, so ABFT slot routing is
+    unchanged.
+    """
+    import jax
+    import jax.numpy as jnp  # noqa: F401  (kept for parity with row path)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    ndev = mesh.devices.size
+    axis = mesh.axis_names[0]
+    ent1d = NamedSharding(mesh, P(axis))
+    row1d = NamedSharding(mesh, P(axis))
+
+    names = mat.layout.word_names
+    E0 = mat.ell[names[0]].shape[0]
+    E_pad = -(-E0 // (8 * ndev)) * (8 * ndev)
+
+    words = tuple(
+        jax.device_put(pad_rows(mat.ell[n], E_pad), ent1d) for n in names
+    )
+    # Padding joins the last (padded) row like the build-time padding —
+    # contributions are masked to zero by the nnz bound, and R - 1 keeps
+    # the segment ids sorted.
+    grp = pad_rows(mat.ell["__flat_group__"], E_pad)
+    grp[E0:] = mat.R - 1
+    flat_group = jax.device_put(grp, ent1d)
+    cksum = jax.device_put(
+        pad_rows(mat.ell_cksum, E_pad // 8, axis=1),
+        NamedSharding(mesh, P(None, axis)),
+    )
+    ell_len = jax.device_put(pad_rows(mat.ell_len, R_pad), row1d)
+
+    from ..ecc.values import planes_to_value
+    from ..ops.spmv import MatrixDevice
+
+    values = planes_to_value(
+        words[names.index("value_lo")], words[names.index("value_hi")], dtype
+    )
+    gidx = perm_pos = None
+    if mat.perm is not None:
+        from ..formats.reorder import inverse_permutation
+        from ..ops.spmv import exec_gather_host
+
+        gidx = jax.device_put(pad_rows(exec_gather_host(mat), E_pad), ent1d)
+        pp = np.zeros(R_pad, dtype=np.int32)
+        pp[: mat.N] = inverse_permutation(mat.perm)
+        perm_pos = jax.device_put(pp, row1d)
+    return MatrixDevice(words=words, ell_len=ell_len, cksum=cksum,
+                        values=values, flat_group=flat_group, gidx=gidx,
+                        perm_pos=perm_pos)
+
+
 def _device_put_sharded(mat: ProtectedMatrix, b: np.ndarray, mesh, dtype):
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    if mat.exec_kind in ("flat", "split"):
-        raise ValueError(
-            f"the {mat.exec_kind} (bordered-matrix) layout cannot be "
-            "row-sharded yet — its planes are not purely per-row; use a "
-            "single device for dense-row matrices"
-        )
     ndev = mesh.devices.size
+    if mat.exec_kind == "split":
+        # Composite (bordered): banded main part row-sharded as usual,
+        # flat tail part entry-sharded; w = w_main + w_tail lands on the
+        # same row sharding.  The composite's slot offset (main.exec_size,
+        # ops.spmv.combine_impls) is baked against the single-device exec
+        # grid, so the mesh must not re-pad the main part's rows.
+        if mat.R % (8 * ndev):
+            raise ValueError(
+                f"bordered-split sharding needs R ({mat.R}) divisible by "
+                f"8 * n_devices ({8 * ndev}) so exec slots keep their "
+                "single-device grid; use fewer devices"
+            )
+        md_main, bdev, put_vec = _device_put_sharded(mat.main, b, mesh,
+                                                     dtype)
+        md_tail = _put_flat(mat.tail, mesh, dtype, R_pad=mat.R)
+        return (md_main, md_tail), bdev, put_vec
+
+    if mat.exec_kind == "flat":
+        R_pad = -(-mat.R // (8 * ndev)) * (8 * ndev)
+        md = _put_flat(mat, mesh, dtype, R_pad)
+
+        def put_vec_flat(v):
+            vpad = np.zeros(R_pad, dtype=np.float64)
+            vpad[: mat.N] = mat.to_exec_order(v)
+            return jax.device_put(jnp.asarray(vpad, dtype=dtype),
+                                  NamedSharding(mesh, P(mesh.axis_names[0])))
+
+        return md, put_vec_flat(b), put_vec_flat
     axis = mesh.axis_names[0]
     R_pad = -(-mat.R // (8 * ndev)) * (8 * ndev)
 

@@ -48,9 +48,13 @@ def scrubbed_from_device(mat: ProtectedMatrix, md) -> ProtectedMatrix:
         arr = np.asarray(w)
         if arr.shape != shape0:
             # Mesh-padded planes (parallel.sharded): strip the row padding
-            # so flat slot indices line up with the canonical slot map.
-            ra = mat.exec_row_axis
-            arr = arr[: shape0[0]] if ra == 0 else arr[:, : shape0[1]]
+            # (2-D layouts) or the appended entry padding (1-D flat) so
+            # flat slot indices line up with the canonical slot map.
+            if arr.ndim == 1:
+                arr = arr[: shape0[0]]
+            else:
+                ra = mat.exec_row_axis
+                arr = arr[: shape0[0]] if ra == 0 else arr[:, : shape0[1]]
         planes[name] = np.ascontiguousarray(arr.reshape(-1)[mat.ell_slot],
                                             dtype=np.uint32)
     return mat.with_scrubbed_planes(planes)

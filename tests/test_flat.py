@@ -119,10 +119,27 @@ def test_flat_scrubbed_roundtrip():
         assert (res.scrubbed.planes[n] == m.planes[n]).all()
 
 
-def test_flat_rejects_sharding():
+@pytest.mark.parametrize("mode", ["none", "secded"])
+def test_flat_sharded_matches_single(mode):
+    """Entry-sharded flat planes over the 8-device mesh: same solution
+    and (mode secded) the same fault events as the single-device solve."""
     a = bordered()
-    m = build_protected("csr", a, "none")
+    m = build_protected("csr", a, mode)
+    assert m.exec_kind == "flat"
     b = RNG.random(a.N)
-    with pytest.raises(ValueError):
-        create("jnp", "none").solve(m, b, 100, 1e-8, verbose=False,
-                                    dtype="f64", devices=8)
+    backend = create("jnp", mode)
+    single = backend.solve(m, b, 2000, 1e-10, verbose=False, dtype="f64")
+    shard = backend.solve(m, b, 2000, 1e-10, verbose=False, dtype="f64",
+                          devices=8)
+    assert not shard.failed
+    assert abs(shard.iterations - single.iterations) <= 1  # psum order
+    np.testing.assert_allclose(shard.x, single.x, rtol=1e-4, atol=1e-7)
+    if mode == "secded":
+        m2 = inject_bitflips(m, "ANY", 1, np.random.default_rng(7),
+                             echo=lambda s: None)
+        s1 = backend.solve(m2, b, 2000, 1e-10, verbose=False, dtype="f64")
+        s8 = backend.solve(m2, b, 2000, 1e-10, verbose=False, dtype="f64",
+                           devices=8)
+        assert s8.errcode == s1.errcode == 0
+        assert s8.corrected_count == s1.corrected_count == 1
+        assert s8.messages == s1.messages

@@ -139,6 +139,71 @@ def test_devices_flag_cli():
     assert "time taken" in proc.stdout
 
 
+def _bordered(n=2048, dense_rows=(17, 900), spread=300):
+    """Tridiagonal core + dense rows — selects the bordered split."""
+    rows, cols, vals, n = spd_tridiagonal(n)
+    rows, cols, vals = list(rows), list(cols), list(vals)
+    rng = np.random.default_rng(3)
+    for r in dense_rows:
+        targets = np.setdiff1d(rng.choice(n, size=spread, replace=False),
+                               [r - 1, r, r + 1])
+        for c in targets:
+            hi, lo = max(r, int(c)), min(r, int(c))
+            rows.append(hi)
+            cols.append(lo)
+            vals.append(-0.01)
+    rows, cols = np.array(rows), np.array(cols)
+    vals = np.array(vals, dtype=float)
+    deg = np.bincount(rows, minlength=n) + np.bincount(cols, minlength=n)
+    diag = rows == cols
+    vals[diag] = deg.astype(float)[rows[diag]] + 4.0
+    return assemble(cols, rows, vals, n, 1)
+
+
+@pytest.mark.parametrize("mode", ["sed", "sec7", "sec8", "secded"])
+def test_sharded_split_fault_events_match_single(mode):
+    """Bordered composite on the 8-device mesh: main part row-sharded,
+    flat tail entry-sharded; injected faults (which can land in either
+    part) produce the single-device canonical events."""
+    a = _bordered()
+    m = build_protected("csr", a, mode)
+    assert m.exec_kind == "split"
+    b = RNG.random(m.N)
+    backend = create("jnp", mode)
+    for seed in range(3):
+        m2 = inject_bitflips(m, "ANY", 1, np.random.default_rng(seed),
+                             echo=lambda s: None)
+        single = backend.solve(m2, b, 2000, 1e-10, verbose=False,
+                               dtype="f64")
+        shard = backend.solve(m2, b, 2000, 1e-10, verbose=False,
+                              dtype="f64", devices=8)
+        assert shard.errcode == single.errcode, f"seed {seed}"
+        assert shard.err_index == single.err_index, f"seed {seed}"
+        assert shard.corrected_count == single.corrected_count
+        assert shard.messages == single.messages, f"seed {seed}"
+        if not single.failed:
+            # Shard-local partial sums reduce in a different order; both
+            # solves converged to rr <= 1e-10, so solutions agree to the
+            # convergence-implied slack, not to ulps.
+            np.testing.assert_allclose(shard.x, single.x, rtol=1e-4,
+                                       atol=1e-7)
+
+
+def test_sharded_split_scrub_retrieval():
+    """A corrected sharded composite solve yields repaired planes."""
+    a = _bordered()
+    m = build_protected("csr", a, "sec8")
+    assert m.exec_kind == "split"
+    b = RNG.random(m.N)
+    m2 = inject_bitflips(m, "ANY", 1, np.random.default_rng(11),
+                         echo=lambda s: None)
+    res = create("jnp", "sec8").solve(m2, b, 2000, 1e-10, verbose=False,
+                                      dtype="f64", devices=8)
+    assert not res.failed and res.corrected_count == 1
+    for n in m.layout.word_names:
+        assert (res.scrubbed.planes[n] == m.planes[n]).all()
+
+
 def test_devices_flag_rejected_for_native_target():
     m = protected("csr", "none", n=32, blocks=1)
     b = RNG.random(m.N)
