@@ -41,6 +41,23 @@ class PallasBackend(JnpBackend):
                 solver = make_pipelined_solver(spmv, max_itrs, conv)
             else:
                 solver = make_cg_solver(spmv, max_itrs, conv)
+                from ..solver.fused import make_fused_solver, supports_fused
+
+                on_tpu = jax.devices()[0].platform != "cpu"
+                if on_tpu and supports_fused(mat, dtype, self.mode,
+                                             max_itrs):
+                    # Whole-solve megakernel (solver.fused): VMEM-resident
+                    # CG vectors + live per-iteration detection.  The
+                    # per-iteration tier keeps serving preconditioned
+                    # solves (the kernel is unpreconditioned).
+                    fused = make_fused_solver(mat, self.mode, max_itrs,
+                                              conv)
+                    periter = solver
+
+                    def solver(md, b, minv=None, _f=fused, _p=periter):
+                        if minv is None:
+                            return _f(md, b)
+                        return _p(md, b, minv)
             _SOLVER_CACHE[key] = jax.jit(solver)
         return _SOLVER_CACHE[key]
 

@@ -1,0 +1,468 @@
+"""Whole-solve fused CG megakernel: the entire fast loop in ONE kernel.
+
+The per-iteration tiers dispatch one program per SpMV and carry the CG
+vectors through HBM between kernels (Pallas custom-call operands force
+them there even when XLA would keep loop state in VMEM — BENCH_NOTES.md
+finding 1).  This kernel runs the *whole* detect-fast loop inside a
+single ``pallas_call``:
+
+  - x, r, p, w stay resident in VMEM scratch for the entire solve —
+    zero HBM traffic for the CG vectors;
+  - the protected planes stream HBM -> VMEM through a double-buffered
+    async-copy pipeline, once per iteration (the irreducible traffic);
+  - the ABFT detection signals (per-element overall parity and the
+    per-chunk XOR-checksum comparison, exactly the per-iteration pallas
+    tier's coverage: ops/spmv_pallas._detect_trigger) are fused into the
+    same streamed read — *live* detection every iteration, like the
+    reference's per-element checks (CSR/CPUContext.cpp:353-406), at
+    less than the check-on-entry jnp tier's per-iteration cost;
+  - convergence / trigger / breakdown end a ``lax.while_loop`` inside
+    the kernel; the rare classify/repair stays in the jnp slow path of
+    the surrounding solver loop (solver.cg semantics, unchanged).
+
+TPU shape rules the kernel is built around (memory/tpu-env-quirks):
+vectors live as (rows, 128) 2-D tiles because 1-D dynamic slices must
+be 1024-aligned; the DIA stencil's +-off shifted reads are composed
+from an 8-row-aligned extended block via ``pltpu.roll`` lane rotations
+plus a boundary-row select (no gather, no unaligned access).
+
+Envelope (``supports_fused``): DIA layout, float32, R % 1024 == 0,
+unpreconditioned standard CG, offsets within the halo bound, and the
+four resident vectors + stream buffers within the VMEM budget (~2.7M
+rows against the v5e's 128 MiB VMEM) — the bench headline configuration
+sits inside it.  Everything else falls back to the per-iteration
+kernels.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.spmv import ERR_BREAKDOWN, SpmvStats
+from .cg import CGResult, CGState, init_state, _MAX_TRACE
+
+__all__ = ["supports_fused", "make_fused_continue", "make_fused_solver"]
+
+# The v5e core has 128 MiB of VMEM; Mosaic's default scoped limit is
+# 16 MiB, so the kernel raises it (vmem_limit_bytes below).  The plan
+# keeps a margin for compiler temporaries: the update phase's
+# full-vector expressions (r1, the rr1 reduction tree) measure ~2.3 MiB
+# of stack at RR=6400, so _plan charges two extra full vectors.
+_VMEM_LIMIT = 100 * 2 ** 20   # scoped limit requested from Mosaic
+_VMEM_BUDGET = 64 * 2 ** 20   # bytes of VMEM the plan may allocate
+_MAX_TRACE_SMEM = 4096        # rr trace lives in SMEM; cap its length
+
+
+def _plan(mat, mode):
+    """Static kernel plan: chunking, halos, buffer sizes; None if the
+    matrix falls outside the envelope."""
+    if mat.exec_kind != "dia":
+        return None
+    R = mat.R
+    if R % 1024:
+        return None
+    offsets = mat.dia_offsets
+    if not offsets:
+        return None
+    RR = R // 128
+    # Halo rows: lane/row decomposition of each offset reads base row
+    # q = off // 128 and (when off % 128 != 0) row q + 1.
+    qlo = min(off // 128 for off in offsets)
+    qhi = max(off // 128 + (1 if off % 128 else 0) for off in offsets)
+    Hlo = -(-max(0, -qlo) // 8) * 8
+    Hhi = -(-max(0, qhi) // 8) * 8
+    from ..ecc import codec
+
+    W = mat.layout.num_words
+    NW = W if mode in codec.ECC_MODES else 0
+    D = len(offsets)
+    C = None
+    for c in (8192, 4096, 2048, 1024):
+        if R % c == 0:
+            C = c
+            break
+    if C is None:
+        return None
+    ROWS = C // 128
+    if max(Hlo, Hhi) > ROWS:
+        return None  # offsets reach beyond one chunk of halo
+    # 4 resident vectors + halo, plus 2 full-vector equivalents for the
+    # update phase's compiler temporaries (see _VMEM_LIMIT note above).
+    while C > 1024:
+        vecs = (6 * RR + Hlo + Hhi) * 128 * 4
+        bufs = 2 * (D * C * 4 + NW * D * C * 4)
+        if vecs + bufs <= _VMEM_BUDGET:
+            break
+        C //= 2
+        ROWS = C // 128
+    vecs = (6 * RR + Hlo + Hhi) * 128 * 4
+    bufs = 2 * (D * C * 4 + NW * D * C * 4)
+    if vecs + bufs > _VMEM_BUDGET or max(Hlo, Hhi) > ROWS:
+        return None
+    use_parity = mode in ("sed", "sec8", "secded")
+    use_cksum = mode in ("sec7", "secded")
+    return dict(R=R, RR=RR, C=C, ROWS=ROWS, G=R // C, D=D, W=W, NW=NW,
+                offsets=offsets, Hlo=Hlo, Hhi=Hhi,
+                use_parity=use_parity, use_cksum=use_cksum)
+
+
+def supports_fused(mat, dtype, mode, max_itrs, trace_rr=True) -> bool:
+    if jnp.dtype(dtype) != jnp.float32:
+        return False
+    if mode == "constraints":
+        return False  # structural checks have no fused fast loop
+    if trace_rr and min(max_itrs, _MAX_TRACE) > _MAX_TRACE_SMEM:
+        return False
+    return _plan(mat, mode) is not None
+
+
+def _xor_fold_rows(v):
+    """XOR-fold a (rows, 128) uint32 value to one (1, 128) row."""
+    L = v.shape[0]
+    P = 1
+    while P < L:
+        P *= 2
+    if P != L:
+        v = jnp.concatenate(
+            [v, jnp.zeros((P - L, 128), jnp.uint32)], axis=0)
+        L = P
+    while L > 1:
+        L //= 2
+        v = v[:L] ^ v[L: 2 * L]
+    return v
+
+
+def _make_kernel(plan, mode, conv, trace_len, interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    R, RR, C, ROWS, G = (plan[k] for k in ("R", "RR", "C", "ROWS", "G"))
+    D, W, NW = plan["D"], plan["W"], plan["NW"]
+    offsets, Hlo, Hhi = plan["offsets"], plan["Hlo"], plan["Hhi"]
+    use_parity, use_cksum = plan["use_parity"], plan["use_cksum"]
+    PR = Hlo + RR + Hhi   # haloed p rows
+    conv = float(conv)
+
+    def shifted(ext, off):
+        """(ROWS, 128) block holding element index +off relative to the
+        chunk's rows, from the (Hlo + ROWS + Hhi, 128) extended block."""
+        q, s = divmod(off, 128)
+        base = ext[Hlo + q: Hlo + q + ROWS]
+        if s == 0:
+            return base
+        nxt = ext[Hlo + q + 1: Hlo + q + 1 + ROWS]
+        a = pltpu.roll(base, 128 - s, 1)
+        b = pltpu.roll(nxt, 128 - s, 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (ROWS, 128), 1)
+        return jnp.where(lane < 128 - s, a, b)
+
+    def kernel(*refs):
+        (x_in, r_in, p_in, vals_hbm) = refs[:4]
+        k = 4
+        if NW:
+            words_hbm = refs[k]
+            ckfold = refs[k + 1]          # (W, G) uint32 SMEM
+            k += 2
+        scal_in = refs[k]                 # (2,) f32 SMEM: rr, rz
+        itr_in = refs[k + 1]              # (1,) int32 SMEM
+        upto = refs[k + 2]                # (1,) int32 SMEM
+        k += 3
+        (x_out, r_out, p_out, trace_out, itr_out, rr_out, rz_out,
+         trig_out, err_out) = refs[k: k + 9]
+        k += 9
+        p_ref, r_ref, x_ref, w_ref, vbuf = refs[k: k + 5]
+        k += 5
+        if NW:
+            wbuf = refs[k]
+            k += 1
+        sems = refs[k]
+
+        # ---- load state into VMEM ------------------------------------
+        in_dmas = [
+            pltpu.make_async_copy(x_in, x_ref, sems.at[0]),
+            pltpu.make_async_copy(r_in, r_ref, sems.at[1]),
+            pltpu.make_async_copy(p_in, p_ref.at[pl.ds(Hlo, RR), :],
+                                  sems.at[2]),
+        ]
+        if Hlo:
+            p_ref[pl.ds(0, Hlo), :] = jnp.zeros((Hlo, 128), jnp.float32)
+        if Hhi:
+            p_ref[pl.ds(Hlo + RR, Hhi), :] = jnp.zeros((Hhi, 128),
+                                                       jnp.float32)
+        for d in in_dmas:
+            d.start()
+        for d in in_dmas:
+            d.wait()
+        # trace_out is only consumed on the slots this call writes
+        # ([itr_in, itr)); the caller window-merges, so no init needed.
+        upto_v = upto[0]
+
+        def get_dmas(slot, ci):
+            dmas = [pltpu.make_async_copy(
+                vals_hbm.at[:, pl.ds(ci * ROWS, ROWS), :],
+                vbuf.at[slot], sems.at[3 + slot])]
+            if NW:
+                dmas.append(pltpu.make_async_copy(
+                    words_hbm.at[:, :, pl.ds(ci * ROWS, ROWS), :],
+                    wbuf.at[slot], sems.at[5 + slot]))
+            return dmas
+
+        def body(carry):
+            itr, rr, rz, _, _ = carry
+            for d in get_dmas(0, 0):
+                d.start()
+
+            def chunk(ci, acc):
+                pw, trig = acc
+                slot = ci % 2
+
+                @pl.when(ci + 1 < G)
+                def _():
+                    for d in get_dmas((ci + 1) % 2, ci + 1):
+                        d.start()
+
+                for d in get_dmas(slot, ci):
+                    d.wait()
+                row0 = pl.multiple_of(ci * ROWS, ROWS)
+                ext = p_ref[pl.ds(row0, ROWS + Hlo + Hhi), :]
+                w = jnp.zeros((ROWS, 128), jnp.float32)
+                for d, off in enumerate(offsets):
+                    w = w + vbuf[slot][d] * shifted(ext, off)
+                w_ref[pl.ds(row0, ROWS), :] = w
+                pw = pw + jnp.sum(w * ext[Hlo: Hlo + ROWS])
+
+                # ---- live detection signals (ops/spmv_pallas
+                # coverage: parity + per-chunk checksum fold) ----------
+                if NW:
+                    words = [wbuf[slot][wi] for wi in range(W)]
+                    t = jnp.int32(0)
+                    if use_parity:
+                        acc_x = words[0]
+                        for wd in words[1:]:
+                            acc_x = acc_x ^ wd
+                        cnt = jnp.sum((jax.lax.population_count(acc_x)
+                                       & np.uint32(1)).astype(jnp.int32))
+                        t = t | (cnt > 0).astype(jnp.int32)
+                    if use_cksum:
+                        for wi in range(W):
+                            red = words[wi][0]        # (ROWS, 128)
+                            for d in range(1, D):
+                                red = red ^ words[wi][d]
+                            red = _xor_fold_rows(red)  # -> (1, 128)
+                            # lane fold via rotate-halvings (Mosaic has
+                            # no cross-lane reduce_xor)
+                            for k in (64, 32, 16, 8, 4, 2, 1):
+                                red = red ^ pltpu.roll(red, k, 1)
+                            t = t | (red[0, 0] != ckfold[wi, ci]).astype(
+                                jnp.int32)
+                    trig = trig | t
+                return pw, trig
+
+            pw, trig_i = jax.lax.fori_loop(
+                0, G, chunk, (jnp.float32(0.0), jnp.int32(0)))
+
+            alpha = rz / pw
+            r1 = r_ref[...] - alpha * w_ref[...]
+            rr1 = jnp.sum(r1 * r1)
+            bad = jnp.logical_or(pw <= 0.0, ~jnp.isfinite(rr1))
+            ok = jnp.logical_and(trig_i == 0, ~bad)
+
+            # A triggered iteration is re-executed on the scrubbed
+            # matrix; a breakdown fail-stops — either way the update is
+            # discarded (solver.cg semantics).
+            @pl.when(ok)
+            def _():
+                x_ref[...] = x_ref[...] + alpha * p_ref[pl.ds(Hlo, RR), :]
+                r_ref[...] = r1
+                beta = rr1 / rz
+                p_ref[pl.ds(Hlo, RR), :] = (
+                    r1 + beta * p_ref[pl.ds(Hlo, RR), :])
+                if trace_len:
+                    trace_out[itr] = rr1
+
+            itr1 = jnp.where(ok, itr + 1, itr)
+            rrn = jnp.where(ok, rr1, rr)
+            err = jnp.where(bad & (trig_i == 0),
+                            jnp.int32(ERR_BREAKDOWN), jnp.int32(0))
+            return itr1, rrn, rrn, trig_i, err
+
+        def cond(carry):
+            itr, rr, _, trig, err = carry
+            return ((itr < upto_v) & (rr > conv) & (trig == 0)
+                    & (err == 0))
+
+        itr, rr, rz, trig, err = jax.lax.while_loop(
+            cond, body,
+            (itr_in[0], scal_in[0], scal_in[1], jnp.int32(0),
+             jnp.int32(0)))
+
+        itr_out[0, 0] = itr
+        rr_out[0, 0] = rr
+        rz_out[0, 0] = rz
+        trig_out[0, 0] = trig
+        err_out[0, 0] = err
+
+        # ---- state back to HBM ----------------------------------------
+        out_dmas = [
+            pltpu.make_async_copy(x_ref, x_out, sems.at[0]),
+            pltpu.make_async_copy(r_ref, r_out, sems.at[1]),
+            pltpu.make_async_copy(p_ref.at[pl.ds(Hlo, RR), :], p_out,
+                                  sems.at[2]),
+        ]
+        for d in out_dmas:
+            d.start()
+        for d in out_dmas:
+            d.wait()
+
+    def call(x2, r2, p2, vals3, wstack, ckfold, rr, rz, itr, upto):
+        vec = jax.ShapeDtypeStruct((RR, 128), jnp.float32)
+        s11f = jax.ShapeDtypeStruct((1, 1), jnp.float32)
+        s11i = jax.ShapeDtypeStruct((1, 1), jnp.int32)
+        any_spec = pl.BlockSpec(memory_space=pl.ANY)
+        smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)  # noqa: E731
+        in_specs = [any_spec, any_spec, any_spec, any_spec]
+        args = [x2, r2, p2, vals3]
+        if NW:
+            in_specs += [any_spec, smem()]
+            args += [wstack, ckfold]
+        in_specs += [smem(), smem(), smem()]
+        args += [jnp.stack([rr, rz]).astype(jnp.float32),
+                 jnp.reshape(itr, (1,)).astype(jnp.int32),
+                 jnp.reshape(upto, (1,)).astype(jnp.int32)]
+        scratch = [
+            pltpu.VMEM((PR, 128), jnp.float32),        # p (haloed)
+            pltpu.VMEM((RR, 128), jnp.float32),        # r
+            pltpu.VMEM((RR, 128), jnp.float32),        # x
+            pltpu.VMEM((RR, 128), jnp.float32),        # w
+            pltpu.VMEM((2, D, ROWS, 128), jnp.float32),
+        ]
+        if NW:
+            scratch.append(pltpu.VMEM((2, W, D, ROWS, 128), jnp.uint32))
+        scratch.append(pltpu.SemaphoreType.DMA((7,)))
+        from jax.experimental import pallas as _pl
+
+        outs = _pl.pallas_call(
+            kernel,
+            in_specs=in_specs,
+            out_specs=[any_spec, any_spec, any_spec, smem(), smem(),
+                       smem(), smem(), smem(), smem()],
+            out_shape=[vec, vec, vec,
+                       jax.ShapeDtypeStruct((max(trace_len, 1),),
+                                            jnp.float32),
+                       s11i, s11f, s11f, s11i, s11i],
+            scratch_shapes=scratch,
+            interpret=interpret,
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT),
+        )(*args)
+        return outs
+
+    return call
+
+
+def make_fused_continue(mat, mode, conv_threshold, trace_rr=True,
+                        interpret=False):
+    """``continue_(md, state, upto, minv=None)`` with solver.cg's
+    contract, running the fast loop in the megakernel.  The classify /
+    repair slow path (once per fault) is the jnp implementation, wrapped
+    in the same outer while-loop as solver.cg._make_lazy_continue."""
+    from ..ops.spmv import make_spmv
+
+    plan = _plan(mat, mode)
+    if plan is None:
+        raise ValueError("matrix outside the fused-kernel envelope")
+    RR, G, C, W, NW = (plan[k] for k in ("RR", "G", "C", "W", "NW"))
+    jnp_impl = make_spmv(mat, jnp.float32, mode)
+
+    def derive(md):
+        """Kernel-ready views of the device planes (re-derived after a
+        repair, so the resumed loop streams the scrubbed data)."""
+        vals3 = md.values.reshape(plan["D"], RR, 128)
+        if not NW:
+            return vals3, None, None
+        wstack = jnp.stack(list(md.words)).reshape(W, plan["D"], RR, 128)
+        ckf = md.cksum.reshape(W, G, C // 8)
+        ckfold = jnp.bitwise_xor.reduce(ckf, axis=2)
+        return vals3, wstack, ckfold
+
+    def continue_(md, state: CGState, upto, minv=None):
+        if minv is not None:
+            raise ValueError("fused solver is unpreconditioned")
+        tl = state.trace.shape[0] if trace_rr else 0
+        kern = _make_kernel(plan, mode, conv_threshold, tl, interpret)
+
+        def run_fast(md, s: CGState):
+            vals3, wstack, ckfold = derive(md)
+            x2 = s.x.reshape(RR, 128)
+            r2 = s.r.reshape(RR, 128)
+            p2 = s.p.reshape(RR, 128)
+            (x2, r2, p2, ktrace, itr, rr, rz, trig, err) = kern(
+                x2, r2, p2, vals3, wstack, ckfold,
+                s.rr, s.rz, s.itr, upto)
+            itr = itr[0, 0]
+            trace = s.trace
+            if trace_rr:
+                # Merge the kernel's nan-initialized trace into the
+                # carried one (it only wrote slots [s.itr, itr)).
+                tio = jnp.arange(tl, dtype=jnp.int32)
+                win = (tio >= s.itr) & (tio < itr)
+                trace = jnp.where(win, ktrace, s.trace)
+            s1 = CGState(itr=itr, x=x2.reshape(-1), r=r2.reshape(-1),
+                         p=p2.reshape(-1), rr=rr[0, 0], rz=rz[0, 0],
+                         stats=s.stats, trace=trace)
+            return s1, trig[0, 0] != 0, err[0, 0]
+
+        if NW == 0:
+            # Mode none: no detection, no repair — one kernel call runs
+            # the loop to convergence/limit/breakdown.
+            s, _trig, err = run_fast(md, state)
+            st = s.stats.merge_first(SpmvStats.clean()._replace(
+                errcode=err))
+            return s._replace(stats=st), md
+
+        def outer_cond(c):
+            done, *_ = c
+            return ~done
+
+        def outer_body(c):
+            _, md, s = c
+            s, trig, err = run_fast(md, s)
+            st = s.stats.merge_first(SpmvStats.clean()._replace(
+                errcode=err))
+
+            def repair(md, st):
+                st1, md2 = jnp_impl.classify(md)
+                return md2, st.merge_first(st1)
+
+            def keep(md, st):
+                return md, st
+
+            md, st = jax.lax.cond(trig, repair, keep, md, st)
+            s = s._replace(stats=st)
+            done = (~trig) | (st.errcode != 0)
+            return (done, md, s)
+
+        _, md_out, s = jax.lax.while_loop(
+            outer_cond, outer_body, (jnp.bool_(False), md, state))
+        return s, md_out
+
+    return continue_
+
+
+def make_fused_solver(mat, mode, max_itrs: int, conv_threshold: float,
+                      trace_rr: bool = True, interpret: bool = False):
+    """``solve(md, b, minv=None) -> CGResult`` on the megakernel.
+    ``minv`` must be None (callers route preconditioned solves to the
+    per-iteration tiers)."""
+    cont = make_fused_continue(mat, mode, conv_threshold, trace_rr,
+                               interpret)
+
+    def solve(md, b, minv=None):
+        s, md_out = cont(md, init_state(b, max_itrs, trace_rr, minv),
+                         jnp.int32(max_itrs), minv)
+        return CGResult(x=s.x, iterations=s.itr, rr=s.rr, stats=s.stats,
+                        rr_trace=s.trace, md=md_out)
+
+    return solve

@@ -79,6 +79,12 @@ def main():
         if name == "split":
             assert m.exec_kind == "split", m.exec_kind
         assert m.exec_kind == "split" or supports(m, jnp.float32), name
+        if name == "dia":
+            # The DIA config rides the whole-solve fused megakernel
+            # (solver.fused) on hardware — this smoke is its rot check.
+            from abft_sparse_cg_tpu.solver.fused import supports_fused
+
+            assert supports_fused(m, jnp.float32, "secded", 500), name
         b = np.random.default_rng(7).random(m.N)
         backend = create("pallas", "secded")
 

@@ -1,0 +1,155 @@
+"""Whole-solve fused CG megakernel (solver.fused), interpret mode.
+
+The kernel streams the protected planes through a double-buffered DMA
+pipeline and keeps the CG vectors VMEM-resident; these tests check its
+semantics — identical iterates, traces and ABFT events to the jnp
+solver — through the Pallas interpreter (the compiled kernel is
+exercised on hardware by scripts/tpu_smoke.py and the pallas backend).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from abft_sparse_cg_tpu.formats import assemble, build_protected
+from abft_sparse_cg_tpu.inject import inject_bitflips
+from abft_sparse_cg_tpu.ops.spmv import ERR_BREAKDOWN, make_matrix_device, make_spmv
+from abft_sparse_cg_tpu.solver.cg import make_cg_solver
+from abft_sparse_cg_tpu.solver.fused import make_fused_solver, supports_fused
+from abft_sparse_cg_tpu.utils.matgen import spd_tridiagonal
+
+RNG = np.random.default_rng(77)
+
+
+def dia_matrix(mode, n=1024, blocks=1):
+    rows, cols, vals, n = spd_tridiagonal(n)
+    a = assemble(cols, rows, vals, n, blocks)
+    m = build_protected("csr", a, mode)
+    assert m.exec_kind == "dia" and m.R % 1024 == 0
+    return m
+
+
+def solvers(m, mode, max_itrs=300, conv=1e-8):
+    md = make_matrix_device(m, jnp.float32)
+    ref = jax.jit(make_cg_solver(make_spmv(m, jnp.float32, mode),
+                                 max_itrs, conv))
+    fus = jax.jit(make_fused_solver(m, mode, max_itrs, conv,
+                                    interpret=True))
+    return md, ref, fus
+
+
+def bvec(m):
+    b = np.zeros(m.R)
+    b[: m.N] = RNG.random(m.N)
+    return jnp.asarray(b, jnp.float32)
+
+
+@pytest.mark.parametrize("mode", ["none", "sed", "sec7", "sec8", "secded"])
+def test_fused_matches_jnp_clean(mode):
+    m = dia_matrix(mode)
+    assert supports_fused(m, jnp.float32, mode, 300)
+    md, ref, fus = solvers(m, mode)
+    b = bvec(m)
+    r0, r1 = ref(md, b), fus(md, b)
+    assert int(r1.stats.errcode) == 0
+    assert int(r1.iterations) == int(r0.iterations)
+    np.testing.assert_allclose(np.asarray(r1.x), np.asarray(r0.x),
+                               rtol=1e-6, atol=1e-7)
+    k = int(r0.iterations)
+    np.testing.assert_allclose(np.asarray(r1.rr_trace)[:k],
+                               np.asarray(r0.rr_trace)[:k], rtol=1e-4)
+    assert np.isnan(np.asarray(r1.rr_trace)[k:]).all()
+
+
+@pytest.mark.parametrize("mode", ["sec7", "sec8", "secded"])
+def test_fused_corrects_fault_and_resumes(mode):
+    """The kernel's live trigger exits the fast loop; classify repairs;
+    the resumed kernel reproduces the clean solve exactly."""
+    m = dia_matrix(mode)
+    md, ref, fus = solvers(m, mode)
+    b = bvec(m)
+    clean = fus(md, b)  # same implementation -> bit-identical oracle
+    for seed in range(3):
+        m2 = inject_bitflips(m, "ANY", 1, np.random.default_rng(seed),
+                             echo=lambda s: None)
+        md2 = make_matrix_device(m2, jnp.float32)
+        r = fus(md2, b)
+        assert int(r.stats.errcode) == 0, seed
+        assert int(r.stats.corrected_count) == 1, seed
+        assert int(r.iterations) == int(clean.iterations)
+        np.testing.assert_array_equal(np.asarray(r.x),
+                                      np.asarray(clean.x))
+
+
+def test_fused_sed_detects_and_halts():
+    m = dia_matrix("sed")
+    md, ref, fus = solvers(m, "sed")
+    b = bvec(m)
+    m2 = inject_bitflips(m, "ANY", 1, np.random.default_rng(3),
+                         echo=lambda s: None)
+    md2 = make_matrix_device(m2, jnp.float32)
+    r0, r1 = ref(md2, b), fus(md2, b)
+    assert int(r1.stats.errcode) == int(r0.stats.errcode) == 1
+    assert int(r1.iterations) == int(r0.iterations) == 0
+
+
+def test_fused_breakdown_guard():
+    """Indefinite matrix -> ERR_BREAKDOWN, not NaN-as-convergence."""
+    m = dia_matrix("none")
+    planes = {k: v.copy() for k, v in m.planes.items()}
+    # Negate the whole diagonal via the value planes: -A is negative
+    # definite, p.A.p < 0 on the first iteration.
+    from abft_sparse_cg_tpu.ecc.values import planes_to_f64_np
+    vals = planes_to_f64_np(planes["value_lo"], planes["value_hi"])
+    neg = (-vals).view(np.uint64)
+    planes["value_lo"] = (neg & 0xFFFFFFFF).astype(np.uint32)
+    planes["value_hi"] = (neg >> 32).astype(np.uint32)
+    m2 = m.with_planes(planes)
+    md = make_matrix_device(m2, jnp.float32)
+    fus = jax.jit(make_fused_solver(m2, "none", 100, 1e-8,
+                                    interpret=True))
+    r = fus(md, bvec(m))
+    assert int(r.stats.errcode) == ERR_BREAKDOWN
+    assert int(r.iterations) == 0
+
+
+def test_fused_envelope():
+    m = dia_matrix("secded")
+    assert supports_fused(m, jnp.float32, "secded", 300)
+    # f64 / constraints / huge trace fall outside
+    assert not supports_fused(m, jnp.float64, "secded", 300)
+    assert not supports_fused(m, jnp.float32, "constraints", 300)
+    assert not supports_fused(m, jnp.float32, "secded", 100_000)
+    # non-1024-multiple row count
+    rows, cols, vals, n = spd_tridiagonal(100)
+    a = assemble(cols, rows, vals, n, 1)
+    m3 = build_protected("csr", a, "secded")
+    assert m3.R % 1024 != 0
+    assert not supports_fused(m3, jnp.float32, "secded", 300)
+    # ELL layout falls outside
+    m4 = build_protected("csr", assemble(cols, rows, vals, n, 1),
+                         "secded", force_exec="ell")
+    assert not supports_fused(m4, jnp.float32, "secded", 300)
+
+
+def test_fused_respects_upto():
+    """continue_(.., upto) stops exactly at the segment boundary and a
+    second call finishes the solve (checkpoint contract)."""
+    from abft_sparse_cg_tpu.solver.cg import init_state
+    from abft_sparse_cg_tpu.solver.fused import make_fused_continue
+
+    m = dia_matrix("secded")
+    md = make_matrix_device(m, jnp.float32)
+    b = bvec(m)
+    cont = make_fused_continue(m, "secded", 1e-8, interpret=True)
+    s0 = init_state(b, 300)
+    s1, md1 = cont(md, s0, jnp.int32(4))
+    assert int(s1.itr) == 4
+    s2, _ = cont(md1, s1, jnp.int32(300))
+    _, ref, _ = solvers(m, "secded")
+    r0 = ref(md, b)
+    assert int(s2.itr) == int(r0.iterations)
+    np.testing.assert_allclose(np.asarray(s2.x), np.asarray(r0.x),
+                               rtol=1e-6, atol=1e-7)
