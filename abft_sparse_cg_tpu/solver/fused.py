@@ -26,12 +26,20 @@ be 1024-aligned; the DIA stencil's +-off shifted reads are composed
 from an 8-row-aligned extended block via ``pltpu.roll`` lane rotations
 plus a boundary-row select (no gather, no unaligned access).
 
-Envelope (``supports_fused``): DIA layout, float32, R % 1024 == 0,
-unpreconditioned standard CG, offsets within the halo bound, and the
-four resident vectors + stream buffers within the VMEM budget (~2.7M
-rows against the v5e's 128 MiB VMEM) — the bench headline configuration
-sits inside it.  Everything else falls back to the per-iteration
-kernels.
+Both execution layouts ride the same kernel skeleton: **DIA** computes
+w with the stencil rotations above; **banded ELL** (general matrices,
+banded after RCM) uses the windowed lane-shuffle gather of
+ops.spmv_pallas, with the x windows read directly from the
+VMEM-resident p (static halo slices — the per-iteration kernel's
+shifted-block-input machinery becomes unnecessary) and the gather
+indices pre-localized/pre-clamped once per solve in XLA.
+
+Envelope (``supports_fused``): DIA or banded-ELL layout (K <= 64,
+band <= 1920), float32, R % 1024 == 0, unpreconditioned standard CG,
+offsets/window within the halo bound, and the four resident vectors +
+stream buffers within the VMEM budget (~2.7M rows against the v5e's
+128 MiB VMEM) — the bench headline configurations sit inside it.
+Everything else falls back to the per-iteration kernels.
 """
 
 from __future__ import annotations
@@ -57,27 +65,52 @@ _MAX_TRACE_SMEM = 4096        # rr trace lives in SMEM; cap its length
 
 def _plan(mat, mode):
     """Static kernel plan: chunking, halos, buffer sizes; None if the
-    matrix falls outside the envelope."""
-    if mat.exec_kind != "dia":
-        return None
+    matrix falls outside the envelope.
+
+    Two layouts, one kernel skeleton: ``kind='dia'`` computes w with
+    stencil lane-rotations; ``kind='ell'`` with the banded windowed
+    shuffle-gather (ops.spmv_pallas design), reading its x windows from
+    the VMEM-resident p instead of shifted block inputs.  ``D`` is the
+    per-plane row count streamed each chunk (diagonals resp. ELL slots).
+    """
     R = mat.R
     if R % 1024:
         return None
-    offsets = mat.dia_offsets
-    if not offsets:
-        return None
-    RR = R // 128
-    # Halo rows: lane/row decomposition of each offset reads base row
-    # q = off // 128 and (when off % 128 != 0) row q + 1.
-    qlo = min(off // 128 for off in offsets)
-    qhi = max(off // 128 + (1 if off % 128 else 0) for off in offsets)
-    Hlo = -(-max(0, -qlo) // 8) * 8
-    Hhi = -(-max(0, qhi) // 8) * 8
     from ..ecc import codec
 
     W = mat.layout.num_words
     NW = W if mode in codec.ECC_MODES else 0
-    D = len(offsets)
+    RR = R // 128
+    gather = None
+    if mat.exec_kind == "dia":
+        offsets = mat.dia_offsets
+        if not offsets:
+            return None
+        # Halo rows: lane/row decomposition of each offset reads base
+        # row q = off // 128 and (when off % 128 != 0) row q + 1.
+        qlo = min(off // 128 for off in offsets)
+        qhi = max(off // 128 + (1 if off % 128 else 0) for off in offsets)
+        Hlo = -(-max(0, -qlo) // 8) * 8
+        Hhi = -(-max(0, qhi) // 8) * 8
+        D = len(offsets)
+        S0 = WROWS = 0
+        nstreams = 1 + (2 if NW else 0)  # vals + (words ~ W planes)
+    elif mat.exec_kind == "ell":
+        from ..ops.spmv_pallas import _ELL_MAX_K, _ELL_MAX_WROWS, _ell_window
+
+        if mat.K > _ELL_MAX_K:
+            return None
+        side, WROWS = _ell_window(mat)
+        if WROWS > _ELL_MAX_WROWS:
+            return None
+        S0 = side // 128
+        Hlo = Hhi = -(-S0 // 8) * 8
+        D = mat.K
+        offsets = None
+        # vals + gather indices (always streamed) + words if NW.
+        nstreams = 2 + (W if NW else 0)
+    else:
+        return None
     C = None
     for c in (8192, 4096, 2048, 1024):
         if R % c == 0:
@@ -87,24 +120,25 @@ def _plan(mat, mode):
         return None
     ROWS = C // 128
     if max(Hlo, Hhi) > ROWS:
-        return None  # offsets reach beyond one chunk of halo
-    # 4 resident vectors + halo, plus 2 full-vector equivalents for the
-    # update phase's compiler temporaries (see _VMEM_LIMIT note above).
-    while C > 1024:
+        return None  # window/offsets reach beyond one chunk of halo
+
+    def fits(C):
+        # 4 resident vectors + halo, plus 2 full-vector equivalents for
+        # the update phase's compiler temporaries (_VMEM_LIMIT note).
         vecs = (6 * RR + Hlo + Hhi) * 128 * 4
-        bufs = 2 * (D * C * 4 + NW * D * C * 4)
-        if vecs + bufs <= _VMEM_BUDGET:
-            break
+        bufs = 2 * nstreams * D * C * 4
+        return vecs + bufs <= _VMEM_BUDGET
+
+    while C > 1024 and not fits(C):
         C //= 2
         ROWS = C // 128
-    vecs = (6 * RR + Hlo + Hhi) * 128 * 4
-    bufs = 2 * (D * C * 4 + NW * D * C * 4)
-    if vecs + bufs > _VMEM_BUDGET or max(Hlo, Hhi) > ROWS:
+    if not fits(C) or max(Hlo, Hhi) > ROWS:
         return None
     use_parity = mode in ("sed", "sec8", "secded")
     use_cksum = mode in ("sec7", "secded")
     return dict(R=R, RR=RR, C=C, ROWS=ROWS, G=R // C, D=D, W=W, NW=NW,
-                offsets=offsets, Hlo=Hlo, Hhi=Hhi,
+                kind=mat.exec_kind, offsets=offsets, Hlo=Hlo, Hhi=Hhi,
+                S0=S0, WROWS=WROWS,
                 use_parity=use_parity, use_cksum=use_cksum)
 
 
@@ -142,6 +176,8 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
     D, W, NW = plan["D"], plan["W"], plan["NW"]
     offsets, Hlo, Hhi = plan["offsets"], plan["Hlo"], plan["Hhi"]
     use_parity, use_cksum = plan["use_parity"], plan["use_cksum"]
+    is_ell = plan["kind"] == "ell"
+    S0, WROWS = plan["S0"], plan["WROWS"]
     PR = Hlo + RR + Hhi   # haloed p rows
     conv = float(conv)
 
@@ -161,6 +197,9 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
     def kernel(*refs):
         (x_in, r_in, p_in, vals_hbm) = refs[:4]
         k = 4
+        if is_ell:
+            gsrc_hbm = refs[k]            # precomputed window-local idx
+            k += 1
         if NW:
             words_hbm = refs[k]
             ckfold = refs[k + 1]          # (W, G) uint32 SMEM
@@ -174,6 +213,10 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
         k += 9
         p_ref, r_ref, x_ref, w_ref, vbuf = refs[k: k + 5]
         k += 5
+        gbuf = wtmp = None
+        if is_ell:
+            gbuf, wtmp = refs[k], refs[k + 1]
+            k += 2
         if NW:
             wbuf = refs[k]
             k += 1
@@ -200,9 +243,19 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
         upto_v = upto[0]
 
         def get_dmas(slot, ci):
-            dmas = [pltpu.make_async_copy(
-                vals_hbm.at[:, pl.ds(ci * ROWS, ROWS), :],
-                vbuf.at[slot], sems.at[3 + slot])]
+            if is_ell:
+                # Row-major streams: chunk rows lead, so each 128-lane
+                # row group is a static (D, 128) slice in-kernel.
+                dmas = [pltpu.make_async_copy(
+                    vals_hbm.at[pl.ds(ci * ROWS, ROWS)],
+                    vbuf.at[slot], sems.at[3 + slot]),
+                    pltpu.make_async_copy(
+                        gsrc_hbm.at[pl.ds(ci * ROWS, ROWS)],
+                        gbuf.at[slot], sems.at[7 + slot])]
+            else:
+                dmas = [pltpu.make_async_copy(
+                    vals_hbm.at[:, pl.ds(ci * ROWS, ROWS), :],
+                    vbuf.at[slot], sems.at[3 + slot])]
             if NW:
                 dmas.append(pltpu.make_async_copy(
                     words_hbm.at[:, :, pl.ds(ci * ROWS, ROWS), :],
@@ -227,9 +280,29 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
                     d.wait()
                 row0 = pl.multiple_of(ci * ROWS, ROWS)
                 ext = p_ref[pl.ds(row0, ROWS + Hlo + Hhi), :]
-                w = jnp.zeros((ROWS, 128), jnp.float32)
-                for d, off in enumerate(offsets):
-                    w = w + vbuf[slot][d] * shifted(ext, off)
+                if is_ell:
+                    # Windowed shuffle-gather (ops.spmv_pallas design),
+                    # windows read straight from the VMEM-resident p.
+                    # Indices arrive pre-localized (hi*128+lo vs the
+                    # row group's window) and pre-clamped from derive().
+                    for j in range(ROWS):
+                        loc = gbuf[slot][j]           # (D, 128) int32
+                        hi = loc >> 7
+                        lo = loc & 127
+                        xg = jnp.zeros((D, 128), jnp.float32)
+                        for s in range(WROWS):
+                            t0 = Hlo - S0 + j + s
+                            tbl = jnp.broadcast_to(ext[t0:t0 + 1, :],
+                                                   (D, 128))
+                            cand = jnp.take_along_axis(tbl, lo, axis=1)
+                            xg = jnp.where(hi == s, cand, xg)
+                        wtmp[j:j + 1, :] = jnp.sum(
+                            vbuf[slot][j] * xg, axis=0, keepdims=True)
+                    w = wtmp[...]
+                else:
+                    w = jnp.zeros((ROWS, 128), jnp.float32)
+                    for d, off in enumerate(offsets):
+                        w = w + vbuf[slot][d] * shifted(ext, off)
                 w_ref[pl.ds(row0, ROWS), :] = w
                 pw = pw + jnp.sum(w * ext[Hlo: Hlo + ROWS])
 
@@ -316,7 +389,7 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
         for d in out_dmas:
             d.wait()
 
-    def call(x2, r2, p2, vals3, wstack, ckfold, rr, rz, itr, upto):
+    def call(x2, r2, p2, vals3, gsrc, wstack, ckfold, rr, rz, itr, upto):
         vec = jax.ShapeDtypeStruct((RR, 128), jnp.float32)
         s11f = jax.ShapeDtypeStruct((1, 1), jnp.float32)
         s11i = jax.ShapeDtypeStruct((1, 1), jnp.int32)
@@ -324,6 +397,9 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
         smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)  # noqa: E731
         in_specs = [any_spec, any_spec, any_spec, any_spec]
         args = [x2, r2, p2, vals3]
+        if is_ell:
+            in_specs.append(any_spec)
+            args.append(gsrc)
         if NW:
             in_specs += [any_spec, smem()]
             args += [wstack, ckfold]
@@ -336,11 +412,15 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
             pltpu.VMEM((RR, 128), jnp.float32),        # r
             pltpu.VMEM((RR, 128), jnp.float32),        # x
             pltpu.VMEM((RR, 128), jnp.float32),        # w
-            pltpu.VMEM((2, D, ROWS, 128), jnp.float32),
+            pltpu.VMEM((2, ROWS, D, 128) if is_ell else (2, D, ROWS, 128),
+                       jnp.float32),
         ]
+        if is_ell:
+            scratch.append(pltpu.VMEM((2, ROWS, D, 128), jnp.int32))
+            scratch.append(pltpu.VMEM((ROWS, 128), jnp.float32))
         if NW:
             scratch.append(pltpu.VMEM((2, W, D, ROWS, 128), jnp.uint32))
-        scratch.append(pltpu.SemaphoreType.DMA((7,)))
+        scratch.append(pltpu.SemaphoreType.DMA((9,)))
         from jax.experimental import pallas as _pl
 
         outs = _pl.pallas_call(
@@ -374,18 +454,41 @@ def make_fused_continue(mat, mode, conv_threshold, trace_rr=True,
     if plan is None:
         raise ValueError("matrix outside the fused-kernel envelope")
     RR, G, C, W, NW = (plan[k] for k in ("RR", "G", "C", "W", "NW"))
+    D, is_ell, S0, WROWS = (plan[k] for k in ("D", "kind", "S0", "WROWS"))
+    is_ell = is_ell == "ell"
+    if is_ell:
+        from ..ecc import ECC_COL_MASK
+
+        gather_w = mat.layout.word_names.index(mat.ell_gather_word)
+        has_gidx = mat.perm is not None
+        mask_ecc = (mat.ell_gather_word == "col" and NW > 0)
     jnp_impl = make_spmv(mat, jnp.float32, mode)
 
     def derive(md):
         """Kernel-ready views of the device planes (re-derived after a
         repair, so the resumed loop streams the scrubbed data)."""
-        vals3 = md.values.reshape(plan["D"], RR, 128)
+        gsrc = None
+        if is_ell:
+            # Row-major (RR, D, 128) streams; gather indices arrive
+            # pre-localized to each 128-lane row group's window and
+            # pre-clamped — XLA does this once per solve, not the
+            # kernel once per iteration.
+            vals3 = md.values.reshape(D, RR, 128).transpose(1, 0, 2)
+            g = md.gidx if has_gidx else md.words[gather_w]
+            if not has_gidx and mask_ecc:
+                g = g & np.uint32(ECC_COL_MASK)
+            rowblk = (jnp.arange(plan["R"], dtype=jnp.int32) >> 7) << 7
+            local = g.astype(jnp.int32) + (S0 * 128 - rowblk)[None, :]
+            local = jnp.clip(local, 0, WROWS * 128 - 1)
+            gsrc = local.reshape(D, RR, 128).transpose(1, 0, 2)
+        else:
+            vals3 = md.values.reshape(D, RR, 128)
         if not NW:
-            return vals3, None, None
-        wstack = jnp.stack(list(md.words)).reshape(W, plan["D"], RR, 128)
+            return vals3, gsrc, None, None
+        wstack = jnp.stack(list(md.words)).reshape(W, D, RR, 128)
         ckf = md.cksum.reshape(W, G, C // 8)
         ckfold = jnp.bitwise_xor.reduce(ckf, axis=2)
-        return vals3, wstack, ckfold
+        return vals3, gsrc, wstack, ckfold
 
     def continue_(md, state: CGState, upto, minv=None):
         if minv is not None:
@@ -394,12 +497,12 @@ def make_fused_continue(mat, mode, conv_threshold, trace_rr=True,
         kern = _make_kernel(plan, mode, conv_threshold, tl, interpret)
 
         def run_fast(md, s: CGState):
-            vals3, wstack, ckfold = derive(md)
+            vals3, gsrc, wstack, ckfold = derive(md)
             x2 = s.x.reshape(RR, 128)
             r2 = s.r.reshape(RR, 128)
             p2 = s.p.reshape(RR, 128)
             (x2, r2, p2, ktrace, itr, rr, rz, trig, err) = kern(
-                x2, r2, p2, vals3, wstack, ckfold,
+                x2, r2, p2, vals3, gsrc, wstack, ckfold,
                 s.rr, s.rz, s.itr, upto)
             itr = itr[0, 0]
             trace = s.trace

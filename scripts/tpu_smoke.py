@@ -79,8 +79,8 @@ def main():
         if name == "split":
             assert m.exec_kind == "split", m.exec_kind
         assert m.exec_kind == "split" or supports(m, jnp.float32), name
-        if name == "dia":
-            # The DIA config rides the whole-solve fused megakernel
+        if name in ("dia", "ellb", "ellb-perm"):
+            # These configs ride the whole-solve fused megakernel
             # (solver.fused) on hardware — this smoke is its rot check.
             from abft_sparse_cg_tpu.solver.fused import supports_fused
 

@@ -31,6 +31,25 @@ def dia_matrix(mode, n=1024, blocks=1):
     return m
 
 
+def ell_matrix(mode, n=1024, blocks=1, shuffle=False):
+    from abft_sparse_cg_tpu.utils.matgen import shuffle_labels
+
+    tri = spd_tridiagonal(n)
+    if shuffle:
+        tri = shuffle_labels(*tri, seed=11)
+    a = assemble(tri[1], tri[0], tri[2], tri[3], blocks)
+    m = build_protected("csr", a, mode, force_exec="ell")
+    assert m.exec_kind == "ell" and m.R % 1024 == 0
+    assert (m.perm is not None) == shuffle
+    return m
+
+
+def make(layout, mode):
+    if layout == "dia":
+        return dia_matrix(mode)
+    return ell_matrix(mode, shuffle=(layout == "rcm-ell"))
+
+
 def solvers(m, mode, max_itrs=300, conv=1e-8):
     md = make_matrix_device(m, jnp.float32)
     ref = jax.jit(make_cg_solver(make_spmv(m, jnp.float32, mode),
@@ -46,9 +65,10 @@ def bvec(m):
     return jnp.asarray(b, jnp.float32)
 
 
+@pytest.mark.parametrize("layout", ["dia", "ell", "rcm-ell"])
 @pytest.mark.parametrize("mode", ["none", "sed", "sec7", "sec8", "secded"])
-def test_fused_matches_jnp_clean(mode):
-    m = dia_matrix(mode)
+def test_fused_matches_jnp_clean(mode, layout):
+    m = make(layout, mode)
     assert supports_fused(m, jnp.float32, mode, 300)
     md, ref, fus = solvers(m, mode)
     b = bvec(m)
@@ -63,11 +83,12 @@ def test_fused_matches_jnp_clean(mode):
     assert np.isnan(np.asarray(r1.rr_trace)[k:]).all()
 
 
+@pytest.mark.parametrize("layout", ["dia", "ell"])
 @pytest.mark.parametrize("mode", ["sec7", "sec8", "secded"])
-def test_fused_corrects_fault_and_resumes(mode):
+def test_fused_corrects_fault_and_resumes(mode, layout):
     """The kernel's live trigger exits the fast loop; classify repairs;
     the resumed kernel reproduces the clean solve exactly."""
-    m = dia_matrix(mode)
+    m = make(layout, mode)
     md, ref, fus = solvers(m, mode)
     b = bvec(m)
     clean = fus(md, b)  # same implementation -> bit-identical oracle
@@ -122,16 +143,18 @@ def test_fused_envelope():
     assert not supports_fused(m, jnp.float64, "secded", 300)
     assert not supports_fused(m, jnp.float32, "constraints", 300)
     assert not supports_fused(m, jnp.float32, "secded", 100_000)
-    # non-1024-multiple row count
+    # non-1024-multiple row count (either layout)
     rows, cols, vals, n = spd_tridiagonal(100)
     a = assemble(cols, rows, vals, n, 1)
     m3 = build_protected("csr", a, "secded")
     assert m3.R % 1024 != 0
     assert not supports_fused(m3, jnp.float32, "secded", 300)
-    # ELL layout falls outside
     m4 = build_protected("csr", assemble(cols, rows, vals, n, 1),
                          "secded", force_exec="ell")
     assert not supports_fused(m4, jnp.float32, "secded", 300)
+    # banded ELL inside the window/K envelope is supported
+    m5 = ell_matrix("secded")
+    assert supports_fused(m5, jnp.float32, "secded", 300)
 
 
 def test_fused_respects_upto():
