@@ -10,12 +10,14 @@ single ``pallas_call``:
     zero HBM traffic for the CG vectors;
   - the protected planes stream HBM -> VMEM through a double-buffered
     async-copy pipeline, once per iteration (the irreducible traffic);
-  - the ABFT detection signals (per-element overall parity and the
-    per-chunk XOR-checksum comparison, exactly the per-iteration pallas
-    tier's coverage: ops/spmv_pallas._detect_trigger) are fused into the
-    same streamed read — *live* detection every iteration, like the
-    reference's per-element checks (CSR/CPUContext.cpp:353-406), at
-    less than the check-on-entry jnp tier's per-iteration cost;
+  - the ABFT detection signals (per-element overall parity, OR-
+    accumulated at full granularity, and the whole-plane XOR-checksum
+    comparison — see PARITY.md for the granularity scope) are fused
+    into the same streamed read — *live* detection every iteration,
+    like the reference's per-element checks (CSR/CPUContext.cpp:
+    353-406), at less than the check-on-entry jnp tier's
+    per-iteration cost.  All per-chunk signals accumulate as lane
+    vectors and reduce to scalars once per iteration;
   - convergence / trigger / breakdown end a ``lax.while_loop`` inside
     the kernel; the rare classify/repair stays in the jnp slow path of
     the surrounding solver loop (solver.cg semantics, unchanged).
@@ -202,7 +204,7 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
             k += 1
         if NW:
             words_hbm = refs[k]
-            ckfold = refs[k + 1]          # (W, G) uint32 SMEM
+            ckall = refs[k + 1]           # (W,) whole-plane cksum folds
             k += 2
         scal_in = refs[k]                 # (2,) f32 SMEM: rr, rz
         itr_in = refs[k + 1]              # (1,) int32 SMEM
@@ -267,8 +269,19 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
             for d in get_dmas(0, 0):
                 d.start()
 
+            # All per-chunk signals accumulate in VMEM-shaped lane
+            # vectors (FMA / XOR / OR per chunk) and reduce to scalars
+            # ONCE per iteration: a cross-lane reduction per chunk is a
+            # VPU pipeline stall, and G can be ~100 chunks.
+            acc0 = [jnp.zeros((ROWS, 128), jnp.float32)]       # pw
+            if NW and use_parity:
+                acc0.append(jnp.zeros((D, ROWS, 128), jnp.uint32))
+            if NW and use_cksum:
+                acc0 += [jnp.zeros((ROWS, 128), jnp.uint32)
+                         for _ in range(W)]
+
             def chunk(ci, acc):
-                pw, trig = acc
+                acc = list(acc)
                 slot = ci % 2
 
                 @pl.when(ci + 1 < G)
@@ -304,37 +317,50 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
                     for d, off in enumerate(offsets):
                         w = w + vbuf[slot][d] * shifted(ext, off)
                 w_ref[pl.ds(row0, ROWS), :] = w
-                pw = pw + jnp.sum(w * ext[Hlo: Hlo + ROWS])
+                acc[0] = acc[0] + w * ext[Hlo: Hlo + ROWS]
 
-                # ---- live detection signals (ops/spmv_pallas
-                # coverage: parity + per-chunk checksum fold) ----------
+                # ---- live detection signals: per-element parity mask
+                # (OR-accumulated) + per-plane checksum XOR.  Checksum
+                # granularity is whole-plane (vs per-chunk before):
+                # equally sound for faults within a single element —
+                # any 1-2 flips in one codeword change some plane's
+                # XOR (see PARITY.md for the pair-cancellation scope).
                 if NW:
                     words = [wbuf[slot][wi] for wi in range(W)]
-                    t = jnp.int32(0)
+                    k = 1
                     if use_parity:
                         acc_x = words[0]
                         for wd in words[1:]:
                             acc_x = acc_x ^ wd
-                        cnt = jnp.sum((jax.lax.population_count(acc_x)
-                                       & np.uint32(1)).astype(jnp.int32))
-                        t = t | (cnt > 0).astype(jnp.int32)
+                        acc[k] = acc[k] | (
+                            jax.lax.population_count(acc_x)
+                            & np.uint32(1))
+                        k += 1
                     if use_cksum:
                         for wi in range(W):
                             red = words[wi][0]        # (ROWS, 128)
                             for d in range(1, D):
                                 red = red ^ words[wi][d]
-                            red = _xor_fold_rows(red)  # -> (1, 128)
-                            # lane fold via rotate-halvings (Mosaic has
-                            # no cross-lane reduce_xor)
-                            for k in (64, 32, 16, 8, 4, 2, 1):
-                                red = red ^ pltpu.roll(red, k, 1)
-                            t = t | (red[0, 0] != ckfold[wi, ci]).astype(
-                                jnp.int32)
-                    trig = trig | t
-                return pw, trig
+                            acc[k + wi] = acc[k + wi] ^ red
+                return tuple(acc)
 
-            pw, trig_i = jax.lax.fori_loop(
-                0, G, chunk, (jnp.float32(0.0), jnp.int32(0)))
+            accs = jax.lax.fori_loop(0, G, chunk, tuple(acc0))
+            pw = jnp.sum(accs[0])
+            trig_i = jnp.int32(0)
+            k = 1
+            if NW and use_parity:
+                cnt = jnp.sum(accs[k].astype(jnp.int32))
+                trig_i = trig_i | (cnt > 0).astype(jnp.int32)
+                k += 1
+            if NW and use_cksum:
+                for wi in range(W):
+                    red = _xor_fold_rows(accs[k + wi])  # -> (1, 128)
+                    # lane fold via rotate-halvings (Mosaic has no
+                    # cross-lane reduce_xor)
+                    for r in (64, 32, 16, 8, 4, 2, 1):
+                        red = red ^ pltpu.roll(red, r, 1)
+                    trig_i = trig_i | (red[0, 0] != ckall[wi]).astype(
+                        jnp.int32)
 
             alpha = rz / pw
             r1 = r_ref[...] - alpha * w_ref[...]
@@ -389,7 +415,7 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
         for d in out_dmas:
             d.wait()
 
-    def call(x2, r2, p2, vals3, gsrc, wstack, ckfold, rr, rz, itr, upto):
+    def call(x2, r2, p2, vals3, gsrc, wstack, ckall, rr, rz, itr, upto):
         vec = jax.ShapeDtypeStruct((RR, 128), jnp.float32)
         s11f = jax.ShapeDtypeStruct((1, 1), jnp.float32)
         s11i = jax.ShapeDtypeStruct((1, 1), jnp.int32)
@@ -402,7 +428,7 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
             args.append(gsrc)
         if NW:
             in_specs += [any_spec, smem()]
-            args += [wstack, ckfold]
+            args += [wstack, ckall]
         in_specs += [smem(), smem(), smem()]
         args += [jnp.stack([rr, rz]).astype(jnp.float32),
                  jnp.reshape(itr, (1,)).astype(jnp.int32),
@@ -486,9 +512,8 @@ def make_fused_continue(mat, mode, conv_threshold, trace_rr=True,
         if not NW:
             return vals3, gsrc, None, None
         wstack = jnp.stack(list(md.words)).reshape(W, D, RR, 128)
-        ckf = md.cksum.reshape(W, G, C // 8)
-        ckfold = jnp.bitwise_xor.reduce(ckf, axis=2)
-        return vals3, gsrc, wstack, ckfold
+        ckall = jnp.bitwise_xor.reduce(md.cksum.reshape(W, -1), axis=1)
+        return vals3, gsrc, wstack, ckall
 
     def continue_(md, state: CGState, upto, minv=None):
         if minv is not None:
@@ -497,12 +522,12 @@ def make_fused_continue(mat, mode, conv_threshold, trace_rr=True,
         kern = _make_kernel(plan, mode, conv_threshold, tl, interpret)
 
         def run_fast(md, s: CGState):
-            vals3, gsrc, wstack, ckfold = derive(md)
+            vals3, gsrc, wstack, ckall = derive(md)
             x2 = s.x.reshape(RR, 128)
             r2 = s.r.reshape(RR, 128)
             p2 = s.p.reshape(RR, 128)
             (x2, r2, p2, ktrace, itr, rr, rz, trig, err) = kern(
-                x2, r2, p2, vals3, gsrc, wstack, ckfold,
+                x2, r2, p2, vals3, gsrc, wstack, ckall,
                 s.rr, s.rz, s.itr, upto)
             itr = itr[0, 0]
             trace = s.trace
