@@ -62,13 +62,20 @@ class CheckpointedSolve:
     """Drive a solve in segments, snapshotting state between them."""
 
     def __init__(self, impl, conv_threshold: float, every: int,
-                 path: str, trace_rr: bool = True):
+                 path: str, trace_rr: bool = True, continue_fn=None):
+        """``continue_fn`` overrides the solver loop: any callable with
+        the ``make_cg_continue`` contract ``(md, state, upto, minv) ->
+        (state, md)`` — e.g. ``solver.fused.make_fused_continue`` to
+        checkpoint the whole-solve megakernel (``impl`` may be None
+        then)."""
         import jax
 
         self.every = int(every)
         self.path = path
         self.trace_rr = trace_rr
-        self._cont = jax.jit(make_cg_continue(impl, conv_threshold, trace_rr))
+        if continue_fn is None:
+            continue_fn = make_cg_continue(impl, conv_threshold, trace_rr)
+        self._cont = jax.jit(continue_fn)
 
     def run(self, md, b, max_itrs: int, resume: bool = False,
             minv=None) -> CGResult:

@@ -157,6 +157,35 @@ def test_fused_envelope():
     assert supports_fused(m5, jnp.float32, "secded", 300)
 
 
+def test_fused_checkpointed_solve(tmp_path):
+    """CheckpointedSolve over the megakernel: segment, snapshot, resume,
+    same answer as the one-shot solve — incl. a scrub carried across
+    segments (classify exactly once)."""
+    from abft_sparse_cg_tpu.solver.checkpoint import CheckpointedSolve
+    from abft_sparse_cg_tpu.solver.fused import make_fused_continue
+
+    m = dia_matrix("secded")
+    m2 = inject_bitflips(m, "ANY", 1, np.random.default_rng(5),
+                         echo=lambda s: None)
+    md = make_matrix_device(m2, jnp.float32)
+    b = bvec(m)
+    cont = make_fused_continue(m, "secded", 1e-8, interpret=True)
+    runner = CheckpointedSolve(None, 1e-8, every=3,
+                               path=str(tmp_path / "ck.npz"),
+                               continue_fn=cont)
+    res = runner.run(md, b, max_itrs=300)
+    _, _, fus = solvers(m, "secded")
+    ref = fus(make_matrix_device(m, jnp.float32), b)
+    assert int(res.stats.errcode) == 0
+    assert int(res.stats.corrected_count) == 1
+    assert int(res.iterations) == int(ref.iterations)
+    np.testing.assert_array_equal(np.asarray(res.x), np.asarray(ref.x))
+    # resume path: second run with resume=True starts from the saved
+    # (converged) state and returns immediately
+    res2 = runner.run(res.md, b, max_itrs=300, resume=True)
+    assert int(res2.iterations) == int(res.iterations)
+
+
 def test_fused_respects_upto():
     """continue_(.., upto) stops exactly at the segment boundary and a
     second call finishes the solve (checkpoint contract)."""
