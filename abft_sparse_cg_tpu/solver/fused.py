@@ -60,8 +60,8 @@ __all__ = ["supports_fused", "make_fused_continue", "make_fused_solver"]
 # keeps a margin for compiler temporaries: the update phase's
 # full-vector expressions (r1, the rr1 reduction tree) measure ~2.3 MiB
 # of stack at RR=6400, so _plan charges two extra full vectors.
-_VMEM_LIMIT = 100 * 2 ** 20   # scoped limit requested from Mosaic
-_VMEM_BUDGET = 64 * 2 ** 20   # bytes of VMEM the plan may allocate
+_VMEM_LIMIT = 110 * 2 ** 20   # scoped limit requested from Mosaic
+_VMEM_BUDGET = 88 * 2 ** 20   # bytes of VMEM the plan may allocate
 _MAX_TRACE_SMEM = 4096        # rr trace lives in SMEM; cap its length
 
 
