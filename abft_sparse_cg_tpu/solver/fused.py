@@ -96,6 +96,7 @@ def _plan(mat, mode):
         Hhi = -(-max(0, qhi) // 8) * 8
         D = len(offsets)
         S0 = WROWS = 0
+        PACK = 1
         nstreams = 1 + (2 if NW else 0)  # vals + (words ~ W planes)
     elif mat.exec_kind == "ell":
         from ..ops.spmv_pallas import _ELL_MAX_K, _ELL_MAX_WROWS, _ell_window
@@ -111,6 +112,10 @@ def _plan(mat, mode):
         offsets = None
         # vals + gather indices (always streamed) + words if NW.
         nstreams = 2 + (W if NW else 0)
+        # Sublane packing: a (K, 128) shuffle op uses K of the VPU's 8
+        # sublanes; process PACK row groups per op so small-K matrices
+        # fill them (tridiagonal K=3 -> (6, 128) ops).
+        PACK = max(1, 8 // D)
     else:
         return None
     C = None
@@ -140,7 +145,7 @@ def _plan(mat, mode):
     use_cksum = mode in ("sec7", "secded")
     return dict(R=R, RR=RR, C=C, ROWS=ROWS, G=R // C, D=D, W=W, NW=NW,
                 kind=mat.exec_kind, offsets=offsets, Hlo=Hlo, Hhi=Hhi,
-                S0=S0, WROWS=WROWS,
+                S0=S0, WROWS=WROWS, PACK=PACK,
                 use_parity=use_parity, use_cksum=use_cksum)
 
 
@@ -179,7 +184,7 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
     offsets, Hlo, Hhi = plan["offsets"], plan["Hlo"], plan["Hhi"]
     use_parity, use_cksum = plan["use_parity"], plan["use_cksum"]
     is_ell = plan["kind"] == "ell"
-    S0, WROWS = plan["S0"], plan["WROWS"]
+    S0, WROWS, PACK = plan["S0"], plan["WROWS"], plan["PACK"]
     PR = Hlo + RR + Hhi   # haloed p rows
     conv = float(conv)
 
@@ -246,13 +251,14 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
 
         def get_dmas(slot, ci):
             if is_ell:
-                # Row-major streams: chunk rows lead, so each 128-lane
-                # row group is a static (D, 128) slice in-kernel.
+                # Row-major streams: chunk row groups lead, so each
+                # PACK-group is a static (PACK*D, 128) slice in-kernel.
+                RP = ROWS // PACK
                 dmas = [pltpu.make_async_copy(
-                    vals_hbm.at[pl.ds(ci * ROWS, ROWS)],
+                    vals_hbm.at[pl.ds(ci * RP, RP)],
                     vbuf.at[slot], sems.at[3 + slot]),
                     pltpu.make_async_copy(
-                        gsrc_hbm.at[pl.ds(ci * ROWS, ROWS)],
+                        gsrc_hbm.at[pl.ds(ci * RP, RP)],
                         gbuf.at[slot], sems.at[7 + slot])]
             else:
                 dmas = [pltpu.make_async_copy(
@@ -298,19 +304,32 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
                     # windows read straight from the VMEM-resident p.
                     # Indices arrive pre-localized (hi*128+lo vs the
                     # row group's window) and pre-clamped from derive().
-                    for j in range(ROWS):
-                        loc = gbuf[slot][j]           # (D, 128) int32
+                    # PACK row groups share each (PACK*D, 128) op: the
+                    # lane shuffle acts per sublane row, so pack slot p
+                    # just needs ITS window row in its tbl rows.
+                    for j in range(ROWS // PACK):
+                        loc = gbuf[slot][j]       # (PACK*D, 128) int32
                         hi = loc >> 7
                         lo = loc & 127
-                        xg = jnp.zeros((D, 128), jnp.float32)
+                        xg = jnp.zeros((PACK * D, 128), jnp.float32)
                         for s in range(WROWS):
-                            t0 = Hlo - S0 + j + s
-                            tbl = jnp.broadcast_to(ext[t0:t0 + 1, :],
-                                                   (D, 128))
+                            t0 = Hlo - S0 + j * PACK + s
+                            if PACK == 1:
+                                tbl = jnp.broadcast_to(
+                                    ext[t0:t0 + 1, :], (D, 128))
+                            else:
+                                tbl = jnp.concatenate(
+                                    [jnp.broadcast_to(
+                                        ext[t0 + p:t0 + p + 1, :],
+                                        (D, 128))
+                                     for p in range(PACK)], axis=0)
                             cand = jnp.take_along_axis(tbl, lo, axis=1)
                             xg = jnp.where(hi == s, cand, xg)
-                        wtmp[j:j + 1, :] = jnp.sum(
-                            vbuf[slot][j] * xg, axis=0, keepdims=True)
+                        prod = vbuf[slot][j] * xg
+                        for p in range(PACK):
+                            wtmp[j * PACK + p:j * PACK + p + 1, :] = (
+                                jnp.sum(prod[p * D:(p + 1) * D], axis=0,
+                                        keepdims=True))
                     w = wtmp[...]
                 else:
                     w = jnp.zeros((ROWS, 128), jnp.float32)
@@ -433,16 +452,17 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
         args += [jnp.stack([rr, rz]).astype(jnp.float32),
                  jnp.reshape(itr, (1,)).astype(jnp.int32),
                  jnp.reshape(upto, (1,)).astype(jnp.int32)]
+        ebuf = (2, ROWS // PACK, PACK * D, 128)
         scratch = [
             pltpu.VMEM((PR, 128), jnp.float32),        # p (haloed)
             pltpu.VMEM((RR, 128), jnp.float32),        # r
             pltpu.VMEM((RR, 128), jnp.float32),        # x
             pltpu.VMEM((RR, 128), jnp.float32),        # w
-            pltpu.VMEM((2, ROWS, D, 128) if is_ell else (2, D, ROWS, 128),
+            pltpu.VMEM(ebuf if is_ell else (2, D, ROWS, 128),
                        jnp.float32),
         ]
         if is_ell:
-            scratch.append(pltpu.VMEM((2, ROWS, D, 128), jnp.int32))
+            scratch.append(pltpu.VMEM(ebuf, jnp.int32))
             scratch.append(pltpu.VMEM((ROWS, 128), jnp.float32))
         if NW:
             scratch.append(pltpu.VMEM((2, W, D, ROWS, 128), jnp.uint32))
@@ -481,6 +501,7 @@ def make_fused_continue(mat, mode, conv_threshold, trace_rr=True,
         raise ValueError("matrix outside the fused-kernel envelope")
     RR, G, C, W, NW = (plan[k] for k in ("RR", "G", "C", "W", "NW"))
     D, is_ell, S0, WROWS = (plan[k] for k in ("D", "kind", "S0", "WROWS"))
+    PACK = plan["PACK"]
     is_ell = is_ell == "ell"
     if is_ell:
         from ..ecc import ECC_COL_MASK
@@ -495,18 +516,23 @@ def make_fused_continue(mat, mode, conv_threshold, trace_rr=True,
         repair, so the resumed loop streams the scrubbed data)."""
         gsrc = None
         if is_ell:
-            # Row-major (RR, D, 128) streams; gather indices arrive
-            # pre-localized to each 128-lane row group's window and
-            # pre-clamped — XLA does this once per solve, not the
+            # Row-major (RR//PACK, PACK*D, 128) streams (PACK row
+            # groups per sublane-packed kernel op); gather indices
+            # arrive pre-localized to each 128-lane row group's window
+            # and pre-clamped — XLA does this once per solve, not the
             # kernel once per iteration.
-            vals3 = md.values.reshape(D, RR, 128).transpose(1, 0, 2)
+            def pack(a):
+                return (a.reshape(D, RR, 128).transpose(1, 0, 2)
+                        .reshape(RR // PACK, PACK * D, 128))
+
+            vals3 = pack(md.values)
             g = md.gidx if has_gidx else md.words[gather_w]
             if not has_gidx and mask_ecc:
                 g = g & np.uint32(ECC_COL_MASK)
             rowblk = (jnp.arange(plan["R"], dtype=jnp.int32) >> 7) << 7
             local = g.astype(jnp.int32) + (S0 * 128 - rowblk)[None, :]
             local = jnp.clip(local, 0, WROWS * 128 - 1)
-            gsrc = local.reshape(D, RR, 128).transpose(1, 0, 2)
+            gsrc = pack(local)
         else:
             vals3 = md.values.reshape(D, RR, 128)
         if not NW:
