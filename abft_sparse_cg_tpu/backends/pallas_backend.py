@@ -47,16 +47,25 @@ class PallasBackend(JnpBackend):
                 if on_tpu and supports_fused(mat, dtype, self.mode,
                                              max_itrs):
                     # Whole-solve megakernel (solver.fused): VMEM-resident
-                    # CG vectors + live per-iteration detection.  The
-                    # per-iteration tier keeps serving preconditioned
-                    # solves (the kernel is unpreconditioned).
+                    # CG vectors + live per-iteration detection.  Jacobi
+                    # solves get the precond kernel variant when it fits
+                    # (M^-1 is a fifth resident vector); anything else
+                    # keeps the per-iteration tier.
                     fused = make_fused_solver(mat, self.mode, max_itrs,
                                               conv)
+                    fused_p = None
+                    if supports_fused(mat, dtype, self.mode, max_itrs,
+                                      precond=True):
+                        fused_p = make_fused_solver(
+                            mat, self.mode, max_itrs, conv, precond=True)
                     periter = solver
 
-                    def solver(md, b, minv=None, _f=fused, _p=periter):
+                    def solver(md, b, minv=None, _f=fused, _fp=fused_p,
+                               _p=periter):
                         if minv is None:
                             return _f(md, b)
+                        if _fp is not None:
+                            return _fp(md, b, minv)
                         return _p(md, b, minv)
             _SOLVER_CACHE[key] = jax.jit(solver)
         return _SOLVER_CACHE[key]

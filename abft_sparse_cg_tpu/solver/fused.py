@@ -37,11 +37,13 @@ shifted-block-input machinery becomes unnecessary) and the gather
 indices pre-localized/pre-clamped once per solve in XLA.
 
 Envelope (``supports_fused``): DIA or banded-ELL layout (K <= 64,
-band <= 1920), float32, R % 1024 == 0, unpreconditioned standard CG,
-offsets/window within the halo bound, and the four resident vectors +
-stream buffers within the VMEM budget (~2.7M rows against the v5e's
-128 MiB VMEM) — the bench headline configurations sit inside it.
-Everything else falls back to the per-iteration kernels.
+band <= 1920), float32, R % 1024 == 0, standard CG — unpreconditioned
+or Jacobi (``precond=True`` keeps M^-1 as a fifth resident vector and
+runs the PCG recurrences in-kernel) — offsets/window within the halo
+bound, and the resident vectors + stream buffers within the VMEM
+budget (~3.8M rows against the v5e's 128 MiB VMEM) — the bench
+headline configurations sit inside it.  Everything else falls back to
+the per-iteration kernels.
 """
 
 from __future__ import annotations
@@ -65,7 +67,7 @@ _VMEM_BUDGET = 88 * 2 ** 20   # bytes of VMEM the plan may allocate
 _MAX_TRACE_SMEM = 4096        # rr trace lives in SMEM; cap its length
 
 
-def _plan(mat, mode):
+def _plan(mat, mode, precond=False):
     """Static kernel plan: chunking, halos, buffer sizes; None if the
     matrix falls outside the envelope.
 
@@ -83,7 +85,6 @@ def _plan(mat, mode):
     W = mat.layout.num_words
     NW = W if mode in codec.ECC_MODES else 0
     RR = R // 128
-    gather = None
     if mat.exec_kind == "dia":
         offsets = mat.dia_offsets
         if not offsets:
@@ -129,10 +130,13 @@ def _plan(mat, mode):
     if max(Hlo, Hhi) > ROWS:
         return None  # window/offsets reach beyond one chunk of halo
 
+    # 4 resident vectors + halo, plus 2 full-vector equivalents for the
+    # update phase's compiler temporaries (_VMEM_LIMIT note); Jacobi
+    # adds the resident M^-1 diagonal and the z = M^-1 r temporary.
+    NV = 8 if precond else 6
+
     def fits(C):
-        # 4 resident vectors + halo, plus 2 full-vector equivalents for
-        # the update phase's compiler temporaries (_VMEM_LIMIT note).
-        vecs = (6 * RR + Hlo + Hhi) * 128 * 4
+        vecs = (NV * RR + Hlo + Hhi) * 128 * 4
         bufs = 2 * nstreams * D * C * 4
         return vecs + bufs <= _VMEM_BUDGET
 
@@ -145,18 +149,19 @@ def _plan(mat, mode):
     use_cksum = mode in ("sec7", "secded")
     return dict(R=R, RR=RR, C=C, ROWS=ROWS, G=R // C, D=D, W=W, NW=NW,
                 kind=mat.exec_kind, offsets=offsets, Hlo=Hlo, Hhi=Hhi,
-                S0=S0, WROWS=WROWS, PACK=PACK,
+                S0=S0, WROWS=WROWS, PACK=PACK, precond=precond,
                 use_parity=use_parity, use_cksum=use_cksum)
 
 
-def supports_fused(mat, dtype, mode, max_itrs, trace_rr=True) -> bool:
+def supports_fused(mat, dtype, mode, max_itrs, trace_rr=True,
+                   precond=False) -> bool:
     if jnp.dtype(dtype) != jnp.float32:
         return False
     if mode == "constraints":
         return False  # structural checks have no fused fast loop
     if trace_rr and min(max_itrs, _MAX_TRACE) > _MAX_TRACE_SMEM:
         return False
-    return _plan(mat, mode) is not None
+    return _plan(mat, mode, precond) is not None
 
 
 def _xor_fold_rows(v):
@@ -185,6 +190,7 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
     use_parity, use_cksum = plan["use_parity"], plan["use_cksum"]
     is_ell = plan["kind"] == "ell"
     S0, WROWS, PACK = plan["S0"], plan["WROWS"], plan["PACK"]
+    precond = plan["precond"]
     PR = Hlo + RR + Hhi   # haloed p rows
     conv = float(conv)
 
@@ -204,6 +210,9 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
     def kernel(*refs):
         (x_in, r_in, p_in, vals_hbm) = refs[:4]
         k = 4
+        if precond:
+            minv_in = refs[k]
+            k += 1
         if is_ell:
             gsrc_hbm = refs[k]            # precomputed window-local idx
             k += 1
@@ -220,6 +229,10 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
         k += 9
         p_ref, r_ref, x_ref, w_ref, vbuf = refs[k: k + 5]
         k += 5
+        m_ref = None
+        if precond:
+            m_ref = refs[k]
+            k += 1
         gbuf = wtmp = None
         if is_ell:
             gbuf, wtmp = refs[k], refs[k + 1]
@@ -236,6 +249,9 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
             pltpu.make_async_copy(p_in, p_ref.at[pl.ds(Hlo, RR), :],
                                   sems.at[2]),
         ]
+        if precond:
+            in_dmas.append(
+                pltpu.make_async_copy(minv_in, m_ref, sems.at[9]))
         if Hlo:
             p_ref[pl.ds(0, Hlo), :] = jnp.zeros((Hlo, 128), jnp.float32)
         if Hhi:
@@ -384,6 +400,11 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
             alpha = rz / pw
             r1 = r_ref[...] - alpha * w_ref[...]
             rr1 = jnp.sum(r1 * r1)
+            if precond:
+                z1 = m_ref[...] * r1
+                rz1 = jnp.sum(r1 * z1)
+            else:
+                z1, rz1 = r1, rr1
             bad = jnp.logical_or(pw <= 0.0, ~jnp.isfinite(rr1))
             ok = jnp.logical_and(trig_i == 0, ~bad)
 
@@ -394,17 +415,18 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
             def _():
                 x_ref[...] = x_ref[...] + alpha * p_ref[pl.ds(Hlo, RR), :]
                 r_ref[...] = r1
-                beta = rr1 / rz
+                beta = rz1 / rz
                 p_ref[pl.ds(Hlo, RR), :] = (
-                    r1 + beta * p_ref[pl.ds(Hlo, RR), :])
+                    z1 + beta * p_ref[pl.ds(Hlo, RR), :])
                 if trace_len:
                     trace_out[itr] = rr1
 
             itr1 = jnp.where(ok, itr + 1, itr)
             rrn = jnp.where(ok, rr1, rr)
+            rzn = jnp.where(ok, rz1, rz)
             err = jnp.where(bad & (trig_i == 0),
                             jnp.int32(ERR_BREAKDOWN), jnp.int32(0))
-            return itr1, rrn, rrn, trig_i, err
+            return itr1, rrn, rzn, trig_i, err
 
         def cond(carry):
             itr, rr, _, trig, err = carry
@@ -434,7 +456,8 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
         for d in out_dmas:
             d.wait()
 
-    def call(x2, r2, p2, vals3, gsrc, wstack, ckall, rr, rz, itr, upto):
+    def call(x2, r2, p2, minv2, vals3, gsrc, wstack, ckall, rr, rz, itr,
+             upto):
         vec = jax.ShapeDtypeStruct((RR, 128), jnp.float32)
         s11f = jax.ShapeDtypeStruct((1, 1), jnp.float32)
         s11i = jax.ShapeDtypeStruct((1, 1), jnp.int32)
@@ -442,6 +465,9 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
         smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)  # noqa: E731
         in_specs = [any_spec, any_spec, any_spec, any_spec]
         args = [x2, r2, p2, vals3]
+        if precond:
+            in_specs.append(any_spec)
+            args.append(minv2)
         if is_ell:
             in_specs.append(any_spec)
             args.append(gsrc)
@@ -461,12 +487,14 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
             pltpu.VMEM(ebuf if is_ell else (2, D, ROWS, 128),
                        jnp.float32),
         ]
+        if precond:
+            scratch.append(pltpu.VMEM((RR, 128), jnp.float32))  # M^-1
         if is_ell:
             scratch.append(pltpu.VMEM(ebuf, jnp.int32))
             scratch.append(pltpu.VMEM((ROWS, 128), jnp.float32))
         if NW:
             scratch.append(pltpu.VMEM((2, W, D, ROWS, 128), jnp.uint32))
-        scratch.append(pltpu.SemaphoreType.DMA((9,)))
+        scratch.append(pltpu.SemaphoreType.DMA((10,)))
         from jax.experimental import pallas as _pl
 
         outs = _pl.pallas_call(
@@ -489,14 +517,17 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
 
 
 def make_fused_continue(mat, mode, conv_threshold, trace_rr=True,
-                        interpret=False):
+                        interpret=False, precond=False):
     """``continue_(md, state, upto, minv=None)`` with solver.cg's
     contract, running the fast loop in the megakernel.  The classify /
     repair slow path (once per fault) is the jnp implementation, wrapped
-    in the same outer while-loop as solver.cg._make_lazy_continue."""
+    in the same outer while-loop as solver.cg._make_lazy_continue.
+    ``precond=True`` builds the Jacobi variant: ``minv`` becomes a fifth
+    VMEM-resident vector and the update phase runs the PCG recurrences
+    (z = M^-1 r, rz = r.z) in-kernel."""
     from ..ops.spmv import make_spmv
 
-    plan = _plan(mat, mode)
+    plan = _plan(mat, mode, precond)
     if plan is None:
         raise ValueError("matrix outside the fused-kernel envelope")
     RR, G, C, W, NW = (plan[k] for k in ("RR", "G", "C", "W", "NW"))
@@ -542,10 +573,13 @@ def make_fused_continue(mat, mode, conv_threshold, trace_rr=True,
         return vals3, gsrc, wstack, ckall
 
     def continue_(md, state: CGState, upto, minv=None):
-        if minv is not None:
-            raise ValueError("fused solver is unpreconditioned")
+        if precond != (minv is not None):
+            raise ValueError(
+                "preconditioned fused solver needs minv" if precond
+                else "fused solver built unpreconditioned")
         tl = state.trace.shape[0] if trace_rr else 0
         kern = _make_kernel(plan, mode, conv_threshold, tl, interpret)
+        minv2 = minv.reshape(RR, 128) if precond else None
 
         def run_fast(md, s: CGState):
             vals3, gsrc, wstack, ckall = derive(md)
@@ -553,7 +587,7 @@ def make_fused_continue(mat, mode, conv_threshold, trace_rr=True,
             r2 = s.r.reshape(RR, 128)
             p2 = s.p.reshape(RR, 128)
             (x2, r2, p2, ktrace, itr, rr, rz, trig, err) = kern(
-                x2, r2, p2, vals3, gsrc, wstack, ckall,
+                x2, r2, p2, minv2, vals3, gsrc, wstack, ckall,
                 s.rr, s.rz, s.itr, upto)
             itr = itr[0, 0]
             trace = s.trace
@@ -606,12 +640,13 @@ def make_fused_continue(mat, mode, conv_threshold, trace_rr=True,
 
 
 def make_fused_solver(mat, mode, max_itrs: int, conv_threshold: float,
-                      trace_rr: bool = True, interpret: bool = False):
+                      trace_rr: bool = True, interpret: bool = False,
+                      precond: bool = False):
     """``solve(md, b, minv=None) -> CGResult`` on the megakernel.
-    ``minv`` must be None (callers route preconditioned solves to the
-    per-iteration tiers)."""
+    ``minv`` must match ``precond`` (None unless the Jacobi variant was
+    requested)."""
     cont = make_fused_continue(mat, mode, conv_threshold, trace_rr,
-                               interpret)
+                               interpret, precond)
 
     def solve(md, b, minv=None):
         s, md_out = cont(md, init_state(b, max_itrs, trace_rr, minv),

@@ -157,6 +157,40 @@ def test_fused_envelope():
     assert supports_fused(m5, jnp.float32, "secded", 300)
 
 
+@pytest.mark.parametrize("layout", ["dia", "ell"])
+@pytest.mark.parametrize("mode", ["none", "secded"])
+def test_fused_jacobi_matches_jnp(mode, layout):
+    """The preconditioned kernel variant (minv VMEM-resident, PCG
+    recurrences in-kernel) matches the jnp solver's Jacobi path."""
+    m = make(layout, mode)
+    assert supports_fused(m, jnp.float32, mode, 300, precond=True)
+    md = make_matrix_device(m, jnp.float32)
+    b = bvec(m)
+    d = m.diagonal()
+    mpad = np.zeros(m.R)
+    mpad[: m.N] = m.to_exec_order(
+        np.where(d != 0.0, 1.0 / np.where(d == 0, 1, d), 1.0))
+    minv = jnp.asarray(mpad, jnp.float32)
+    ref = jax.jit(make_cg_solver(make_spmv(m, jnp.float32, mode),
+                                 300, 1e-8))
+    fus = jax.jit(make_fused_solver(m, mode, 300, 1e-8, interpret=True,
+                                    precond=True))
+    r0, r1 = ref(md, b, minv), fus(md, b, minv)
+    assert int(r1.stats.errcode) == 0
+    assert int(r1.iterations) == int(r0.iterations)
+    np.testing.assert_allclose(np.asarray(r1.x), np.asarray(r0.x),
+                               rtol=1e-6, atol=1e-7)
+    k = int(r0.iterations)
+    np.testing.assert_allclose(np.asarray(r1.rr_trace)[:k],
+                               np.asarray(r0.rr_trace)[:k], rtol=1e-4)
+    # the unpreconditioned builder refuses minv and vice versa
+    plain = make_fused_solver(m, mode, 300, 1e-8, interpret=True)
+    with pytest.raises(ValueError):
+        plain(md, b, minv)
+    with pytest.raises(ValueError):
+        fus(md, b)
+
+
 def test_fused_checkpointed_solve(tmp_path):
     """CheckpointedSolve over the megakernel: segment, snapshot, resume,
     same answer as the one-shot solve — incl. a scrub carried across
