@@ -23,9 +23,12 @@ class PallasBackend(JnpBackend):
                     variant="standard"):
         import jax
 
-        if r_dev is not None and r_dev != mat.R:
-            # Mesh-sharded solve: the kernels bake static single-chip row
-            # counts; the GSPMD path uses the shape-polymorphic jnp program.
+        if r_dev is not None:
+            # Mesh-sharded solve (--devices N): Pallas custom calls have
+            # no SPMD partitioning rule — a sharded operand would force
+            # replication (or fail to partition) instead of running the
+            # kernel per shard.  The GSPMD path uses the shape-
+            # polymorphic jnp program, which XLA shards properly.
             return super()._get_solver(mat, dtype, max_itrs, conv, r_dev,
                                        variant)
         # band + permutation presence shape the ELL kernel (window size,

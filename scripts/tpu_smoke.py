@@ -109,6 +109,14 @@ def main():
         print(f"{name}: clean + corrected + detected OK "
               f"(solve {clean.solve_seconds * 1e3:.2f} ms)", flush=True)
 
+        if name == "dia":
+            # Jacobi rides the preconditioned megakernel variant.
+            rj = backend.solve(m2, b, 500, 1e-6, verbose=False,
+                               dtype="f32", precond="jacobi")
+            assert not rj.failed and rj.corrected_count == 1, "jacobi"
+            print(f"dia+jacobi: corrected OK "
+                  f"(solve {rj.solve_seconds * 1e3:.2f} ms)", flush=True)
+
     print("TPU SMOKE OK", flush=True)
 
 
