@@ -6,8 +6,14 @@ needs — guaranteed single read of the protected planes from HBM:
   - the SpMV product itself,
   - per-element overall parity (detects any odd-weight fault),
   - per-plane XOR checksums vs their build-time values (detects
-    even-weight faults, including double flips within one element),
-  - per-chunk trigger flag.
+    even-weight faults, including double flips within one element).
+
+Every signal (pw, parity mask, checksum XOR) accumulates as VMEM lane
+vectors across the sequential grid steps; the scalar folds and the
+checksum compare run in XLA after the call — per-chunk cross-lane
+reductions are VPU pipeline stalls (solver/fused.py finding), and the
+expected whole-plane checksum fold is loop-invariant so the solver's
+while-loop hoists it.
 
 Two kernels, selected by the matrix's execution layout:
 
@@ -100,52 +106,6 @@ def supports(mat, dtype) -> bool:
     if jnp.dtype(dtype) != jnp.float32:
         return False
     return mat.exec_kind == "dia" or _ellb_ok(mat)
-
-
-def _xor_fold_to_scalar(v):
-    """XOR-fold a (L,) vector to one uint32 with contiguous halvings
-    (Mosaic has no reduce_xor primitive).  Zero-pads to a power of
-    two first — zero is the XOR identity."""
-    L = v.shape[0]
-    P = 1
-    while P < L:
-        P *= 2
-    if P != L:
-        v = jnp.pad(v, (0, P - L))
-        L = P
-    while L > 1:
-        L //= 2
-        v = v[:L] ^ v[L : 2 * L]
-    return v[0]
-
-
-def _detect_trigger(words, ck_ref, use_parity, use_cksum):
-    """Shared detection signals over a chunk's codeword planes.
-
-    ``words`` are the W plane chunks, each (slots, C) uint32; checksum
-    comparison is at chunk granularity — one XOR fold of the chunk's
-    rows vs the XOR of its stored 8-row block checksums.  Coarser than
-    the stored granularity but equally sound for faults within a single
-    element (the reference's injection model): any 1-2 flips in one
-    codeword change the chunk XOR of some plane."""
-    trig = jnp.int32(0)
-    if use_parity:
-        x0 = words[0]
-        for wd in words[1:]:
-            x0 = x0 ^ wd
-        par_cnt = jnp.sum(
-            (jax.lax.population_count(x0) & np.uint32(1)).astype(jnp.int32)
-        )
-        trig = trig | (par_cnt > 0).astype(jnp.int32)
-    if use_cksum:
-        for wi, w in enumerate(words):
-            red = w[0]
-            for d in range(1, w.shape[0]):
-                red = red ^ w[d]
-            data_x = _xor_fold_to_scalar(red)
-            ck_x = _xor_fold_to_scalar(ck_ref[wi, :])
-            trig = trig | (data_x != ck_x).astype(jnp.int32)
-    return trig
 
 
 def make_pallas_spmv(mat, dtype=jnp.float32, mode: str = None,
@@ -248,39 +208,75 @@ def _make_dia_fast(mat, mode, interpret):
     G = R // C
 
     def kernel(*refs):
-        # refs: NW plane chunks (D, C), cksum chunk (W, C//8) [if NW],
-        #       vals chunk (D, C) f32, xs chunk (D, C) [pre-shifted x],
-        #       outputs: w (C,), pw (1,1) SMEM, trig (1,1) SMEM
+        # refs: NW plane chunks (D, C), vals chunk (D, C) f32, xs chunk
+        #       (D, C) [pre-shifted x], outputs: w (C,), pw_vec (1, C)
+        #       f32, par_vec (D, C) u32, ck_vec (W, C) u32.
+        # Every signal accumulates as VMEM lane vectors across the
+        # sequential grid steps (one resident output block each); the
+        # scalar folds happen in XLA after the call — a cross-lane
+        # reduction per chunk is a VPU pipeline stall, and there can be
+        # ~100 chunks (same finding as solver/fused.py).
         word_refs = refs[:NW]
         k = NW
-        if NW:
-            ck_ref = refs[k]
-            k += 1
         vals_ref = refs[k]
         xs_ref = refs[k + 1]
         w_ref = refs[k + 2]
         pw_ref = refs[k + 3]
-        trig_ref = refs[k + 4]
+        k += 4
+        if use_parity:
+            par_ref = refs[k]
+            k += 1
+        if use_cksum:
+            ckv_ref = refs[k]
 
         i = pl.program_id(0)
-
-        @pl.when(i == 0)
-        def _():
-            trig_ref[0, 0] = 0
-            pw_ref[0, 0] = 0.0
+        first = i == 0
 
         w = jnp.sum(vals_ref[...] * xs_ref[...], axis=0)
         w_ref[...] = w
         if d0 is not None:
-            pw_ref[0, 0] = pw_ref[0, 0] + jnp.sum(w * xs_ref[d0])
+            pwc = (w * xs_ref[d0])[None, :]
 
-        if NW:
-            words = [r[...] for r in word_refs]
-            trig = _detect_trigger(words, ck_ref, use_parity, use_cksum)
-            # TPU grid steps run sequentially on the core: OR-accumulate
-            # into the single resident SMEM cell (standard reduction-
-            # output pattern).
-            trig_ref[0, 0] = trig_ref[0, 0] | trig
+            @pl.when(first)
+            def _():
+                pw_ref[...] = pwc
+
+            @pl.when(~first)
+            def _():
+                pw_ref[...] = pw_ref[...] + pwc
+        else:
+            @pl.when(first)
+            def _():
+                pw_ref[...] = jnp.zeros((1, C), jnp.float32)
+
+        if use_parity:
+            acc_x = word_refs[0][...]
+            for wr in word_refs[1:]:
+                acc_x = acc_x ^ wr[...]
+            mask = jax.lax.population_count(acc_x) & np.uint32(1)
+
+            @pl.when(first)
+            def _():
+                par_ref[...] = mask
+
+            @pl.when(~first)
+            def _():
+                par_ref[...] = par_ref[...] | mask
+
+        if use_cksum:
+            for wi in range(W):
+                red = word_refs[wi][0]
+                for d in range(1, D):
+                    red = red ^ word_refs[wi][d]
+                red = red[None, :]
+
+                @pl.when(first)
+                def _(red=red, wi=wi):
+                    ckv_ref[wi:wi + 1, :] = red
+
+                @pl.when(~first)
+                def _(red=red, wi=wi):
+                    ckv_ref[wi:wi + 1, :] = ckv_ref[wi:wi + 1, :] ^ red
 
     def call(md: MatrixDevice, x):
         # Pre-shift x once per call (cheap fused pads/slices in XLA) so
@@ -290,36 +286,51 @@ def _make_dia_fast(mat, mode, interpret):
         xs = jnp.stack([_shift_read(x, off) for off in offsets])
         plane_spec = pl.BlockSpec((D, C), lambda i: (0, i),
                                   memory_space=pltpu.VMEM)
-        in_specs = [plane_spec] * NW
-        args = list(md.words[:NW])
-        if NW:
-            in_specs.append(
-                pl.BlockSpec((W, C // 8), lambda i: (0, i),
-                             memory_space=pltpu.VMEM))
-            args.append(md.cksum)
-        in_specs += [plane_spec, plane_spec]
-        args += [md.values, xs]
+        acc = lambda rows: pl.BlockSpec(  # noqa: E731 — resident block
+            (rows, C), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        in_specs = [plane_spec] * NW + [plane_spec, plane_spec]
+        args = list(md.words[:NW]) + [md.values, xs]
 
-        grid_spec = pl.GridSpec(
-            grid=(G,),
-            in_specs=in_specs,
-            out_specs=[
-                pl.BlockSpec((C,), lambda i: (i,), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            ],
-        )
-        w, pw, trig = pl.pallas_call(
+        out_specs = [
+            pl.BlockSpec((C,), lambda i: (i,), memory_space=pltpu.VMEM),
+            acc(1),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((R,), jnp.float32),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+        ]
+        if use_parity:
+            out_specs.append(acc(D))
+            out_shape.append(jax.ShapeDtypeStruct((D, C), jnp.uint32))
+        if use_cksum:
+            out_specs.append(acc(W))
+            out_shape.append(jax.ShapeDtypeStruct((W, C), jnp.uint32))
+
+        grid_spec = pl.GridSpec(grid=(G,), in_specs=in_specs,
+                                out_specs=out_specs)
+        outs = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=[
-                jax.ShapeDtypeStruct((R,), jnp.float32),
-                jax.ShapeDtypeStruct((1, 1), jnp.float32),
-                jax.ShapeDtypeStruct((1, 1), jnp.int32),
-            ],
+            out_shape=out_shape,
             interpret=interpret,
         )(*args)
-        return w, trig[0, 0] != 0, pw[0, 0]
+        w, pw_vec = outs[0], outs[1]
+        pw = jnp.sum(pw_vec)
+        # Scalar folds + checksum compare in XLA: the expected
+        # whole-plane fold is loop-invariant, so the solver's while-loop
+        # hoists it; coverage granularity is whole-plane per iteration
+        # (PARITY.md).
+        trig = jnp.bool_(False)
+        k = 2
+        if use_parity:
+            trig = trig | (jnp.sum(outs[k].astype(jnp.int32)) > 0)
+            k += 1
+        if use_cksum:
+            got = jnp.bitwise_xor.reduce(outs[k], axis=1)
+            want = jnp.bitwise_xor.reduce(
+                md.cksum.reshape(W, -1), axis=1)
+            trig = trig | jnp.any(got != want)
+        return w, trig, pw
 
     def fast(md: MatrixDevice, x):
         w, trig, _ = call(md, x)
@@ -374,15 +385,15 @@ def _make_ellb_fast(mat, mode, interpret):
     XCOPIES = -(-(LG + WROWS - 1) // LG)
 
     def kernel(*refs):
-        # refs: NW word chunks (K, CR), cksum (W, CR//8) [if NW],
-        #       vals (K, CR) f32, gsrc (K, CR) [unless reused from the
-        #       word chunks], XCOPIES x-window blocks (LG, 128),
-        #       outputs: w (CR,), pw (1,1) SMEM, trig (1,1)
+        # refs: NW word chunks (K, CR), vals (K, CR) f32, gsrc (K, CR)
+        #       [unless reused from the word chunks], XCOPIES x-window
+        #       blocks (LG, 128), outputs: w (CR,), pw_vec (1, 128) f32,
+        #       par_vec (K, CR) u32, ck_vec (W, CR) u32 — all signals
+        #       accumulate as VMEM lane vectors across the sequential
+        #       grid steps; scalar folds happen in XLA after the call
+        #       (a cross-lane reduction per chunk is a VPU stall).
         word_refs = refs[:NW]
         k = NW
-        if NW:
-            ck_ref = refs[k]
-            k += 1
         vals_ref = refs[k]
         k += 1
         if gsrc_in_words:
@@ -391,16 +402,18 @@ def _make_ellb_fast(mat, mode, interpret):
             gsrc_ref = refs[k]
             k += 1
         xparts = refs[k:k + XCOPIES]
-        w_ref = refs[k + XCOPIES]
-        pw_ref = refs[k + 1 + XCOPIES]
-        trig_ref = refs[k + 2 + XCOPIES]
+        k += XCOPIES
+        w_ref = refs[k]
+        pw_ref = refs[k + 1]
+        k += 2
+        if use_parity:
+            par_ref = refs[k]
+            k += 1
+        if use_cksum:
+            ckv_ref = refs[k]
 
         i = pl.program_id(0)
-
-        @pl.when(i == 0)
-        def _():
-            trig_ref[0, 0] = 0
-            pw_ref[0, 0] = 0.0
+        first = i == 0
 
         def window_row(t):
             """Static window row t of this chunk -> (1, 128)."""
@@ -444,12 +457,43 @@ def _make_ellb_fast(mat, mode, interpret):
             # Fused pw = dot(x, w): this group's aligned x is the
             # window's center row — already in the window blocks.
             pw_acc = pw_acc + wj[None, :] * window_row(j + S0)
-        pw_ref[0, 0] = pw_ref[0, 0] + jnp.sum(pw_acc)
 
-        if NW:
-            words = [r[...] for r in word_refs]
-            trig = _detect_trigger(words, ck_ref, use_parity, use_cksum)
-            trig_ref[0, 0] = trig_ref[0, 0] | trig
+        @pl.when(first)
+        def _():
+            pw_ref[...] = pw_acc
+
+        @pl.when(~first)
+        def _():
+            pw_ref[...] = pw_ref[...] + pw_acc
+
+        if use_parity:
+            acc_x = word_refs[0][...]
+            for wr in word_refs[1:]:
+                acc_x = acc_x ^ wr[...]
+            mask = jax.lax.population_count(acc_x) & np.uint32(1)
+
+            @pl.when(first)
+            def _():
+                par_ref[...] = mask
+
+            @pl.when(~first)
+            def _():
+                par_ref[...] = par_ref[...] | mask
+
+        if use_cksum:
+            for wi in range(W):
+                red = word_refs[wi][0]
+                for d in range(1, K):
+                    red = red ^ word_refs[wi][d]
+                red = red[None, :]
+
+                @pl.when(first)
+                def _(red=red, wi=wi):
+                    ckv_ref[wi:wi + 1, :] = red
+
+                @pl.when(~first)
+                def _(red=red, wi=wi):
+                    ckv_ref[wi:wi + 1, :] = ckv_ref[wi:wi + 1, :] ^ red
 
     def call(md: MatrixDevice, x):
         # Pad so every chunk's window blocks exist: SIDE rows in front,
@@ -459,13 +503,10 @@ def _make_ellb_fast(mat, mode, interpret):
         x2 = xpad.reshape(-1, 128)  # native (8,128) tiling
         plane_spec = pl.BlockSpec((K, CR), lambda i: (0, i),
                                   memory_space=pltpu.VMEM)
+        acc = lambda rows, cols: pl.BlockSpec(  # noqa: E731 — resident
+            (rows, cols), lambda i: (0, 0), memory_space=pltpu.VMEM)
         in_specs = [plane_spec] * NW
         args = list(md.words[:NW])
-        if NW:
-            in_specs.append(
-                pl.BlockSpec((W, CR // 8), lambda i: (0, i),
-                             memory_space=pltpu.VMEM))
-            args.append(md.cksum)
         in_specs.append(plane_spec)
         args.append(md.values)
         if not gsrc_in_words:
@@ -478,26 +519,44 @@ def _make_ellb_fast(mat, mode, interpret):
         ]
         args += [x2] * XCOPIES
 
-        grid_spec = pl.GridSpec(
-            grid=(G,),
-            in_specs=in_specs,
-            out_specs=[
-                pl.BlockSpec((CR,), lambda i: (i,), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            ],
-        )
-        w, pw, trig = pl.pallas_call(
+        out_specs = [
+            pl.BlockSpec((CR,), lambda i: (i,), memory_space=pltpu.VMEM),
+            acc(1, 128),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((R,), jnp.float32),
+            jax.ShapeDtypeStruct((1, 128), jnp.float32),
+        ]
+        if use_parity:
+            out_specs.append(acc(K, CR))
+            out_shape.append(jax.ShapeDtypeStruct((K, CR), jnp.uint32))
+        if use_cksum:
+            out_specs.append(acc(W, CR))
+            out_shape.append(jax.ShapeDtypeStruct((W, CR), jnp.uint32))
+
+        grid_spec = pl.GridSpec(grid=(G,), in_specs=in_specs,
+                                out_specs=out_specs)
+        outs = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=[
-                jax.ShapeDtypeStruct((R,), jnp.float32),
-                jax.ShapeDtypeStruct((1, 1), jnp.float32),
-                jax.ShapeDtypeStruct((1, 1), jnp.int32),
-            ],
+            out_shape=out_shape,
             interpret=interpret,
         )(*args)
-        return w, trig[0, 0] != 0, pw[0, 0]
+        w, pw = outs[0], jnp.sum(outs[1])
+        # Scalar folds + checksum compare in XLA (the expected fold is
+        # loop-invariant and hoisted by the solver's while-loop);
+        # granularity is whole-plane per iteration (PARITY.md).
+        trig = jnp.bool_(False)
+        k = 2
+        if use_parity:
+            trig = trig | (jnp.sum(outs[k].astype(jnp.int32)) > 0)
+            k += 1
+        if use_cksum:
+            got = jnp.bitwise_xor.reduce(outs[k], axis=1)
+            want = jnp.bitwise_xor.reduce(
+                md.cksum.reshape(W, -1), axis=1)
+            trig = trig | jnp.any(got != want)
+        return w, trig, pw
 
     def fast(md: MatrixDevice, x):
         w, trig, _ = call(md, x)
