@@ -104,6 +104,13 @@ class ProtectedMatrix:
     # any reordering (the banded kernels' window bound).
     perm: np.ndarray = None
     band: int = 0
+    # Bordered-split tails only (formats.split): ops.spmv.dense_tail_plan
+    # result — (outlier exec rows, per-row span starts, span width S).
+    # CLEAN build-time structural metadata (never derived from the
+    # fault-exposed planes) that lets ops.spmv replace the flat path's
+    # serialized gathers with span-densified outlier-row matvecs +
+    # tiny-table selects.
+    dense_plan: tuple = None
 
     @property
     def K(self) -> int:

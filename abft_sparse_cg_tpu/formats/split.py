@@ -172,6 +172,12 @@ def try_split(fmt, assembled, mode, layout, planes, row_ptr, reorder):
                            force_perm=main.perm)
     if tail.R != main.R:
         return None  # should not happen (same N); stay safe
+    if tail.exec_kind == "flat":
+        from ..ops.spmv import dense_tail_plan
+
+        plan = dense_tail_plan(tail, outliers)
+        if plan is not None:
+            tail = replace(tail, dense_plan=plan)
 
     flat_cksum = (flat_checksums(planes, layout, nnz)
                   if mode in ECC_MODES else None)

@@ -165,6 +165,16 @@ class MatrixDevice(NamedTuple):
     #                               once at upload; re-derived on scrub.
     perm_pos: jnp.ndarray = None  # (R,) int32 canonical row -> exec row
     #                               (classify()'s re-derivation needs it)
+    dense_td: jnp.ndarray = None   # bordered-split flat tails only:
+    #                               (T, S) span-densified outlier ROWS —
+    #                               the fast path's gather-free matvec
+    #                               replacement for the dense rows.
+    #                               Re-derived by classify() on scrub.
+    dense_tb: jnp.ndarray = None   # (T, S) span-densified transpose
+    #                               images (entries whose gather SOURCE
+    #                               is outlier t, windowed by their
+    #                               output row) — the fast path becomes
+    #                               T windowed AXPYs, no scatter.
 
 
 class SpmvImpl(NamedTuple):
@@ -212,6 +222,62 @@ def exec_gather_host(mat) -> np.ndarray:
     return pos[np.clip(g.astype(np.int64), 0, mat.N - 1)].astype(np.int32)
 
 
+_DENSE_MAX_T = 64       # outlier count cap (the T-way select unroll)
+_DENSE_MAX_PLANES = 4   # td bytes cap, in value-plane (R*4) equivalents
+
+
+def dense_tail_plan(mat, outliers_canonical):
+    """Build-time (CLEAN structure) plan for a bordered tail's
+    gather-free fast path; None when it doesn't apply.  Called by
+    formats.split on the freshly built tail — the plan's statics must
+    come from the clean planes, never the fault-exposed ones (a corrupt
+    span-defining entry would otherwise shrink the span and silently
+    drop the healed entry after a scrub).
+
+    ``rows_exec``: (T,) exec rows of the outliers.  Each outlier row is
+    densified over its column SPAN only — after block replication a
+    dense row touches just its own block, so spans stay ~block-sized:
+    window ``starts[t] .. starts[t]+S`` with one shared padded width S.
+    """
+    if mat.exec_kind != "flat" or len(outliers_canonical) > _DENSE_MAX_T:
+        return None
+    if mat.perm is not None:
+        from ..formats.reorder import inverse_permutation
+
+        pos = inverse_permutation(mat.perm)
+        rows = pos[np.asarray(outliers_canonical)]
+    else:
+        pos = None
+        rows = np.asarray(outliers_canonical)
+    rows = rows.astype(np.int32)
+    T = len(rows)
+    # Per-entry dst / src in exec space, from the (clean) host planes.
+    dst = np.asarray(mat.ell["__flat_group__"])[: mat.nnz]
+    g = np.asarray(mat.ell[mat.ell_gather_word])[: mat.nnz]
+    if mat.ell_gather_word == "col" and mat.mode in codec.ECC_MODES:
+        g = g & np.uint32(ECC_COL_MASK)
+    src = g.astype(np.int64)
+    if pos is not None:
+        src = pos[np.clip(src, 0, mat.N - 1)]
+    tbl = np.full(mat.R, -1, np.int32)
+    tbl[rows] = np.arange(T, dtype=np.int32)
+    tdst = tbl[np.clip(dst, 0, mat.R - 1)]
+    a_mask = tdst >= 0
+    starts = np.zeros(T, np.int64)
+    spans = np.ones(T, np.int64)
+    for t in range(T):
+        s = src[a_mask & (tdst == t)]
+        if len(s):
+            starts[t] = s.min()
+            spans[t] = s.max() - s.min() + 1
+    S = int(-(-spans.max() // 128) * 128)
+    if S > mat.R or T * S > _DENSE_MAX_PLANES * mat.R:
+        return None
+    starts = np.minimum(starts, mat.R - S)
+    return (tuple(int(r) for r in rows),
+            tuple(int(s) for s in starts), S)
+
+
 def make_matrix_device(mat, dtype=jnp.float32):
     """Upload a ProtectedMatrix's execution layout to the default device.
 
@@ -237,14 +303,25 @@ def make_matrix_device(mat, dtype=jnp.float32):
         perm_pos = jnp.asarray(pp)
     if mat.exec_kind == "flat":
         flat_group = jnp.asarray(mat.ell["__flat_group__"])
+    values = planes_to_value(words[vlo], words[vhi], dtype)
+    dense_td = dense_tb = None
+    if mat.exec_kind == "flat" and getattr(mat, "dense_plan",
+                                           None) is not None:
+        cfg = _FlatConfig(mat.fmt, mat.layout, mat.N, mat.nnz, mat.R,
+                          ecc_mode=mat.mode in codec.ECC_MODES,
+                          dense_plan=mat.dense_plan)
+        dense_td, dense_tb = cfg.dense_arrays(
+            words, values, flat_group, perm_pos)
     return MatrixDevice(
         words=words,
         ell_len=jnp.asarray(mat.ell_len),
         cksum=jnp.asarray(mat.ell_cksum),
-        values=planes_to_value(words[vlo], words[vhi], dtype),
+        values=values,
         flat_group=flat_group,
         gidx=gidx,
         perm_pos=perm_pos,
+        dense_td=dense_td,
+        dense_tb=dense_tb,
     )
 
 
@@ -386,7 +463,8 @@ def make_spmv(mat, dtype=jnp.float32, mode: str = None) -> SpmvImpl:
         cfg = _DiaConfig(mat.fmt, mat.layout, mat.N, mat.dia_offsets)
     elif mat.exec_kind == "flat":
         cfg = _FlatConfig(mat.fmt, mat.layout, mat.N, mat.nnz, mat.R,
-                          ecc_mode=mode in codec.ECC_MODES)
+                          ecc_mode=mode in codec.ECC_MODES,
+                          dense_plan=getattr(mat, "dense_plan", None))
     else:
         # The reference masks the ECC byte out of the column only in ECC
         # modes (`col &= 0x00FFFFFF`, CSR/CPUContext.cpp:237); none/
@@ -476,15 +554,25 @@ def make_spmv(mat, dtype=jnp.float32, mode: str = None) -> SpmvImpl:
         gidx2 = md.gidx
         if gidx2 is not None:
             gidx2 = cfg.gather_indices(md, checked, stored=False)
+        values2 = planes_to_value(checked[cfg.vlo_w], checked[cfg.vhi_w],
+                                  dtype)
+        dense_td2, dense_tb2 = md.dense_td, md.dense_tb
+        if md.dense_td is not None:
+            # Re-derive the densified-tail arrays from the scrubbed
+            # words: a corrupted index plane mis-routes its entry
+            # until the repair lands.
+            dense_td2, dense_tb2 = cfg.dense_arrays(
+                checked, values2, md.flat_group, md.perm_pos)
         md2 = MatrixDevice(
             words=tuple(checked),
             ell_len=md.ell_len,
             cksum=_device_checksums(checked, row_axis),
-            values=planes_to_value(checked[cfg.vlo_w], checked[cfg.vhi_w],
-                                   dtype),
+            values=values2,
             flat_group=md.flat_group,
             gidx=gidx2,
             perm_pos=md.perm_pos,
+            dense_td=dense_td2,
+            dense_tb=dense_tb2,
         )
         return stats, md2
 
@@ -649,7 +737,8 @@ class _EllConfig:
 # --------------------------------------------------------------------------
 
 class _FlatConfig:
-    def __init__(self, fmt, layout, N, nnz, R, ecc_mode=True):
+    def __init__(self, fmt, layout, N, nnz, R, ecc_mode=True,
+                 dense_plan=None):
         self.fmt = fmt
         self.layout = layout
         self.N = N
@@ -661,6 +750,10 @@ class _FlatConfig:
         self.vlo_w = names.index("value_lo")
         self.vhi_w = names.index("value_hi")
         self.ecc_gather_mask = ecc_mode and self.gather_w == self.col_w
+        # Bordered-split tails: (outlier exec rows, span starts, S) —
+        # clean build-time structural data (dense_tail_plan), enables
+        # the gather-free fast path below.
+        self.dense_plan = dense_plan
 
     def _valid(self, md):
         E = md.words[0].shape[0]
@@ -677,7 +770,58 @@ class _FlatConfig:
             gidx = md.perm_pos[gidx]
         return gidx
 
+    def dense_arrays(self, words, values, flat_group, perm_pos):
+        """(dense_td, dense_tb) for a bordered tail — see MatrixDevice.
+
+        Every tail entry is incident to an outlier index: its OUTPUT row
+        is an outlier (a dense row — densified into its span window of
+        ``td``) or its gather SOURCE is one (a transpose image —
+        densified into ``tb``, windowed by its output row, which by the
+        loader's symmetrization lies in the same span as its mirror).
+        The fast product then needs no gather and no scatter.  Derived
+        once per device build and re-derived by classify() from the
+        scrubbed words, so a corrupted index plane (which drops its
+        entry and triggers detection via the checksums) heals with the
+        scrub; the span statics come from the clean plan, so healed
+        entries always land back inside."""
+        rows, starts, S = self.dense_plan
+        T = len(rows)
+        O = jnp.asarray(np.asarray(rows, np.int32))
+        st = jnp.asarray(np.asarray(starts, np.int32))
+        tbl = jnp.full((self.R,), -1, jnp.int32).at[O].set(
+            jnp.arange(T, dtype=jnp.int32))
+        gidx = words[self.gather_w]
+        if self.ecc_gather_mask:
+            gidx = gidx & ECC_COL_MASK
+        gidx = jnp.clip(gidx.astype(jnp.int32), 0, self.R - 1)
+        if perm_pos is not None:
+            gidx = perm_pos[gidx]
+        E = words[0].shape[0]
+        valid = jax.lax.broadcasted_iota(
+            jnp.int32, (E, 1), 0)[:, 0] < self.nnz
+        dst = jnp.clip(flat_group, 0, self.R - 1)
+        tdst = jnp.where(valid, tbl[dst], jnp.int32(-1))
+        tsrc = jnp.where(valid, tbl[gidx], jnp.int32(-1))
+        zero = jnp.zeros((), values.dtype)
+
+        def densify(t_of, win_idx):
+            """Scatter entries into (T, S) span windows; out-of-window
+            or unclassified entries drop (detection covers them)."""
+            off = win_idx - st[jnp.clip(t_of, 0, T - 1)]
+            inb = (t_of >= 0) & (off >= 0) & (off < S)
+            pos = jnp.where(inb, t_of * S + off, T * S)
+            contrib = jnp.where(inb, values, zero)
+            return jnp.zeros((T * S,), values.dtype).at[pos].add(
+                contrib, mode="drop").reshape(T, S)
+
+        td = densify(tdst, gidx)                    # dense rows
+        tb = densify(jnp.where(tdst >= 0, jnp.int32(-1), tsrc),
+                     dst)                           # transpose images
+        return td, tb
+
     def compute_w(self, md, words, x, dtype, values=None, stored=False):
+        if stored and values is not None and md.dense_td is not None:
+            return self._compute_w_dense(md, x, values)
         gidx = self.gather_indices(md, words, stored)
         vals = values if values is not None else planes_to_value(
             words[self.vlo_w], words[self.vhi_w], dtype
@@ -689,6 +833,27 @@ class _FlatConfig:
         return jax.ops.segment_sum(contrib, md.flat_group,
                                    num_segments=x.shape[0],
                                    indices_are_sorted=True)
+
+    def _compute_w_dense(self, md, x, values):
+        """Gather- and scatter-free fast product for a bordered tail:
+        XLA's 1-D gather AND scatter serialize (~7 ns/element on this
+        TPU), so the tail runs entirely on span windows with static
+        slices: dense rows as (T, S) matvecs over x windows, transpose
+        images as T windowed AXPYs w[start_t:start_t+S] += x[o_t] *
+        tb[t]."""
+        rows, starts, S = self.dense_plan
+        T = len(rows)
+        O = jnp.asarray(np.asarray(rows, np.int32))
+        xs = jnp.stack([jax.lax.slice(x, (s,), (s + S,))
+                        for s in starts])               # (T, S) static
+        wa = jnp.sum(md.dense_td * xs, axis=1)          # dense rows
+        xO = x[O]
+        w = jnp.zeros_like(x)
+        for t in range(T):
+            w = jax.lax.dynamic_update_slice(
+                w, jax.lax.dynamic_slice(w, (starts[t],), (S,))
+                + xO[t] * md.dense_tb[t], (starts[t],))
+        return w.at[O].add(wa)
 
     def constraints(self, md, errcode, err_slot):
         words = md.words

@@ -136,6 +136,24 @@ def test_fused_breakdown_guard():
     assert int(r.iterations) == 0
 
 
+def test_fused_no_trace():
+    """trace_rr=False: no SMEM trace cap, nan trace, same iterates."""
+    m = dia_matrix("secded")
+    md = make_matrix_device(m, jnp.float32)
+    b = bvec(m)
+    fus = jax.jit(make_fused_solver(m, "secded", 300, 1e-8,
+                                    trace_rr=False, interpret=True))
+    r = fus(md, b)
+    _, ref, _ = solvers(m, "secded")
+    r0 = ref(md, b)
+    assert int(r.iterations) == int(r0.iterations)
+    np.testing.assert_allclose(np.asarray(r.x), np.asarray(r0.x),
+                               rtol=1e-6, atol=1e-7)
+    # without a trace the SMEM cap does not gate large max_itrs
+    assert supports_fused(m, jnp.float32, "secded", 100_000,
+                          trace_rr=False)
+
+
 def test_fused_envelope():
     m = dia_matrix("secded")
     assert supports_fused(m, jnp.float32, "secded", 300)

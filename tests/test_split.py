@@ -89,6 +89,47 @@ def test_split_fault_events_match_flat(mode):
         assert results[("auto", seed)] == results[("none", seed)], seed
 
 
+@pytest.mark.parametrize("blocks", [1, 3])
+def test_split_tail_dense_fast_path(blocks):
+    """The bordered tail's gather-free fast path: dense arrays present
+    (block replication multiplies T but spans stay block-confined),
+    tail INDEX fault classifies + heals (sel/td re-derived on scrub),
+    solution bit-identical to the clean solve."""
+    import jax.numpy as jnp
+
+    from abft_sparse_cg_tpu.ops.spmv import make_matrix_device
+
+    a = bordered(blocks=blocks)
+    m = build_protected("csr", a, "secded")
+    assert m.exec_kind == "split"
+    assert m.tail.dense_plan is not None
+    rows, starts, S = m.tail.dense_plan
+    assert len(rows) == 2 * blocks
+    md_main, md_tail = make_matrix_device(m, jnp.float32)
+    assert md_tail.dense_td is not None
+    assert md_tail.dense_td.shape == (len(rows), S)
+    assert md_main.dense_td is None
+
+    b = RNG.random(a.N)
+    backend = create("jnp", "secded")
+    clean = backend.solve(m, b, 2000, 1e-10, verbose=False, dtype="f64")
+    # index-region faults into the tail until one actually lands there
+    hit = 0
+    for seed in range(30):
+        m2 = inject_bitflips(m, "INDEX", 1, np.random.default_rng(seed),
+                             echo=lambda s: None)
+        if np.array_equal(m2.tail.planes["col"], m.tail.planes["col"]):
+            continue  # fault landed in the main part
+        hit += 1
+        res = backend.solve(m2, b, 2000, 1e-10, verbose=False,
+                            dtype="f64")
+        assert not res.failed and res.corrected_count == 1, seed
+        np.testing.assert_array_equal(res.x, clean.x, err_msg=str(seed))
+        if hit >= 3:
+            break
+    assert hit >= 1
+
+
 def test_split_native_backend_agreement():
     """The native backend consumes the composite's GLOBAL planes."""
     if ("cpu", "secded") not in available():
