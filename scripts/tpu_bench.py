@@ -27,12 +27,37 @@ def log(*a):
 
 
 def build(fmt, mode, layout, blocks):
+    import numpy as np
+
     from abft_sparse_cg_tpu.formats import assemble, build_protected
     from abft_sparse_cg_tpu.utils.matgen import shuffle_labels, spd_tridiagonal
 
     tri = spd_tridiagonal(81920)
     if layout == "rcm-ell":
         tri = shuffle_labels(*tri, seed=9)
+    if layout == "split":
+        # Bordered: tridiagonal core + 3 dense rows of ~8k entries each
+        # (replicated per block) — the outlier-split's target shape.
+        rows, cols, vals, n = tri
+        rows, cols, vals = list(rows), list(cols), list(vals)
+        rng = np.random.default_rng(3)
+        for r in (100, 40000, 70007):
+            for c in rng.choice(n, size=8000, replace=False):
+                hi, lo = max(r, int(c)), min(r, int(c))
+                if hi != lo:
+                    rows.append(hi)
+                    cols.append(lo)
+                    vals.append(-0.001)
+        rows, cols = np.array(rows), np.array(cols)
+        vals = np.array(vals, dtype=float)
+        deg = (np.bincount(rows, minlength=n)
+               + np.bincount(cols, minlength=n))
+        diag = rows == cols
+        vals[diag] = deg.astype(float)[rows[diag]] + 4.0
+        a = assemble(cols, rows, vals, n, blocks)
+        m = build_protected(fmt, a, mode)
+        assert m.exec_kind == "split", m.exec_kind
+        return m
     a = assemble(tri[1], tri[0], tri[2], tri[3], blocks)
     force = "dia" if layout == "dia" else "ell"
     return build_protected(fmt, a, mode, force_exec=force)
