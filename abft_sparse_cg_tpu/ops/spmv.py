@@ -263,17 +263,20 @@ def dense_tail_plan(mat, outliers_canonical):
     tbl[rows] = np.arange(T, dtype=np.int32)
     tdst = tbl[np.clip(dst, 0, mat.R - 1)]
     a_mask = tdst >= 0
+    # 128-aligned windows: starts round down, S covers the rounded
+    # span — so a (rows, 128)-tiled kernel can address the windows with
+    # static row slices.
     starts = np.zeros(T, np.int64)
     spans = np.ones(T, np.int64)
     for t in range(T):
         s = src[a_mask & (tdst == t)]
         if len(s):
-            starts[t] = s.min()
-            spans[t] = s.max() - s.min() + 1
+            starts[t] = (s.min() // 128) * 128
+            spans[t] = s.max() - starts[t] + 1
     S = int(-(-spans.max() // 128) * 128)
-    if S > mat.R or T * S > _DENSE_MAX_PLANES * mat.R:
+    if mat.R % 128 or S > mat.R or T * S > _DENSE_MAX_PLANES * mat.R:
         return None
-    starts = np.minimum(starts, mat.R - S)
+    starts = np.minimum(starts, mat.R - S)  # stays 128-aligned (R is)
     return (tuple(int(r) for r in rows),
             tuple(int(s) for s in starts), S)
 

@@ -77,6 +77,8 @@ def _plan(mat, mode, precond=False):
     the VMEM-resident p instead of shifted block inputs.  ``D`` is the
     per-plane row count streamed each chunk (diagonals resp. ELL slots).
     """
+    if mat.exec_kind == "split":
+        return _plan_split(mat, mode, precond)
     R = mat.R
     if R % 1024:
         return None
@@ -153,6 +155,57 @@ def _plan(mat, mode, precond=False):
                 use_parity=use_parity, use_cksum=use_cksum)
 
 
+def _plan_split(mat, mode, precond):
+    """Split (bordered) plan: the main part's plan + tail statics.
+
+    The tail rides the span-window formulation (ops.spmv.dense_tail_plan
+    — clean build-time structure): td/tb stay VMEM-resident for the
+    whole solve, the tail's word planes re-stream each iteration for
+    live detection, and the outlier updates are masked (1, 128) ops at
+    host-static positions — no gather, no scatter, no dynamic scalars.
+    """
+    tp = getattr(mat.tail, "dense_plan", None)
+    if tp is None or mat.tail.exec_kind != "flat":
+        return None
+    mp = _plan(mat.main, mode, precond)
+    if mp is None or mp["kind"] == "split":
+        return None
+    rows, starts, S = tp
+    if S % 128 or any(s % 128 for s in starts):
+        return None
+    from ..ecc import codec
+
+    TW = mat.tail.layout.num_words
+    NTW = TW if mode in codec.ECC_MODES else 0
+    E = int(mat.tail.ell[mat.tail.layout.word_names[0]].shape[0])
+    EP = -(-E // 128) * 128
+    T = len(rows)
+    tail_bytes = 2 * T * S * 4 + NTW * EP * 4
+    # Re-check VMEM with the tail residents + word buffer on top of the
+    # main plan's allocation, shrinking the stream chunk if needed.
+    NV = 8 if precond else 6
+    RR, Hlo, Hhi, D, NW = (mp[k] for k in ("RR", "Hlo", "Hhi", "D", "NW"))
+    nstreams = (2 if mp["kind"] == "ell" else 1) + (
+        (mp["W"] if mp["kind"] == "ell" else 2) if NW else 0)
+    C = mp["C"]
+    while True:
+        vecs = (NV * RR + Hlo + Hhi) * 128 * 4
+        bufs = 2 * nstreams * D * C * 4
+        if vecs + bufs + tail_bytes <= _VMEM_BUDGET:
+            break
+        if C <= 1024:
+            return None
+        C //= 2
+    mp = dict(mp)
+    mp.update(C=C, ROWS=C // 128, G=mp["R"] // C)
+    if max(Hlo, Hhi) > mp["ROWS"]:
+        return None
+    mp["tail"] = dict(rows=tuple(rows), starts=tuple(starts), S=S,
+                      SR=S // 128, E=E, EP=EP, ER=EP // 128, T=T,
+                      TW=TW, NTW=NTW)
+    return mp
+
+
 def supports_fused(mat, dtype, mode, max_itrs, trace_rr=True,
                    precond=False) -> bool:
     if jnp.dtype(dtype) != jnp.float32:
@@ -191,6 +244,7 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
     is_ell = plan["kind"] == "ell"
     S0, WROWS, PACK = plan["S0"], plan["WROWS"], plan["PACK"]
     precond = plan["precond"]
+    tail = plan.get("tail")
     PR = Hlo + RR + Hhi   # haloed p rows
     conv = float(conv)
 
@@ -220,6 +274,13 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
             words_hbm = refs[k]
             ckall = refs[k + 1]           # (W,) whole-plane cksum folds
             k += 2
+        if tail:
+            td_hbm, tb_hbm = refs[k], refs[k + 1]
+            k += 2
+            if tail["NTW"]:
+                twords_hbm = refs[k]
+                tckall = refs[k + 1]      # (TW,) tail cksum folds SMEM
+                k += 2
         scal_in = refs[k]                 # (2,) f32 SMEM: rr, rz
         itr_in = refs[k + 1]              # (1,) int32 SMEM
         upto = refs[k + 2]                # (1,) int32 SMEM
@@ -240,6 +301,12 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
         if NW:
             wbuf = refs[k]
             k += 1
+        if tail:
+            td_ref, tb_ref = refs[k], refs[k + 1]
+            k += 2
+            if tail["NTW"]:
+                twbuf = refs[k]
+                k += 1
         sems = refs[k]
 
         # ---- load state into VMEM ------------------------------------
@@ -252,6 +319,12 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
         if precond:
             in_dmas.append(
                 pltpu.make_async_copy(minv_in, m_ref, sems.at[9]))
+        if tail:
+            # td/tb stay VMEM-resident for the whole solve.
+            in_dmas.append(
+                pltpu.make_async_copy(td_hbm, td_ref, sems.at[10]))
+            in_dmas.append(
+                pltpu.make_async_copy(tb_hbm, tb_ref, sems.at[11]))
         if Hlo:
             p_ref[pl.ds(0, Hlo), :] = jnp.zeros((Hlo, 128), jnp.float32)
         if Hhi:
@@ -290,6 +363,13 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
             itr, rr, rz, _, _ = carry
             for d in get_dmas(0, 0):
                 d.start()
+            tw_dma = None
+            if tail and tail["NTW"]:
+                # Tail word planes re-stream every iteration (live
+                # detection); overlaps the main chunk pipeline.
+                tw_dma = pltpu.make_async_copy(twords_hbm, twbuf,
+                                               sems.at[12])
+                tw_dma.start()
 
             # All per-chunk signals accumulate in VMEM-shaped lane
             # vectors (FMA / XOR / OR per chunk) and reduce to scalars
@@ -352,7 +432,9 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
                     for d, off in enumerate(offsets):
                         w = w + vbuf[slot][d] * shifted(ext, off)
                 w_ref[pl.ds(row0, ROWS), :] = w
-                acc[0] = acc[0] + w * ext[Hlo: Hlo + ROWS]
+                if not tail:
+                    # split computes pw over the complete product later
+                    acc[0] = acc[0] + w * ext[Hlo: Hlo + ROWS]
 
                 # ---- live detection signals: per-element parity mask
                 # (OR-accumulated) + per-plane checksum XOR.  Checksum
@@ -380,7 +462,6 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
                 return tuple(acc)
 
             accs = jax.lax.fori_loop(0, G, chunk, tuple(acc0))
-            pw = jnp.sum(accs[0])
             trig_i = jnp.int32(0)
             k = 1
             if NW and use_parity:
@@ -396,6 +477,61 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
                         red = red ^ pltpu.roll(red, r, 1)
                     trig_i = trig_i | (red[0, 0] != ckall[wi]).astype(
                         jnp.int32)
+
+            if tail:
+                # ---- bordered tail: span-window dense rows + mirrored
+                # AXPYs, everything at host-static positions -----------
+                T, SR = tail["T"], tail["SR"]
+                rows_t, starts_t = tail["rows"], tail["starts"]
+                lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+                zrow = jnp.zeros((1, 128), jnp.float32)
+
+                def all_lanes(v):
+                    # (1, 128) -> every lane holds the row total
+                    for rsh in (64, 32, 16, 8, 4, 2, 1):
+                        v = v + pltpu.roll(v, rsh, 1)
+                    return v
+
+                for t in range(T):
+                    orow, olane = divmod(rows_t[t], 128)
+                    srow = starts_t[t] // 128
+                    pwin = p_ref[pl.ds(Hlo + srow, SR), :]
+                    # dense row t: w[o_t] += td[t] . p_window
+                    wa = all_lanes(jnp.sum(td_ref[t] * pwin, axis=0,
+                                           keepdims=True))
+                    w_ref[orow:orow + 1, :] = (
+                        w_ref[orow:orow + 1, :]
+                        + jnp.where(lane == olane, wa, zrow))
+                    # mirrored AXPY: w_window += p[o_t] * tb[t]
+                    # (p[o_t] broadcast by masking its lane + add-fold
+                    # — Mosaic has no (1, 128) dynamic_gather and a
+                    # scalar extract would stall the VPU)
+                    prow = p_ref[Hlo + orow:Hlo + orow + 1, :]
+                    pb = all_lanes(jnp.where(lane == olane, prow, zrow))
+                    w_ref[pl.ds(srow, SR), :] = (
+                        w_ref[pl.ds(srow, SR), :] + pb * tb_ref[t])
+                if tail["NTW"]:
+                    tw_dma.wait()
+                    twords = [twbuf[wi] for wi in range(tail["TW"])]
+                    if use_parity:
+                        accx = twords[0]
+                        for wd in twords[1:]:
+                            accx = accx ^ wd
+                        cnt = jnp.sum((jax.lax.population_count(accx)
+                                       & np.uint32(1)).astype(jnp.int32))
+                        trig_i = trig_i | (cnt > 0).astype(jnp.int32)
+                    if use_cksum:
+                        for wi in range(tail["TW"]):
+                            red = _xor_fold_rows(twords[wi])
+                            for rsh in (64, 32, 16, 8, 4, 2, 1):
+                                red = red ^ pltpu.roll(red, rsh, 1)
+                            trig_i = trig_i | (
+                                red[0, 0] != tckall[wi]).astype(
+                                    jnp.int32)
+                # pw over the complete (main + tail) product
+                pw = jnp.sum(w_ref[...] * p_ref[pl.ds(Hlo, RR), :])
+            else:
+                pw = jnp.sum(accs[0])
 
             alpha = rz / pw
             r1 = r_ref[...] - alpha * w_ref[...]
@@ -456,8 +592,8 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
         for d in out_dmas:
             d.wait()
 
-    def call(x2, r2, p2, minv2, vals3, gsrc, wstack, ckall, rr, rz, itr,
-             upto):
+    def call(x2, r2, p2, minv2, vals3, gsrc, wstack, ckall, tail_args,
+             rr, rz, itr, upto):
         vec = jax.ShapeDtypeStruct((RR, 128), jnp.float32)
         s11f = jax.ShapeDtypeStruct((1, 1), jnp.float32)
         s11i = jax.ShapeDtypeStruct((1, 1), jnp.int32)
@@ -474,6 +610,13 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
         if NW:
             in_specs += [any_spec, smem()]
             args += [wstack, ckall]
+        if tail:
+            td3, tb3, tw3, tck = tail_args
+            in_specs += [any_spec, any_spec]
+            args += [td3, tb3]
+            if tail["NTW"]:
+                in_specs += [any_spec, smem()]
+                args += [tw3, tck]
         in_specs += [smem(), smem(), smem()]
         args += [jnp.stack([rr, rz]).astype(jnp.float32),
                  jnp.reshape(itr, (1,)).astype(jnp.int32),
@@ -494,7 +637,14 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
             scratch.append(pltpu.VMEM((ROWS, 128), jnp.float32))
         if NW:
             scratch.append(pltpu.VMEM((2, W, D, ROWS, 128), jnp.uint32))
-        scratch.append(pltpu.SemaphoreType.DMA((10,)))
+        if tail:
+            tsh = (tail["T"], tail["SR"], 128)
+            scratch.append(pltpu.VMEM(tsh, jnp.float32))   # td
+            scratch.append(pltpu.VMEM(tsh, jnp.float32))   # tb
+            if tail["NTW"]:
+                scratch.append(pltpu.VMEM(
+                    (tail["TW"], tail["ER"], 128), jnp.uint32))
+        scratch.append(pltpu.SemaphoreType.DMA((13,)))
         from jax.experimental import pallas as _pl
 
         outs = _pl.pallas_call(
@@ -534,17 +684,41 @@ def make_fused_continue(mat, mode, conv_threshold, trace_rr=True,
     D, is_ell, S0, WROWS = (plan[k] for k in ("D", "kind", "S0", "WROWS"))
     PACK = plan["PACK"]
     is_ell = is_ell == "ell"
+    tail = plan.get("tail")
+    # The main-layout machinery reads the split's main part; md arrives
+    # as a (md_main, md_tail) pair for split matrices.
+    base = mat.main if tail else mat
     if is_ell:
         from ..ecc import ECC_COL_MASK
 
-        gather_w = mat.layout.word_names.index(mat.ell_gather_word)
-        has_gidx = mat.perm is not None
-        mask_ecc = (mat.ell_gather_word == "col" and NW > 0)
+        gather_w = base.layout.word_names.index(base.ell_gather_word)
+        has_gidx = base.perm is not None
+        mask_ecc = (base.ell_gather_word == "col" and NW > 0)
     jnp_impl = make_spmv(mat, jnp.float32, mode)
+
+    def derive_tail(mdt):
+        t = tail
+        td3 = mdt.dense_td.reshape(t["T"], t["SR"], 128)
+        tb3 = mdt.dense_tb.reshape(t["T"], t["SR"], 128)
+        tw3 = tck = None
+        if t["NTW"]:
+            stacked = jnp.stack(list(mdt.words))        # (TW, E)
+            pad = t["EP"] - t["E"]
+            if pad:
+                # zero-padding is parity/XOR-neutral
+                stacked = jnp.pad(stacked, ((0, 0), (0, pad)))
+            tw3 = stacked.reshape(t["TW"], t["ER"], 128)
+            tck = jnp.bitwise_xor.reduce(
+                mdt.cksum.reshape(t["TW"], -1), axis=1)
+        return (td3, tb3, tw3, tck)
 
     def derive(md):
         """Kernel-ready views of the device planes (re-derived after a
         repair, so the resumed loop streams the scrubbed data)."""
+        tail_args = None
+        if tail:
+            md, mdt = md
+            tail_args = derive_tail(mdt)
         gsrc = None
         if is_ell:
             # Row-major (RR//PACK, PACK*D, 128) streams (PACK row
@@ -567,10 +741,10 @@ def make_fused_continue(mat, mode, conv_threshold, trace_rr=True,
         else:
             vals3 = md.values.reshape(D, RR, 128)
         if not NW:
-            return vals3, gsrc, None, None
+            return vals3, gsrc, None, None, tail_args
         wstack = jnp.stack(list(md.words)).reshape(W, D, RR, 128)
         ckall = jnp.bitwise_xor.reduce(md.cksum.reshape(W, -1), axis=1)
-        return vals3, gsrc, wstack, ckall
+        return vals3, gsrc, wstack, ckall, tail_args
 
     def continue_(md, state: CGState, upto, minv=None):
         if precond != (minv is not None):
@@ -582,13 +756,13 @@ def make_fused_continue(mat, mode, conv_threshold, trace_rr=True,
         minv2 = minv.reshape(RR, 128) if precond else None
 
         def run_fast(md, s: CGState):
-            vals3, gsrc, wstack, ckall = derive(md)
+            vals3, gsrc, wstack, ckall, tail_args = derive(md)
             x2 = s.x.reshape(RR, 128)
             r2 = s.r.reshape(RR, 128)
             p2 = s.p.reshape(RR, 128)
             (x2, r2, p2, ktrace, itr, rr, rz, trig, err) = kern(
                 x2, r2, p2, minv2, vals3, gsrc, wstack, ckall,
-                s.rr, s.rz, s.itr, upto)
+                tail_args, s.rr, s.rz, s.itr, upto)
             itr = itr[0, 0]
             trace = s.trace
             if trace_rr:

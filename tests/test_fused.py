@@ -44,9 +44,36 @@ def ell_matrix(mode, n=1024, blocks=1, shuffle=False):
     return m
 
 
+def split_matrix(mode, n=2048, blocks=1):
+    """Bordered: tridiagonal core + 2 dense rows -> split exec layout."""
+    rows, cols, vals, n = spd_tridiagonal(n)
+    rows, cols, vals = list(rows), list(cols), list(vals)
+    rng = np.random.default_rng(3)
+    for r in (17, 900):
+        targets = np.setdiff1d(rng.choice(n, size=300, replace=False),
+                               [r - 1, r, r + 1])
+        for c in targets:
+            hi, lo = max(r, int(c)), min(r, int(c))
+            rows.append(hi)
+            cols.append(lo)
+            vals.append(-0.01)
+    rows, cols = np.array(rows), np.array(cols)
+    vals = np.array(vals, dtype=float)
+    deg = np.bincount(rows, minlength=n) + np.bincount(cols, minlength=n)
+    diag = rows == cols
+    vals[diag] = deg.astype(float)[rows[diag]] + 4.0
+    m = build_protected("csr", assemble(cols, rows, vals, n, blocks),
+                        mode)
+    assert m.exec_kind == "split" and m.R % 1024 == 0
+    assert m.tail.dense_plan is not None
+    return m
+
+
 def make(layout, mode):
     if layout == "dia":
         return dia_matrix(mode)
+    if layout == "split":
+        return split_matrix(mode)
     return ell_matrix(mode, shuffle=(layout == "rcm-ell"))
 
 
@@ -65,7 +92,7 @@ def bvec(m):
     return jnp.asarray(b, jnp.float32)
 
 
-@pytest.mark.parametrize("layout", ["dia", "ell", "rcm-ell"])
+@pytest.mark.parametrize("layout", ["dia", "ell", "rcm-ell", "split"])
 @pytest.mark.parametrize("mode", ["none", "sed", "sec7", "sec8", "secded"])
 def test_fused_matches_jnp_clean(mode, layout):
     m = make(layout, mode)
@@ -78,12 +105,22 @@ def test_fused_matches_jnp_clean(mode, layout):
     np.testing.assert_allclose(np.asarray(r1.x), np.asarray(r0.x),
                                rtol=1e-6, atol=1e-7)
     k = int(r0.iterations)
-    np.testing.assert_allclose(np.asarray(r1.rr_trace)[:k],
-                               np.asarray(r0.rr_trace)[:k], rtol=1e-4)
+    t0 = np.asarray(r0.rr_trace)[:k]
+    t1 = np.asarray(r1.rr_trace)[:k]
+    if layout == "split":
+        # split sums the tail in a different order (span windows in the
+        # kernel), so once rr falls ~5 orders below rr0 the f32
+        # rounding noise dominates the trace (verified: a single
+        # iteration's x matches to 4e-8; trajectories rejoin and the
+        # converged x is equal above).  Compare above the noise floor.
+        above = t0 > float(t0[0]) * 1e-5
+        np.testing.assert_allclose(t1[above], t0[above], rtol=1e-3)
+    else:
+        np.testing.assert_allclose(t1, t0, rtol=1e-4)
     assert np.isnan(np.asarray(r1.rr_trace)[k:]).all()
 
 
-@pytest.mark.parametrize("layout", ["dia", "ell"])
+@pytest.mark.parametrize("layout", ["dia", "ell", "split"])
 @pytest.mark.parametrize("mode", ["sec7", "sec8", "secded"])
 def test_fused_corrects_fault_and_resumes(mode, layout):
     """The kernel's live trigger exits the fast loop; classify repairs;
