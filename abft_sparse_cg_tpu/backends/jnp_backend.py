@@ -44,9 +44,14 @@ class JnpBackend(Backend):
         # polymorphic under jit.
         import jax
 
+        # A bordered tail's dense_plan statics (outlier rows, span
+        # starts) are baked into the compiled solver — distinguish
+        # matrices that agree on every size but differ there.
+        tail_plan = (getattr(mat.tail, "dense_plan", None)
+                     if mat.exec_kind == "split" else None)
         key = ("solve", variant, mat.fmt, self.mode, mat.exec_kind,
-               mat.dia_offsets, mat.R, mat.K, mat.N, mat.nnz, str(dtype),
-               max_itrs, float(conv))
+               mat.dia_offsets, mat.R, mat.K, mat.N, mat.nnz, tail_plan,
+               str(dtype), max_itrs, float(conv))
         if key not in _SOLVER_CACHE:
             spmv = make_spmv(mat, dtype, self.mode)
             if variant == "pipelined":
@@ -61,8 +66,10 @@ class JnpBackend(Backend):
     def _get_spmv(self, mat, dtype):
         import jax
 
+        tail_plan = (getattr(mat.tail, "dense_plan", None)
+                     if mat.exec_kind == "split" else None)
         key = ("spmv", mat.fmt, self.mode, mat.exec_kind, mat.dia_offsets,
-               mat.R, mat.K, mat.N, mat.nnz, str(dtype))
+               mat.R, mat.K, mat.N, mat.nnz, tail_plan, str(dtype))
         if key not in _SOLVER_CACHE:
             impl = make_spmv(mat, dtype, self.mode)
             _SOLVER_CACHE[key] = jax.jit(impl.full)

@@ -32,10 +32,15 @@ class PallasBackend(JnpBackend):
             return super()._get_solver(mat, dtype, max_itrs, conv, r_dev,
                                        variant)
         # band + permutation presence shape the ELL kernel (window size,
-        # gather-index source) — same-shaped matrices must not collide.
+        # gather-index source), and a bordered tail's dense_plan statics
+        # are baked into the megakernel — same-shaped matrices must not
+        # collide.
+        tail_plan = (getattr(mat.tail, "dense_plan", None)
+                     if mat.exec_kind == "split" else None)
         key = ("psolve", variant, mat.fmt, self.mode, mat.exec_kind,
                mat.dia_offsets, mat.R, mat.K, mat.N, mat.nnz, mat.band,
-               mat.perm is not None, str(dtype), max_itrs, float(conv))
+               mat.perm is not None, tail_plan, str(dtype), max_itrs,
+               float(conv))
         if key not in _SOLVER_CACHE:
             spmv = make_pallas_spmv(mat, dtype, self.mode)
             if variant == "pipelined":
@@ -76,9 +81,11 @@ class PallasBackend(JnpBackend):
     def _get_spmv(self, mat, dtype):
         import jax
 
+        tail_plan = (getattr(mat.tail, "dense_plan", None)
+                     if mat.exec_kind == "split" else None)
         key = ("pspmv", mat.fmt, self.mode, mat.exec_kind, mat.dia_offsets,
                mat.R, mat.K, mat.N, mat.nnz, mat.band, mat.perm is not None,
-               str(dtype))
+               tail_plan, str(dtype))
         if key not in _SOLVER_CACHE:
             impl = make_pallas_spmv(mat, dtype, self.mode)
             _SOLVER_CACHE[key] = jax.jit(impl.full)
