@@ -277,6 +277,24 @@ def dense_tail_plan(mat, outliers_canonical):
     if mat.R % 128 or S > mat.R or T * S > _DENSE_MAX_PLANES * mat.R:
         return None
     starts = np.minimum(starts, mat.R - S)  # stays 128-aligned (R is)
+    # Coverage proof: the device-side densify drops any entry whose
+    # destination falls outside its outlier's window (mode="drop"), so
+    # the plan is only sound if EVERY tail entry lands inside one.  Row
+    # entries (output row = outlier t) index the window by their gather
+    # source; the remaining entries must be transpose images (gather
+    # source = outlier t) indexed by their output row — guaranteed by
+    # the loader's symmetrization, but a structurally non-symmetric
+    # assembly would silently compute a wrong fast product with no
+    # detection signal.  Verify on the host and fall back to the gather
+    # path (None) instead.
+    tsrc = tbl[np.clip(src, 0, mat.R - 1)]
+    in_win = lambda t, idx: (  # noqa: E731
+        (idx >= starts[t]) & (idx < starts[t] + S))
+    covered = np.where(
+        a_mask, in_win(np.maximum(tdst, 0), src),
+        (tsrc >= 0) & in_win(np.maximum(tsrc, 0), dst))
+    if not covered.all():
+        return None
     return (tuple(int(r) for r in rows),
             tuple(int(s) for s in starts), S)
 

@@ -752,6 +752,14 @@ def make_fused_continue(mat, mode, conv_threshold, trace_rr=True,
                 "preconditioned fused solver needs minv" if precond
                 else "fused solver built unpreconditioned")
         tl = state.trace.shape[0] if trace_rr else 0
+        if tl > _MAX_TRACE_SMEM:
+            # supports_fused() enforces this for the backend routing; a
+            # caller wiring continue_fn directly (CheckpointedSolve) would
+            # otherwise hit an obscure Mosaic SMEM failure at compile.
+            raise ValueError(
+                f"rr trace of {tl} entries exceeds the kernel's SMEM cap "
+                f"({_MAX_TRACE_SMEM}); lower max_itrs or pass "
+                "trace_rr=False")
         kern = _make_kernel(plan, mode, conv_threshold, tl, interpret)
         minv2 = minv.reshape(RR, 128) if precond else None
 

@@ -66,7 +66,10 @@ def main():
         ("ellb-perm", True, "ell"),
         ("split", None, None),
     ]
+    only = set(sys.argv[1:])  # optional config-name filter
     for name, shuffle, force in configs:
+        if only and name not in only:
+            continue
         if name == "split":
             a = bordered_assembled()
         else:

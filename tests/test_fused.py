@@ -294,3 +294,21 @@ def test_fused_respects_upto():
     assert int(s2.itr) == int(r0.iterations)
     np.testing.assert_allclose(np.asarray(s2.x), np.asarray(r0.x),
                                rtol=1e-6, atol=1e-7)
+
+
+def test_fused_continue_rejects_oversized_trace():
+    """continue_fn callers outside the backend routing (e.g. a direct
+    CheckpointedSolve wiring) get a clean ValueError when the rr trace
+    would overflow the kernel's SMEM cap, instead of an obscure Mosaic
+    compile failure."""
+    from abft_sparse_cg_tpu.solver.cg import init_state
+    from abft_sparse_cg_tpu.solver.fused import (_MAX_TRACE_SMEM,
+                                                 make_fused_continue)
+
+    m = dia_matrix("secded")
+    md = make_matrix_device(m, jnp.float32)
+    b = bvec(m)
+    cont = make_fused_continue(m, "secded", 1e-8, interpret=True)
+    s0 = init_state(b, _MAX_TRACE_SMEM + 1)
+    with pytest.raises(ValueError, match="SMEM"):
+        cont(md, s0, jnp.int32(4))

@@ -198,3 +198,47 @@ def test_split_pipelined_solver():
     res = backend.solve(m2, b, 3000, 1e-12, verbose=False, dtype="f64",
                         solver="pipelined")
     assert not res.failed and res.corrected_count == 1
+
+
+def _tail_like(entries, n=1024):
+    """Build a tail-shaped flat ProtectedMatrix from explicit (row, col)
+    entries WITHOUT the loader's symmetrization (coverage tests)."""
+    from abft_sparse_cg_tpu.formats.loader import AssembledMatrix
+
+    rows = np.array([r for r, _ in entries], dtype=np.int64)
+    cols = np.array([c for _, c in entries], dtype=np.int64)
+    order = np.lexsort((cols, rows))
+    a = AssembledMatrix(
+        cols=cols[order].astype(np.uint32),
+        rows=rows[order].astype(np.uint32),
+        values=np.ones(len(entries), dtype=np.float64),
+        N=n, nnz=len(entries), block_size=n, num_blocks=1,
+    )
+    m = build_protected("csr", a, "secded", reorder="none", split="none")
+    assert m.exec_kind == "flat"
+    return m
+
+
+def test_dense_tail_plan_requires_window_coverage():
+    """dense_tail_plan verifies on the host that every tail entry lands
+    inside its outlier's span window; a structurally non-symmetric
+    assembly (an entry whose mirror is missing) would otherwise be
+    silently dropped by the device-side densify with no detection
+    signal."""
+    from abft_sparse_cg_tpu.ops.spmv import dense_tail_plan
+
+    out = 3
+    sym = [(out, c) for c in range(10)] + [(c, out) for c in range(10)
+                                           if c != out]
+    plan = dense_tail_plan(_tail_like(sym), [out])
+    assert plan is not None
+
+    # Mirror-less far entry: gather source is the outlier, but its
+    # output row (900) is outside the outlier's span window.
+    plan = dense_tail_plan(_tail_like(sym + [(900, out)]), [out])
+    assert plan is None
+
+    # The symmetric counterpart widens the span instead: covered again.
+    plan = dense_tail_plan(_tail_like(sym + [(900, out), (out, 900)]),
+                           [out])
+    assert plan is not None
