@@ -279,6 +279,12 @@ def _scatter_exec(planes, layout, slot, shape):
 # window) — or when it makes the matrix DIA-eligible outright.
 _BAND_KERNEL_MAX = 16384
 
+# Past this exec-space bandwidth the banded-ELL kernels' shuffle window
+# (ops.spmv_pallas._ELL_MAX_WROWS) no longer covers the matrix; the
+# build tries the band split (formats.split.try_band_split) so the
+# banded core keeps the kernel tier.
+_BAND_SPLIT_TRIGGER = 1920
+
 # ELL pads every output row to the longest one; when a few dense rows
 # would blow the K*R footprint past this multiple of nnz, fall back to
 # the memory-safe FLAT layout (1-D canonical-order planes, storage
@@ -388,7 +394,7 @@ def build_protected(fmt: str, assembled: AssembledMatrix, mode: str,
             dia_ok, uoffs, inv = pdia_ok, puoffs, pinv
             band = pband
 
-    if force_exec == "ell":
+    if force_exec in ("ell", "flat"):
         dia_ok = False
     elif force_exec == "dia" and not dia_ok:
         raise ValueError("matrix is not representable as DIA")
@@ -406,7 +412,8 @@ def build_protected(fmt: str, assembled: AssembledMatrix, mode: str,
         ell_slot = inv * R + group
         ell = _scatter_exec(planes, layout, ell_slot, (len(uoffs), R))
         dia_offsets = tuple(int(o) for o in uoffs)
-    elif force_exec != "ell" and nnz and K * R > _ELL_MAX_EXPAND * nnz:
+    elif force_exec != "ell" and nnz and (
+            force_exec == "flat" or K * R > _ELL_MAX_EXPAND * nnz):
         if split == "auto" and force_exec is None and force_perm is None:
             from .split import try_split
 
@@ -434,6 +441,19 @@ def build_protected(fmt: str, assembled: AssembledMatrix, mode: str,
         ell["__flat_group__"] = grp_exec
         dia_offsets = ()
     else:
+        if (split == "auto" and force_exec is None and force_perm is None
+                and nnz and band > _BAND_SPLIT_TRIGGER):
+            # The banded kernels' window cap is exceeded: peel the
+            # out-of-band entries into a flat tail so the banded core
+            # keeps the compiled kernel tier (the general-matrix story —
+            # without this, the whole matrix rides the serialized XLA
+            # gather fallback, measured ~44x slower at bench scale).
+            from .split import try_band_split
+
+            comp = try_band_split(fmt, assembled, mode, layout, planes,
+                                  row_ptr, reorder)
+            if comp is not None:
+                return comp
         exec_kind = "ell"
         # Transposed ELL: slots on sublanes, rows on lanes (see module
         # docstring) — flat slot = k * R + r.

@@ -31,11 +31,25 @@ import numpy as np
 from .loader import AssembledMatrix
 from .protected import ProtectedMatrix, flat_checksums
 
-__all__ = ["CompositeMatrix", "try_split"]
+__all__ = ["CompositeMatrix", "try_split", "try_band_split"]
 
 _MAX_OUTLIERS = 256
 _MAX_TAIL_FRAC = 0.25
 _DEG_FACTOR = 4
+
+# --- band split (general matrices whose band exceeds the kernel cap) ---
+_BAND_CUT_MAX = 1920         # == the banded-ELL shuffle window cap
+#                              (ops.spmv_pallas._ELL_MAX_WROWS -> band)
+_ROLLED_MAX_BAND = 16256     # the megakernel's rolled window scan cap
+#                              (solver.fused._FUSED_MAX_WROWS) — a
+#                              matrix banded under this can stay WHOLE
+#                              on the wide-band kernel tier
+_BAND_TAIL_MAX_FRAC = 0.10   # give up when the out-of-band tail is fat
+# Per-entry per-iteration cost model for picking the cut, in rough VPU
+# nanoseconds (measured: shuffle-gather ~4 ops per entry per window row;
+# the flat tail's XLA gather+scatter serialize at ~7 ns each).
+_MAIN_NS_PER_WROW = 0.15
+_TAIL_NS = 14.0
 
 
 @dataclass(frozen=True)
@@ -130,6 +144,90 @@ class CompositeMatrix:
             main=self.main.with_scrubbed_planes(mainp),
             tail=self.tail.with_scrubbed_planes(tailp),
         )
+
+
+def try_band_split(fmt, assembled, mode, layout, planes, row_ptr, reorder):
+    """Band decomposition A = M + T for matrices whose (post-RCM)
+    bandwidth exceeds the banded kernels' window cap: ``main`` = entries
+    within a cut bandwidth (rides the compiled banded-ELL/DIA tier),
+    ``tail`` = the out-of-band remainder on the flat layout.  This is
+    the general-matrix answer the reference gets for free from its
+    host row-gather kernel (/root/reference/CSR/CPUContext.cpp:115-133):
+    on TPU an arbitrary gather serializes (~7 ns/element), so the build
+    keeps the gather set as small as the structure allows.
+
+    The cut is chosen by a measured per-iteration cost model (window
+    rows scale the in-band shuffle cost; tail entries pay the
+    serialized gather+scatter); None when no cut leaves a thin enough
+    tail (<= 10% nnz), in which case the caller falls back to plain
+    ELL + the jnp gather path.
+    """
+    rows = assembled.rows.astype(np.int64)
+    cols = assembled.cols.astype(np.int64)
+    N, nnz = assembled.N, assembled.nnz
+
+    cand_perms = [None]
+    if reorder in ("auto", "rcm") and mode != "constraints":
+        from .reorder import inverse_permutation, rcm_permutation
+
+        cand_perms.append(rcm_permutation(rows, cols, N))
+    best = None
+    whole_cost = None   # best un-split option (rolled wide-band tier)
+    for perm in cand_perms:
+        if perm is None:
+            er, ec = rows, cols
+        else:
+            pos = inverse_permutation(perm)
+            er, ec = pos[rows], pos[cols]
+        off = np.abs(er - ec)
+        band = int(off.max()) if nnz else 0
+        if band <= _ROLLED_MAX_BAND:
+            wc = nnz * (2 * (band // 128) + 1) * _MAIN_NS_PER_WROW
+            if whole_cost is None or wc < whole_cost:
+                whole_cost = wc
+        for c in range(256, _BAND_CUT_MAX + 1, 256):
+            tail_n = int((off > c).sum())
+            if tail_n == 0 or tail_n > _BAND_TAIL_MAX_FRAC * nnz:
+                continue
+            wrows = 2 * (c // 128) + 1
+            cost = ((nnz - tail_n) * wrows * _MAIN_NS_PER_WROW
+                    + tail_n * _TAIL_NS)
+            if best is None or cost < best[0]:
+                best = (cost, perm, c, off)
+    if best is None or (whole_cost is not None and whole_cost <= best[0]):
+        # Un-split is absent (no thin tail at any cut) or cheaper: the
+        # caller's normal path keeps the whole matrix, riding the
+        # rolled wide-band megakernel when the band allows.
+        return None
+    _, perm, cut, off = best
+
+    tail_mask = off > cut
+    a_main = _sub_assembled(assembled, ~tail_mask)
+    from .protected import build_protected
+
+    main = build_protected(fmt, a_main, mode, reorder="none",
+                           split="none", force_perm=perm)
+    if main.exec_kind not in ("dia", "ell") or main.band > cut:
+        return None
+    a_tail = _sub_assembled(assembled, tail_mask)
+    tail = build_protected(fmt, a_tail, mode, reorder="none", split="none",
+                           force_perm=perm, force_exec="flat")
+    if tail.R != main.R:
+        return None
+
+    from ..ecc.codec import ECC_MODES
+
+    flat_cksum = (flat_checksums(planes, layout, nnz)
+                  if mode in ECC_MODES else None)
+    return CompositeMatrix(
+        fmt=fmt, mode=mode, N=N, nnz=nnz, layout=layout,
+        planes=planes, row_ptr=row_ptr, flat_cksum=flat_cksum,
+        main=main, tail=tail,
+        idx_main=np.flatnonzero(~tail_mask),
+        idx_tail=np.flatnonzero(tail_mask),
+        block_size=assembled.block_size,
+        num_blocks=assembled.num_blocks,
+    )
 
 
 def _sub_assembled(a: AssembledMatrix, mask: np.ndarray) -> AssembledMatrix:

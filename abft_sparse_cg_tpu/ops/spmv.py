@@ -363,10 +363,17 @@ def _device_checksums(words, row_axis):
     return jnp.stack([_fold_blocks(p, row_axis) for p in words])
 
 
-def _cksum_mismatch(md, row_axis):
-    """Any 8-row-block XOR differing from its build-time value?"""
+def _cksum_mismatch(md, row_axis, words_idx=None):
+    """Any 8-row-block XOR differing from its build-time value?
+
+    ``words_idx``: restrict the scan to these word planes (the lazy
+    constraints schedule checks only the index words its structural
+    invariants read — the reference never validates values in
+    constraints mode, CSR/CPUContext.cpp:162-207)."""
     bad = None
     for w, plane in enumerate(md.words):
+        if words_idx is not None and w not in words_idx:
+            continue
         m = _fold_blocks(plane, row_axis) != md.cksum[w]
         bad = m if bad is None else (bad | m)
     return jnp.any(bad)
@@ -531,7 +538,41 @@ def make_spmv(mat, dtype=jnp.float32, mode: str = None) -> SpmvImpl:
                 return w, jnp.bool_(False), jnp.sum(x * w)
 
             return SpmvImpl(full=full, fast_pw=fast_pw_none)
-        return SpmvImpl(full=full)
+
+        # Constraints lazy schedule (detect-fast / check-rarely): the
+        # structural invariants are over STATIC index data protected by
+        # the same build-time block checksums, so the hot loop only
+        # scans the index-word checksums (the reference re-checks every
+        # element every SpMV, CSR/CPUContext.cpp:162-207 — +8% there,
+        # but a full structural pass per iteration here).  On a trigger
+        # the solver classifies ONCE: a violation fail-stops with the
+        # reference's exact strings; an index change that violates no
+        # constraint (which the reference would consume silently) is
+        # adopted — checksums refresh so the loop stays fast.  Value
+        # flips never trigger (the reference never validates values in
+        # this mode); see PARITY.md for the padding-slot scope note.
+        check_words = tuple(sorted({cfg.gather_w, cfg.col_w}))
+
+        def fast_cons(md: MatrixDevice, x):
+            w = cfg.compute_w(md, list(md.words), x, dtype,
+                              values=md.values, stored=True)
+            return w, _cksum_mismatch(md, row_axis, check_words)
+
+        def fast_pw_cons(md: MatrixDevice, x):
+            w, trigger = fast_cons(md, x)
+            return w, trigger, jnp.sum(x * w)
+
+        def classify_cons(md: MatrixDevice):
+            errcode, err_slot = cfg.constraints(md, jnp.int32(ERR_NONE),
+                                                jnp.int32(-1))
+            stats = SpmvStats(errcode, err_slot, jnp.int32(0),
+                              jnp.int32(-1), jnp.int32(-1))
+            md2 = md._replace(
+                cksum=_device_checksums(md.words, row_axis))
+            return stats, md2
+
+        return SpmvImpl(full=full, fast=fast_cons,
+                        classify=classify_cons, fast_pw=fast_pw_cons)
 
     # ---- fast: hot-loop kernel, detection signals only ---------------
 

@@ -143,11 +143,23 @@ def make_pallas_spmv(mat, dtype=jnp.float32, mode: str = None,
         fast, fast_pw = _make_dia_fast(mat, mode, interpret)
     else:
         fast, fast_pw = _make_ellb_fast(mat, mode, interpret)
+    return _wrap_mode(mat, dtype, mode, fast, fast_pw)
+
+
+def _wrap_mode(mat, dtype, mode, fast, fast_pw):
+    """Assemble the SpmvImpl around a kernel-tier (fast, fast_pw) pair:
+    jnp oracle/classify for the rare paths, mode-specific full()."""
+    from .spmv import make_spmv as make_jnp_spmv
 
     if mode == "constraints":
-        # The structural checks are pure plane inspection (no gather);
-        # pair them with the kernel's product so forced-ELL constraints
-        # does not fall back to XLA's serialized gather.
+        # Lazy schedule (mirrors ops.spmv): the kernel's fast path scans
+        # only the index-word checksums fused into the product stream;
+        # the structural checks run ONCE per trigger in the jnp classify
+        # (which refreshes the checksum baseline when no constraint is
+        # violated, adopting changes the reference would consume
+        # silently).  The full oracle pairs the kernel's product with
+        # the structural check so forced-ELL constraints spmv_once does
+        # not fall back to XLA's serialized gather.
         from .spmv import make_constraints_check
 
         check = make_constraints_check(mat)
@@ -156,7 +168,9 @@ def make_pallas_spmv(mat, dtype=jnp.float32, mode: str = None,
             w, _ = fast(md, x)
             return w, check(md)
 
-        return SpmvImpl(full=full_cons)
+        jnp_impl = make_jnp_spmv(mat, dtype, mode)
+        return SpmvImpl(full=full_cons, fast=fast,
+                        classify=jnp_impl.classify, fast_pw=fast_pw)
 
     jnp_impl = make_jnp_spmv(mat, dtype, mode)
 
@@ -177,27 +191,52 @@ def make_pallas_spmv(mat, dtype=jnp.float32, mode: str = None,
 # DIA stencil kernel
 # --------------------------------------------------------------------------
 
-def _mode_signals(mode, num_words):
+def stream_words(mode, layout, fmt) -> tuple:
+    """Word-plane indices the fast kernels stream for detection.
+
+    ECC modes read every codeword word (parity/checksums span the whole
+    element).  The constraints lazy schedule scans only the INDEX words
+    its structural invariants read — the reference never validates
+    values in constraints mode (CSR/CPUContext.cpp:162-207), so value
+    planes stay un-streamed and the fast loop costs ~mode-none + one
+    (CSR) or two (COO) uint32 planes.  Mode none streams nothing."""
+    names = layout.word_names
+    if mode in ("sed", "sec7", "sec8", "secded"):
+        return tuple(range(len(names)))
+    if mode == "constraints":
+        idx = {"col"} | ({"row"} if fmt == "coo" else set())
+        return tuple(i for i, n in enumerate(names) if n in idx)
+    return ()
+
+
+def _mode_signals(mode, mat):
     # Trigger signals by mode: sec7 has no stored parity bit; sed has no
     # checksum need (parity is the whole check) but uses the same fast
-    # kernel with parity-only trigger.  Mode none reads no codeword
-    # planes at all.
+    # kernel with parity-only trigger.  Constraints rides the checksum
+    # scan over its index words (lazy schedule; classify re-runs the
+    # structural checks).  Mode none reads no codeword planes at all.
     use_parity = mode in ("sed", "sec8", "secded")
-    use_cksum = mode in ("sec7", "secded")
-    nw = num_words if (use_parity or use_cksum) else 0
-    return use_parity, use_cksum, nw
+    use_cksum = mode in ("sec7", "secded", "constraints")
+    sw = stream_words(mode, mat.layout, mat.fmt)
+    return use_parity, use_cksum, sw
 
 
-def _make_dia_fast(mat, mode, interpret):
+def _make_dia_fast(mat, mode, interpret, halo=0):
+    """``halo`` > 0: the returned callables expect an x of length
+    R + 2*halo whose ends hold neighbor-shard rows (parallel.
+    sharded_kernel's exchange) instead of padding with zeros — the
+    per-shard form of the kernel; |offset| <= halo is the caller's
+    envelope check."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     layout = mat.layout
-    W = layout.num_words
     offsets = mat.dia_offsets
     D = len(offsets)
     R = mat.R
-    use_parity, use_cksum, NW = _mode_signals(mode, W)
+    use_parity, use_cksum, SW = _mode_signals(mode, mat)
+    NW = len(SW)
+    W = NW  # streamed word planes (all of them for ECC modes)
     # Fused pw = dot(x, w) reuses the offset-0 shifted-x plane (an SPD
     # matrix always has its main diagonal; guarded anyway).
     d0 = offsets.index(0) if 0 in offsets else None
@@ -283,13 +322,20 @@ def _make_dia_fast(mat, mode, interpret):
         # the kernel reads aligned (D, C) blocks — no dynamic slicing.
         from .spmv import _shift_read
 
-        xs = jnp.stack([_shift_read(x, off) for off in offsets])
+        if halo:
+            # x carries neighbor-halo rows: every shift is an exact
+            # static slice (zero-filled at the global boundary by the
+            # exchange itself).
+            xs = jnp.stack(
+                [x[halo + off: halo + off + R] for off in offsets])
+        else:
+            xs = jnp.stack([_shift_read(x, off) for off in offsets])
         plane_spec = pl.BlockSpec((D, C), lambda i: (0, i),
                                   memory_space=pltpu.VMEM)
         acc = lambda rows: pl.BlockSpec(  # noqa: E731 — resident block
             (rows, C), lambda i: (0, 0), memory_space=pltpu.VMEM)
         in_specs = [plane_spec] * NW + [plane_spec, plane_spec]
-        args = list(md.words[:NW]) + [md.values, xs]
+        args = [md.words[i] for i in SW] + [md.values, xs]
 
         out_specs = [
             pl.BlockSpec((C,), lambda i: (i,), memory_space=pltpu.VMEM),
@@ -326,10 +372,20 @@ def _make_dia_fast(mat, mode, interpret):
             trig = trig | (jnp.sum(outs[k].astype(jnp.int32)) > 0)
             k += 1
         if use_cksum:
-            got = jnp.bitwise_xor.reduce(outs[k], axis=1)
-            want = jnp.bitwise_xor.reduce(
-                md.cksum.reshape(W, -1), axis=1)
-            trig = trig | jnp.any(got != want)
+            # Compare at interleaved block-class granularity: the
+            # accumulator already holds per-chunk-position XORs, so
+            # folding to 8-lane blocks (for free, in XLA) yields one
+            # class per position-in-chunk block — a multi-element fault
+            # escapes only if its flips cancel per bit position within
+            # the SAME class (rows congruent mod the chunk), vs the
+            # whole-plane fold's anywhere-in-plane scope (PARITY.md).
+            ck = outs[k]
+            got8 = jnp.bitwise_xor.reduce(
+                ck.reshape(W, -1, 8), axis=2)
+            want8 = jnp.bitwise_xor.reduce(
+                md.cksum[np.array(SW)].reshape(W, -1, ck.shape[1] // 8),
+                axis=1)
+            trig = trig | jnp.any(got8 != want8)
         return w, trig, pw
 
     def fast(md: MatrixDevice, x):
@@ -348,15 +404,23 @@ def _make_dia_fast(mat, mode, interpret):
 # Banded-ELL windowed-gather kernel
 # --------------------------------------------------------------------------
 
-def _make_ellb_fast(mat, mode, interpret):
+def _make_ellb_fast(mat, mode, interpret, halo=False, with_base=False):
+    """``halo``: the returned callables expect an x of length
+    R + 2*SIDE whose ends hold neighbor-shard rows (zero-filled at the
+    global boundary) instead of the call padding with zeros itself.
+    ``with_base``: the callables take an extra ``base`` scalar — the
+    shard's global row offset, subtracted from the (global) gather
+    indices in-kernel via an SMEM scalar so the stored planes stay
+    untouched.  Both serve parallel.sharded_kernel's per-shard form."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     layout = mat.layout
-    W = layout.num_words
     K = mat.K
     R = mat.R
-    use_parity, use_cksum, NW = _mode_signals(mode, W)
+    use_parity, use_cksum, SW = _mode_signals(mode, mat)
+    NW = len(SW)
+    W = NW  # streamed word planes (all of them for ECC modes)
 
     CR = _ell_chunk(R)
     G = R // CR
@@ -374,7 +438,7 @@ def _make_ellb_fast(mat, mode, interpret):
     mask_ecc = (mat.ell_gather_word == "col"
                 and mode in ("sed", "sec7", "sec8", "secded"))
     has_gidx = mat.perm is not None
-    gsrc_in_words = (not has_gidx) and NW > 0
+    gsrc_in_words = (not has_gidx) and gather_w in SW
 
     # The per-chunk x windows overlap (each lane group reads WROWS rows
     # around itself), which plain BlockSpecs cannot express.  Instead x
@@ -392,12 +456,15 @@ def _make_ellb_fast(mat, mode, interpret):
         #       accumulate as VMEM lane vectors across the sequential
         #       grid steps; scalar folds happen in XLA after the call
         #       (a cross-lane reduction per chunk is a VPU stall).
+        if with_base:
+            base_ref = refs[0]  # (1,) int32 in SMEM: shard row offset
+            refs = refs[1:]
         word_refs = refs[:NW]
         k = NW
         vals_ref = refs[k]
         k += 1
         if gsrc_in_words:
-            gsrc_ref = word_refs[gather_w]
+            gsrc_ref = word_refs[SW.index(gather_w)]
         else:
             gsrc_ref = refs[k]
             k += 1
@@ -424,6 +491,8 @@ def _make_ellb_fast(mat, mode, interpret):
             if mask_ecc:
                 g = g & np.uint32(ECC_COL_MASK)
             g = jax.lax.bitcast_convert_type(g, jnp.int32)
+        if with_base:
+            g = g - base_ref[0]  # global -> shard-local source rows
         vals = vals_ref[...]
 
         # In-window position of each entry's source row; the window for
@@ -495,18 +564,28 @@ def _make_ellb_fast(mat, mode, interpret):
                 def _(red=red, wi=wi):
                     ckv_ref[wi:wi + 1, :] = ckv_ref[wi:wi + 1, :] ^ red
 
-    def call(md: MatrixDevice, x):
+    def call(md: MatrixDevice, x, base=None):
         # Pad so every chunk's window blocks exist: SIDE rows in front,
         # and enough at the back for the last chunk's XCOPIES blocks.
+        # (back >= SIDE always: XCOPIES covers LG + WROWS - 1 rows.)
         back = (G - 1 + XCOPIES) * LG * 128 - (R + SIDE)
-        xpad = jnp.pad(x, (SIDE, back))
+        if halo:
+            # x arrives with SIDE exchanged rows on each side.
+            xpad = jnp.pad(x, (0, back - SIDE))
+        else:
+            xpad = jnp.pad(x, (SIDE, back))
         x2 = xpad.reshape(-1, 128)  # native (8,128) tiling
         plane_spec = pl.BlockSpec((K, CR), lambda i: (0, i),
                                   memory_space=pltpu.VMEM)
         acc = lambda rows, cols: pl.BlockSpec(  # noqa: E731 — resident
             (rows, cols), lambda i: (0, 0), memory_space=pltpu.VMEM)
-        in_specs = [plane_spec] * NW
-        args = list(md.words[:NW])
+        in_specs = []
+        args = []
+        if with_base:
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+            args.append(jnp.asarray(base, jnp.int32).reshape(1))
+        in_specs += [plane_spec] * NW
+        args += [md.words[i] for i in SW]
         in_specs.append(plane_spec)
         args.append(md.values)
         if not gsrc_in_words:
@@ -552,17 +631,35 @@ def _make_ellb_fast(mat, mode, interpret):
             trig = trig | (jnp.sum(outs[k].astype(jnp.int32)) > 0)
             k += 1
         if use_cksum:
-            got = jnp.bitwise_xor.reduce(outs[k], axis=1)
-            want = jnp.bitwise_xor.reduce(
-                md.cksum.reshape(W, -1), axis=1)
-            trig = trig | jnp.any(got != want)
+            # Compare at interleaved block-class granularity: the
+            # accumulator already holds per-chunk-position XORs, so
+            # folding to 8-lane blocks (for free, in XLA) yields one
+            # class per position-in-chunk block — a multi-element fault
+            # escapes only if its flips cancel per bit position within
+            # the SAME class (rows congruent mod the chunk), vs the
+            # whole-plane fold's anywhere-in-plane scope (PARITY.md).
+            ck = outs[k]
+            got8 = jnp.bitwise_xor.reduce(
+                ck.reshape(W, -1, 8), axis=2)
+            want8 = jnp.bitwise_xor.reduce(
+                md.cksum[np.array(SW)].reshape(W, -1, ck.shape[1] // 8),
+                axis=1)
+            trig = trig | jnp.any(got8 != want8)
         return w, trig, pw
 
-    def fast(md: MatrixDevice, x):
-        w, trig, _ = call(md, x)
-        return w, trig
+    if with_base:
+        def fast(md: MatrixDevice, x, base):
+            w, trig, _ = call(md, x, base)
+            return w, trig
 
-    def fast_pw(md: MatrixDevice, x):
-        return call(md, x)
+        def fast_pw(md: MatrixDevice, x, base):
+            return call(md, x, base)
+    else:
+        def fast(md: MatrixDevice, x):
+            w, trig, _ = call(md, x)
+            return w, trig
+
+        def fast_pw(md: MatrixDevice, x):
+            return call(md, x)
 
     return fast, fast_pw

@@ -36,14 +36,17 @@ VMEM-resident p (static halo slices — the per-iteration kernel's
 shifted-block-input machinery becomes unnecessary) and the gather
 indices pre-localized/pre-clamped once per solve in XLA.
 
-Envelope (``supports_fused``): DIA or banded-ELL layout (K <= 64,
-band <= 1920), float32, R % 1024 == 0, standard CG — unpreconditioned
-or Jacobi (``precond=True`` keeps M^-1 as a fifth resident vector and
-runs the PCG recurrences in-kernel) — offsets/window within the halo
-bound, and the resident vectors + stream buffers within the VMEM
-budget (~3.8M rows against the v5e's 128 MiB VMEM) — the bench
-headline configurations sit inside it.  Everything else falls back to
-the per-iteration kernels.
+Envelope (``supports_fused``): DIA or banded-ELL layout (K <= 64;
+band <= 1920 unrolled, <= 16256 via the rolled window scan — a
+fori_loop over window rows with dynamic reads of the resident p),
+float32, R % 1024 == 0, every mode incl. the constraints lazy
+schedule (index-word checksum scan in-kernel), standard CG —
+unpreconditioned or Jacobi (``precond=True`` keeps M^-1 as a fifth
+resident vector and runs the PCG recurrences in-kernel) — and the
+resident vectors + stream buffers within the VMEM budget (~3.8M rows
+against the v5e's 128 MiB VMEM) — the bench headline configurations
+sit inside it.  Everything else falls back to the per-iteration
+kernels.
 """
 
 from __future__ import annotations
@@ -65,6 +68,9 @@ __all__ = ["supports_fused", "make_fused_continue", "make_fused_solver"]
 _VMEM_LIMIT = 110 * 2 ** 20   # scoped limit requested from Mosaic
 _VMEM_BUDGET = 88 * 2 ** 20   # bytes of VMEM the plan may allocate
 _MAX_TRACE_SMEM = 4096        # rr trace lives in SMEM; cap its length
+_FUSED_MAX_WROWS = 255        # rolled window scan cap (band <= 16256,
+#                               aligned with the RCM adoption bound
+#                               formats.protected._BAND_KERNEL_MAX)
 
 
 def _plan(mat, mode, precond=False):
@@ -82,10 +88,11 @@ def _plan(mat, mode, precond=False):
     R = mat.R
     if R % 1024:
         return None
-    from ..ecc import codec
+    from ..ops.spmv_pallas import stream_words
 
-    W = mat.layout.num_words
-    NW = W if mode in codec.ECC_MODES else 0
+    SW = stream_words(mode, mat.layout, mat.fmt)
+    NW = len(SW)
+    W = NW  # streamed word planes (all of them for ECC modes)
     RR = R // 128
     if mat.exec_kind == "dia":
         offsets = mat.dia_offsets
@@ -100,25 +107,33 @@ def _plan(mat, mode, precond=False):
         D = len(offsets)
         S0 = WROWS = 0
         PACK = 1
-        nstreams = 1 + (2 if NW else 0)  # vals + (words ~ W planes)
+        rolled = False
+        nstreams = 1 + NW  # vals + the streamed word planes
     elif mat.exec_kind == "ell":
         from ..ops.spmv_pallas import _ELL_MAX_K, _ELL_MAX_WROWS, _ell_window
 
         if mat.K > _ELL_MAX_K:
             return None
         side, WROWS = _ell_window(mat)
-        if WROWS > _ELL_MAX_WROWS:
+        # Windows past the unrolled cap switch to a fori_loop window
+        # scan with dynamic p-row reads (the resident p makes any row a
+        # cheap dynamic sublane slice) — the wide-band tier, up to
+        # _FUSED_MAX_WROWS (band <= 8064).  Unrolling 100+ shuffle
+        # rounds per lane group would explode Mosaic compile time.
+        rolled = WROWS > _ELL_MAX_WROWS
+        if WROWS > _FUSED_MAX_WROWS:
             return None
         S0 = side // 128
         Hlo = Hhi = -(-S0 // 8) * 8
         D = mat.K
         offsets = None
-        # vals + gather indices (always streamed) + words if NW.
-        nstreams = 2 + (W if NW else 0)
+        # vals + gather indices (always streamed) + streamed words.
+        nstreams = 2 + NW
         # Sublane packing: a (K, 128) shuffle op uses K of the VPU's 8
         # sublanes; process PACK row groups per op so small-K matrices
-        # fill them (tridiagonal K=3 -> (6, 128) ops).
-        PACK = max(1, 8 // D)
+        # fill them (tridiagonal K=3 -> (6, 128) ops).  The rolled scan
+        # reads one dynamic p row per round, so it keeps PACK = 1.
+        PACK = 1 if rolled else max(1, 8 // D)
     else:
         return None
     C = None
@@ -129,8 +144,10 @@ def _plan(mat, mode, precond=False):
     if C is None:
         return None
     ROWS = C // 128
-    if max(Hlo, Hhi) > ROWS:
+    if max(Hlo, Hhi) > ROWS and not rolled:
         return None  # window/offsets reach beyond one chunk of halo
+        # (the rolled scan reads the resident p directly, so its
+        # window may exceed the chunk height)
 
     # 4 resident vectors + halo, plus 2 full-vector equivalents for the
     # update phase's compiler temporaries (_VMEM_LIMIT note); Jacobi
@@ -145,13 +162,14 @@ def _plan(mat, mode, precond=False):
     while C > 1024 and not fits(C):
         C //= 2
         ROWS = C // 128
-    if not fits(C) or max(Hlo, Hhi) > ROWS:
+    if not fits(C) or (max(Hlo, Hhi) > ROWS and not rolled):
         return None
     use_parity = mode in ("sed", "sec8", "secded")
-    use_cksum = mode in ("sec7", "secded")
+    use_cksum = mode in ("sec7", "secded", "constraints")
     return dict(R=R, RR=RR, C=C, ROWS=ROWS, G=R // C, D=D, W=W, NW=NW,
-                kind=mat.exec_kind, offsets=offsets, Hlo=Hlo, Hhi=Hhi,
-                S0=S0, WROWS=WROWS, PACK=PACK, precond=precond,
+                SW=SW, kind=mat.exec_kind, offsets=offsets, Hlo=Hlo,
+                Hhi=Hhi, S0=S0, WROWS=WROWS, PACK=PACK, rolled=rolled,
+                precond=precond,
                 use_parity=use_parity, use_cksum=use_cksum)
 
 
@@ -173,10 +191,10 @@ def _plan_split(mat, mode, precond):
     rows, starts, S = tp
     if S % 128 or any(s % 128 for s in starts):
         return None
-    from ..ecc import codec
+    from ..ops.spmv_pallas import stream_words
 
-    TW = mat.tail.layout.num_words
-    NTW = TW if mode in codec.ECC_MODES else 0
+    TSW = stream_words(mode, mat.tail.layout, mat.tail.fmt)
+    TW = NTW = len(TSW)
     E = int(mat.tail.ell[mat.tail.layout.word_names[0]].shape[0])
     EP = -(-E // 128) * 128
     T = len(rows)
@@ -185,8 +203,7 @@ def _plan_split(mat, mode, precond):
     # main plan's allocation, shrinking the stream chunk if needed.
     NV = 8 if precond else 6
     RR, Hlo, Hhi, D, NW = (mp[k] for k in ("RR", "Hlo", "Hhi", "D", "NW"))
-    nstreams = (2 if mp["kind"] == "ell" else 1) + (
-        (mp["W"] if mp["kind"] == "ell" else 2) if NW else 0)
+    nstreams = (2 if mp["kind"] == "ell" else 1) + NW
     C = mp["C"]
     while True:
         vecs = (NV * RR + Hlo + Hhi) * 128 * 4
@@ -202,7 +219,7 @@ def _plan_split(mat, mode, precond):
         return None
     mp["tail"] = dict(rows=tuple(rows), starts=tuple(starts), S=S,
                       SR=S // 128, E=E, EP=EP, ER=EP // 128, T=T,
-                      TW=TW, NTW=NTW)
+                      TW=TW, NTW=NTW, TSW=TSW)
     return mp
 
 
@@ -210,15 +227,14 @@ def supports_fused(mat, dtype, mode, max_itrs, trace_rr=True,
                    precond=False) -> bool:
     if jnp.dtype(dtype) != jnp.float32:
         return False
-    if mode == "constraints":
-        return False  # structural checks have no fused fast loop
     if trace_rr and min(max_itrs, _MAX_TRACE) > _MAX_TRACE_SMEM:
         return False
     return _plan(mat, mode, precond) is not None
 
 
-def _xor_fold_rows(v):
-    """XOR-fold a (rows, 128) uint32 value to one (1, 128) row."""
+def _xor_fold_rows(v, to=1):
+    """XOR-fold a (rows, 128) uint32 value down to ``to`` rows (halving
+    folds, so row s of the result accumulates rows congruent to s)."""
     L = v.shape[0]
     P = 1
     while P < L:
@@ -227,7 +243,7 @@ def _xor_fold_rows(v):
         v = jnp.concatenate(
             [v, jnp.zeros((P - L, 128), jnp.uint32)], axis=0)
         L = P
-    while L > 1:
+    while L > to:
         L //= 2
         v = v[:L] ^ v[L: 2 * L]
     return v
@@ -243,6 +259,7 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
     use_parity, use_cksum = plan["use_parity"], plan["use_cksum"]
     is_ell = plan["kind"] == "ell"
     S0, WROWS, PACK = plan["S0"], plan["WROWS"], plan["PACK"]
+    rolled = plan.get("rolled", False)
     precond = plan["precond"]
     tail = plan.get("tail")
     PR = Hlo + RR + Hhi   # haloed p rows
@@ -403,24 +420,42 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
                     # PACK row groups share each (PACK*D, 128) op: the
                     # lane shuffle acts per sublane row, so pack slot p
                     # just needs ITS window row in its tbl rows.
+                    # Past the unrolled cap (``rolled``) the scan runs
+                    # as a fori_loop reading each window row from p_ref
+                    # with a dynamic sublane slice — the wide-band tier
+                    # (band <= 8064), cost still ~4 VPU ops per entry
+                    # per OCCUPIED window row.
                     for j in range(ROWS // PACK):
                         loc = gbuf[slot][j]       # (PACK*D, 128) int32
                         hi = loc >> 7
                         lo = loc & 127
                         xg = jnp.zeros((PACK * D, 128), jnp.float32)
-                        for s in range(WROWS):
-                            t0 = Hlo - S0 + j * PACK + s
-                            if PACK == 1:
-                                tbl = jnp.broadcast_to(
-                                    ext[t0:t0 + 1, :], (D, 128))
-                            else:
-                                tbl = jnp.concatenate(
-                                    [jnp.broadcast_to(
-                                        ext[t0 + p:t0 + p + 1, :],
-                                        (D, 128))
-                                     for p in range(PACK)], axis=0)
-                            cand = jnp.take_along_axis(tbl, lo, axis=1)
-                            xg = jnp.where(hi == s, cand, xg)
+                        if rolled:
+                            base = row0 + Hlo - S0 + j
+
+                            def wround(s, xg, lo=lo, hi=hi, base=base):
+                                rowv = p_ref[pl.ds(base + s, 1), :]
+                                tbl = jnp.broadcast_to(rowv, (D, 128))
+                                cand = jnp.take_along_axis(tbl, lo,
+                                                           axis=1)
+                                return jnp.where(hi == s, cand, xg)
+
+                            xg = jax.lax.fori_loop(0, WROWS, wround, xg)
+                        else:
+                            for s in range(WROWS):
+                                t0 = Hlo - S0 + j * PACK + s
+                                if PACK == 1:
+                                    tbl = jnp.broadcast_to(
+                                        ext[t0:t0 + 1, :], (D, 128))
+                                else:
+                                    tbl = jnp.concatenate(
+                                        [jnp.broadcast_to(
+                                            ext[t0 + p:t0 + p + 1, :],
+                                            (D, 128))
+                                         for p in range(PACK)], axis=0)
+                                cand = jnp.take_along_axis(tbl, lo,
+                                                           axis=1)
+                                xg = jnp.where(hi == s, cand, xg)
                         prod = vbuf[slot][j] * xg
                         for p in range(PACK):
                             wtmp[j * PACK + p:j * PACK + p + 1, :] = (
@@ -469,14 +504,21 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
                 trig_i = trig_i | (cnt > 0).astype(jnp.int32)
                 k += 1
             if NW and use_cksum:
+                lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
                 for wi in range(W):
-                    red = _xor_fold_rows(accs[k + wi])  # -> (1, 128)
-                    # lane fold via rotate-halvings (Mosaic has no
-                    # cross-lane reduce_xor)
-                    for r in (64, 32, 16, 8, 4, 2, 1):
-                        red = red ^ pltpu.roll(red, r, 1)
-                    trig_i = trig_i | (red[0, 0] != ckall[wi]).astype(
-                        jnp.int32)
+                    f8 = _xor_fold_rows(accs[k + wi], to=8)  # (8, 128)
+                    # Aligned 8-lane-block XOR via rotate-halvings
+                    # (Mosaic has no cross-lane reduce_xor): after
+                    # rolls 4/2/1, lanes == 7 (mod 8) hold each aligned
+                    # block's fold.  Compared per (row mod 8, lane
+                    # block) class against the loop-invariant expected
+                    # classes (derive() folds the stored checksums) —
+                    # 128 classes per plane instead of one whole-plane
+                    # value (PARITY.md granularity note).
+                    for r in (4, 2, 1):
+                        f8 = f8 ^ pltpu.roll(f8, r, 1)
+                    bad = (f8 != ckall[wi]) & (lane8 % 8 == 7)
+                    trig_i = trig_i | jnp.any(bad).astype(jnp.int32)
 
             if tail:
                 # ---- bordered tail: span-window dense rows + mirrored
@@ -608,7 +650,8 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
             in_specs.append(any_spec)
             args.append(gsrc)
         if NW:
-            in_specs += [any_spec, smem()]
+            in_specs += [any_spec,
+                         pl.BlockSpec(memory_space=pltpu.VMEM)]
             args += [wstack, ckall]
         if tail:
             td3, tb3, tw3, tck = tail_args
@@ -681,6 +724,7 @@ def make_fused_continue(mat, mode, conv_threshold, trace_rr=True,
     if plan is None:
         raise ValueError("matrix outside the fused-kernel envelope")
     RR, G, C, W, NW = (plan[k] for k in ("RR", "G", "C", "W", "NW"))
+    SW = plan["SW"]
     D, is_ell, S0, WROWS = (plan[k] for k in ("D", "kind", "S0", "WROWS"))
     PACK = plan["PACK"]
     is_ell = is_ell == "ell"
@@ -693,7 +737,8 @@ def make_fused_continue(mat, mode, conv_threshold, trace_rr=True,
 
         gather_w = base.layout.word_names.index(base.ell_gather_word)
         has_gidx = base.perm is not None
-        mask_ecc = (base.ell_gather_word == "col" and NW > 0)
+        mask_ecc = (base.ell_gather_word == "col"
+                    and mode in ("sed", "sec7", "sec8", "secded"))
     jnp_impl = make_spmv(mat, jnp.float32, mode)
 
     def derive_tail(mdt):
@@ -702,14 +747,15 @@ def make_fused_continue(mat, mode, conv_threshold, trace_rr=True,
         tb3 = mdt.dense_tb.reshape(t["T"], t["SR"], 128)
         tw3 = tck = None
         if t["NTW"]:
-            stacked = jnp.stack(list(mdt.words))        # (TW, E)
+            stacked = jnp.stack([mdt.words[i]
+                                 for i in t["TSW"]])    # (TW, E)
             pad = t["EP"] - t["E"]
             if pad:
                 # zero-padding is parity/XOR-neutral
                 stacked = jnp.pad(stacked, ((0, 0), (0, pad)))
             tw3 = stacked.reshape(t["TW"], t["ER"], 128)
             tck = jnp.bitwise_xor.reduce(
-                mdt.cksum.reshape(t["TW"], -1), axis=1)
+                mdt.cksum[np.array(t["TSW"])].reshape(t["TW"], -1), axis=1)
         return (td3, tb3, tw3, tck)
 
     def derive(md):
@@ -742,8 +788,16 @@ def make_fused_continue(mat, mode, conv_threshold, trace_rr=True,
             vals3 = md.values.reshape(D, RR, 128)
         if not NW:
             return vals3, gsrc, None, None, tail_args
-        wstack = jnp.stack(list(md.words)).reshape(W, D, RR, 128)
-        ckall = jnp.bitwise_xor.reduce(md.cksum.reshape(W, -1), axis=1)
+        wstack = jnp.stack([md.words[i]
+                            for i in SW]).reshape(W, D, RR, 128)
+        # Expected checksum classes for the in-kernel compare: stored
+        # 8-row blocks fold to index (block mod 128), laid out as the
+        # (row mod 8, lane block) classes the kernel accumulates, each
+        # class value replicated across its 8 lanes.  Loop-invariant
+        # (fresh after a scrub via the re-derive).
+        cls = jnp.bitwise_xor.reduce(
+            md.cksum[np.array(SW)].reshape(W, -1, 128), axis=1)
+        ckall = jnp.repeat(cls.reshape(W, 8, 16), 8, axis=2)
         return vals3, gsrc, wstack, ckall, tail_args
 
     def continue_(md, state: CGState, upto, minv=None):

@@ -43,7 +43,14 @@ def apply_platform_env():
         try:
             os.makedirs(cache, exist_ok=True)
             jax.config.update("jax_compilation_cache_dir", cache)
-            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+            # Cache EVERYTHING: compiles go through the remote compile
+            # service, so even a trivial elementwise jit costs ~0.4 s of
+            # RTT — a cold CLI run fires dozens of those during matrix
+            # build/upload.  (The default 1 s threshold skips them all.)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              0.0)
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes",
+                              0)
         except Exception:
             pass  # cache is an optimization, never a failure
 

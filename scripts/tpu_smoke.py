@@ -60,11 +60,44 @@ def main():
         vals[diag] = deg.astype(float)[rows[diag]] + 4.0
         return assemble(cols, rows, vals, n, 2)
 
+    def wideband_assembled(n=8192, b=2500, k=3):
+        """Uniformly wide band -> the megakernel's rolled window scan."""
+        rng = np.random.default_rng(2)
+        rows = [np.arange(n)]
+        cols = [np.arange(n)]
+        for _ in range(k):
+            d = rng.integers(1, b, n)
+            i = np.arange(n)
+            keep = i + d < n
+            rows.append((i + d)[keep])
+            cols.append(i[keep])
+        rows = np.concatenate(rows)
+        cols = np.concatenate(cols)
+        vals = np.where(rows == cols, 30.0, -1.0)
+        return assemble(cols, rows, vals, n, 1)
+
+    def bandsplit_assembled(n=32768, every=8):
+        """Banded core + random matching -> band-split composite."""
+        rows = list(range(n)) + list(range(1, n))
+        cols = list(range(n)) + list(range(n - 1))
+        vals = [8.0] * n + [-1.0] * (n - 1)
+        rng = np.random.default_rng(5)
+        for i in range(0, n, every):
+            j = int(rng.integers(0, n))
+            if abs(j - i) > 3:
+                rows.append(max(i, j))
+                cols.append(min(i, j))
+                vals.append(-0.5)
+        return assemble(np.array(cols), np.array(rows),
+                        np.array(vals, float), n, 1)
+
     configs = [
         ("dia", False, "dia"),
         ("ellb", False, "ell"),
         ("ellb-perm", True, "ell"),
         ("split", None, None),
+        ("wideband", None, None),
+        ("bandsplit", None, None),
     ]
     only = set(sys.argv[1:])  # optional config-name filter
     for name, shuffle, force in configs:
@@ -72,22 +105,35 @@ def main():
             continue
         if name == "split":
             a = bordered_assembled()
+        elif name == "wideband":
+            a = wideband_assembled()
+        elif name == "bandsplit":
+            a = bandsplit_assembled()
         else:
             tri = spd_tridiagonal(4096)
             if shuffle:
                 tri = shuffle_labels(*tri, seed=3)
             a = assemble(tri[1], tri[0], tri[2], tri[3], 2)
 
-        m = build_protected("csr", a, "secded", force_exec=force)
-        if name == "split":
+        kw = dict(reorder="none") if name == "wideband" else {}
+        m = build_protected("csr", a, "secded", force_exec=force, **kw)
+        if name in ("split", "bandsplit"):
             assert m.exec_kind == "split", m.exec_kind
-        assert m.exec_kind == "split" or supports(m, jnp.float32), name
-        if name in ("dia", "ellb", "ellb-perm"):
+        elif name == "wideband":
+            assert m.exec_kind == "ell" and m.band > 1920, \
+                (m.exec_kind, m.band)
+        assert m.exec_kind == "split" or name == "wideband" \
+            or supports(m, jnp.float32), name
+        if name in ("dia", "ellb", "ellb-perm", "wideband"):
             # These configs ride the whole-solve fused megakernel
             # (solver.fused) on hardware — this smoke is its rot check.
             from abft_sparse_cg_tpu.solver.fused import supports_fused
 
             assert supports_fused(m, jnp.float32, "secded", 500), name
+            if name == "wideband":
+                from abft_sparse_cg_tpu.solver.fused import _plan
+
+                assert _plan(m, "secded")["rolled"], "rolled tier"
         b = np.random.default_rng(7).random(m.N)
         backend = create("pallas", "secded")
 
@@ -101,7 +147,7 @@ def main():
         assert res.iterations == clean.iterations, name
         np.testing.assert_array_equal(res.x, clean.x, err_msg=name)
 
-        msed = build_protected("csr", a, "sed", force_exec=force)
+        msed = build_protected("csr", a, "sed", force_exec=force, **kw)
         m3 = inject_bitflips(msed, "ANY", 1, np.random.default_rng(6),
                              echo=lambda s: None)
         res = create("pallas", "sed").solve(m3, b, 500, 1e-6,

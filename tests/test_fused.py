@@ -194,9 +194,10 @@ def test_fused_no_trace():
 def test_fused_envelope():
     m = dia_matrix("secded")
     assert supports_fused(m, jnp.float32, "secded", 300)
-    # f64 / constraints / huge trace fall outside
+    # f64 / huge trace fall outside; constraints rides the lazy
+    # checksum schedule in-kernel since round 3
     assert not supports_fused(m, jnp.float64, "secded", 300)
-    assert not supports_fused(m, jnp.float32, "constraints", 300)
+    assert supports_fused(m, jnp.float32, "constraints", 300)
     assert not supports_fused(m, jnp.float32, "secded", 100_000)
     # non-1024-multiple row count (either layout)
     rows, cols, vals, n = spd_tridiagonal(100)
@@ -312,3 +313,120 @@ def test_fused_continue_rejects_oversized_trace():
     s0 = init_state(b, _MAX_TRACE_SMEM + 1)
     with pytest.raises(ValueError, match="SMEM"):
         cont(md, s0, jnp.int32(4))
+
+
+@pytest.mark.parametrize("layout", ["dia", "ell", "split"])
+def test_fused_constraints_lazy(layout):
+    """Constraints on the megakernel: the index-word checksum scan is
+    the in-kernel trigger; classify runs the structural checks once.
+    Clean solves match jnp; a violation fail-stops with the full
+    oracle's code; a non-violating index change is adopted (checksum
+    refresh) and the solve completes."""
+    m = make(layout, "constraints")
+    assert supports_fused(m, jnp.float32, "constraints", 300)
+    md, ref, fus = solvers(m, "constraints")
+    b = bvec(m)
+    r0, r1 = ref(md, b), fus(md, b)
+    assert int(r1.stats.errcode) == 0
+    assert int(r1.iterations) == int(r0.iterations)
+    np.testing.assert_allclose(np.asarray(r1.x), np.asarray(r0.x),
+                               rtol=1e-6, atol=1e-7)
+
+    # Out-of-range column -> fail-stop, same code as the jnp schedule.
+    planes = {k: v.copy() for k, v in m.planes.items()}
+    planes["col"][10] |= np.uint32(1 << 23)
+    m2 = m.with_planes(planes)
+    md2 = make_matrix_device(m2, jnp.float32)
+    r2, r3 = ref(md2, b), fus(md2, b)
+    assert int(r3.stats.errcode) == int(r2.stats.errcode) != 0
+    assert int(r3.stats.err_slot) == int(r2.stats.err_slot)
+    assert int(r3.iterations) == 0
+
+
+def test_fused_constraints_adopts_benign_change():
+    """An index change that violates no constraint (the reference would
+    consume it silently): the kernel triggers once, classify refreshes
+    the baseline, and the solve runs to convergence on the changed
+    matrix."""
+    m = ell_matrix("constraints")
+    cols = np.asarray(m.planes["col"])
+    rp = np.asarray(m.row_ptr)
+    tgt = None
+    for r in range(m.N):
+        lo, hi = rp[r], rp[r + 1]
+        cs = cols[lo:hi]
+        for i in range(hi - lo):
+            nxt = cs[i + 1] if i + 1 < hi - lo else m.N
+            prv = cs[i - 1] if i > 0 else -1
+            if prv < cs[i] + 1 < nxt and cs[i] + 1 < m.N:
+                tgt = lo + i
+                break
+        if tgt is not None:
+            break
+    assert tgt is not None
+    planes = {k: v.copy() for k, v in m.planes.items()}
+    planes["col"][tgt] += np.uint32(1)
+    m2 = m.with_planes(planes)
+    md2 = make_matrix_device(m2, jnp.float32)
+    _, _, fus = solvers(m2, "constraints", max_itrs=40)
+    r = fus(md2, bvec(m))
+    assert int(r.stats.errcode) == 0
+    assert int(r.iterations) > 0
+
+
+def wideband_matrix(mode, n=4096, b=2500, k=3, seed=2):
+    """Uniformly wide band (random in-band neighbors).  At production
+    scale RCM cannot reband this family (measured: n=32768 b=2800 ->
+    RCM band 2556); at test scale it can, so the build pins the
+    natural order — the rolled tier only cares that band > 1920."""
+    rng = np.random.default_rng(seed)
+    rows = [np.arange(n)]
+    cols = [np.arange(n)]
+    for _ in range(k):
+        d = rng.integers(1, b, n)
+        i = np.arange(n)
+        keep = i + d < n
+        rows.append((i + d)[keep])
+        cols.append(i[keep])
+    rows = np.concatenate(rows)
+    cols = np.concatenate(cols)
+    vals = np.where(rows == cols, 30.0, -1.0)
+    a = assemble(cols, rows, vals, n, 1)
+    m = build_protected("csr", a, mode, reorder="none")
+    assert m.exec_kind == "ell" and m.R % 1024 == 0
+    assert m.band > 1920, m.band
+    return m
+
+
+@pytest.mark.parametrize("mode", ["none", "secded"])
+def test_fused_rolled_wideband_matches_jnp(mode):
+    """Band > 1920: the megakernel's rolled window scan (dynamic p-row
+    reads) replaces the unrolled shuffle — same iterates as jnp."""
+    from abft_sparse_cg_tpu.solver.fused import _plan
+
+    m = wideband_matrix(mode)
+    plan = _plan(m, mode)
+    assert plan is not None and plan["rolled"] and plan["WROWS"] > 31
+    assert supports_fused(m, jnp.float32, mode, 300)
+    md, ref, fus = solvers(m, mode)
+    b = bvec(m)
+    r0, r1 = ref(md, b), fus(md, b)
+    assert int(r1.stats.errcode) == 0
+    assert int(r1.iterations) == int(r0.iterations)
+    np.testing.assert_allclose(np.asarray(r1.x), np.asarray(r0.x),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_fused_rolled_corrects_fault():
+    m = wideband_matrix("secded")
+    md, _, fus = solvers(m, "secded")
+    b = bvec(m)
+    clean = fus(md, b)
+    m2 = inject_bitflips(m, "ANY", 1, np.random.default_rng(4),
+                         echo=lambda s: None)
+    md2 = make_matrix_device(m2, jnp.float32)
+    r = fus(md2, b)
+    assert int(r.stats.errcode) == 0
+    assert int(r.stats.corrected_count) == 1
+    assert int(r.iterations) == int(clean.iterations)
+    np.testing.assert_array_equal(np.asarray(r.x), np.asarray(clean.x))

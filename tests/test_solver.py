@@ -198,3 +198,118 @@ def test_constraints_messages_are_format_specific():
         out[fmt] = res.messages[-1]
     assert "column size constraint violated at index" in out["csr"]
     assert "column size constraint violated for index" in out["coo"]
+
+
+def test_constraints_lazy_schedule_machinery():
+    """Constraints now has the detect-fast/check-rarely shape: the fast
+    path scans only the index-word checksums; classify runs the
+    structural checks once and, when nothing is violated, adopts the
+    changed planes (checksum refresh) exactly like the reference, which
+    would consume a non-violating index change silently."""
+    import jax.numpy as jnp
+
+    from abft_sparse_cg_tpu.ops.spmv import make_matrix_device
+
+    from abft_sparse_cg_tpu.ops.spmv import make_spmv
+
+    a = tri_assembled(n=64, blocks=2)
+    m = build_protected("csr", a, "constraints")
+    impl = make_spmv(m, jnp.float64, "constraints")
+    assert impl.fast is not None and impl.classify is not None
+
+    md = make_matrix_device(m, jnp.float64)
+    x = jnp.asarray(np.zeros(m.R))
+
+    # Clean: no trigger.
+    _, trig = impl.fast(md, x)
+    assert not bool(trig)
+
+    # A VALUE flip never triggers (the reference never validates values
+    # in constraints mode).
+    planes = {k: v.copy() for k, v in m.planes.items()}
+    planes["value_lo"][7] ^= np.uint32(1)
+    mdv = make_matrix_device(m.with_planes(planes), jnp.float64)
+    _, trig = impl.fast(mdv, x)
+    assert not bool(trig)
+
+    # An index change violating no constraint: trigger -> classify finds
+    # nothing -> checksums refresh -> the resumed loop stays fast.
+    # (ELL layout: the DIA invariant pins the exact diagonal slot, so
+    # every index change is a violation there.)
+    m = build_protected("csr", a, "constraints", force_exec="ell")
+    impl = make_spmv(m, jnp.float64, "constraints")
+    cols = np.asarray(m.planes["col"])
+    rp = np.asarray(m.row_ptr)
+    tgt = None
+    for r in range(m.N):
+        lo, hi = rp[r], rp[r + 1]
+        cs = cols[lo:hi]
+        for i in range(hi - lo):
+            c = cs[i]
+            nxt = cs[i + 1] if i + 1 < hi - lo else m.N
+            prv = cs[i - 1] if i > 0 else -1
+            if prv < c + 1 < nxt and c + 1 < m.N:
+                tgt = lo + i
+                break
+        if tgt is not None:
+            break
+    assert tgt is not None
+    planes = {k: v.copy() for k, v in m.planes.items()}
+    planes["col"][tgt] += np.uint32(1)
+    mdb = make_matrix_device(m.with_planes(planes), jnp.float64)
+    _, trig = impl.fast(mdb, x)
+    assert bool(trig)
+    st, md2 = impl.classify(mdb)
+    assert int(st.errcode) == 0
+    _, trig = impl.fast(md2, x)
+    assert not bool(trig)
+
+    # A violating change: trigger -> classify fail-stops with the same
+    # code/slot the full oracle reports.
+    planes = {k: v.copy() for k, v in m.planes.items()}
+    planes["col"][10] |= np.uint32(1 << 23)
+    mdc = make_matrix_device(m.with_planes(planes), jnp.float64)
+    _, trig = impl.fast(mdc, x)
+    assert bool(trig)
+    st, _ = impl.classify(mdc)
+    _, st_full = impl.full(mdc, x)
+    assert int(st.errcode) == int(st_full.errcode) != 0
+    assert int(st.err_slot) == int(st_full.err_slot)
+
+
+@pytest.mark.parametrize("fmt", ["csr", "coo"])
+def test_constraints_lazy_pallas_kernels(fmt):
+    """The pallas per-iteration kernels stream only the index words for
+    constraints; interpret-mode parity with the jnp schedule."""
+    import jax.numpy as jnp
+
+    from abft_sparse_cg_tpu.ops.spmv import make_matrix_device
+    from abft_sparse_cg_tpu.ops.spmv_pallas import (make_pallas_spmv,
+                                                    stream_words)
+
+    a = tri_assembled(n=512, blocks=2)
+    for force in ("dia", "ell"):
+        m = build_protected(fmt, a, "constraints", force_exec=force)
+        sw = stream_words("constraints", m.layout, m.fmt)
+        names = [m.layout.word_names[i] for i in sw]
+        assert "value_lo" not in names and "value_hi" not in names
+        impl = make_pallas_spmv(m, jnp.float32, "constraints",
+                                interpret=True)
+        assert impl.fast is not None and impl.classify is not None
+        md = make_matrix_device(m, jnp.float32)
+        x = jnp.asarray(RNG.standard_normal(m.R), jnp.float32)
+        w, trig = impl.fast(md, x)
+        assert not bool(trig)
+        from abft_sparse_cg_tpu.ops.spmv import spmv_dense_oracle
+        np.testing.assert_allclose(
+            np.asarray(w)[: m.N],
+            spmv_dense_oracle(m, np.asarray(x, np.float64)[: m.N]),
+            rtol=2e-5, atol=1e-5)
+        # index corruption triggers the kernel's checksum scan
+        planes = {k: v.copy() for k, v in m.planes.items()}
+        planes["col"][10] |= np.uint32(1 << 23)
+        md2 = make_matrix_device(m.with_planes(planes), jnp.float32)
+        _, trig = impl.fast(md2, x)
+        assert bool(trig)
+        st, _ = impl.classify(md2)
+        assert int(st.errcode) != 0
