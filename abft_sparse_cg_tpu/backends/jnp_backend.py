@@ -38,10 +38,10 @@ class JnpBackend(Backend):
     # -- construction of jitted callables (cached) ---------------------
 
     def _get_solver(self, mat, dtype, max_itrs, conv, r_dev=None,
-                    variant="standard"):
-        # r_dev (mesh-padded row count) only matters to targets whose
-        # kernels bake static shapes (pallas); the jnp program is shape-
-        # polymorphic under jit.
+                    variant="standard", mesh=None):
+        # r_dev (mesh-padded row count) and mesh only matter to targets
+        # whose kernels bake static shapes (pallas); the jnp program is
+        # shape-polymorphic under jit and GSPMD-sharded by the operands.
         import jax
 
         # A bordered tail's dense_plan statics (outlier rows, span
@@ -96,7 +96,7 @@ class JnpBackend(Backend):
         elif precond != "none":
             raise ValueError(f"unknown preconditioner: {precond!r}")
 
-        r_dev = None
+        r_dev = mesh = None
         if devices and devices > 1:
             # GSPMD row-sharded solve over a 1-D mesh (parallel.sharded):
             # same program, sharding annotations on the inputs.
@@ -133,7 +133,7 @@ class JnpBackend(Backend):
                 minv = jnp.asarray(mpad, dtype=dt)
 
         solve_fn = self._get_solver(mat, dt, max_itrs, conv_threshold,
-                                    r_dev=r_dev, variant=solver)
+                                    r_dev=r_dev, variant=solver, mesh=mesh)
 
         from ..utils.platform import warm_device
 

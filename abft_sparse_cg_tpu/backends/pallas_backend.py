@@ -20,15 +20,44 @@ class PallasBackend(JnpBackend):
     target = "pallas"
 
     def _get_solver(self, mat, dtype, max_itrs, conv, r_dev=None,
-                    variant="standard"):
+                    variant="standard", mesh=None):
         import jax
 
         if r_dev is not None:
-            # Mesh-sharded solve (--devices N): Pallas custom calls have
-            # no SPMD partitioning rule — a sharded operand would force
-            # replication (or fail to partition) instead of running the
-            # kernel per shard.  The GSPMD path uses the shape-
-            # polymorphic jnp program, which XLA shards properly.
+            # Mesh-sharded solve (--devices N): a Pallas custom call has
+            # no SPMD partitioning rule, so the kernels run per shard
+            # under shard_map with an explicit ±band halo exchange
+            # (parallel.sharded_kernel) when the layout fits that
+            # envelope; anything else (flat/split layouts, unaligned
+            # shards) rides the GSPMD jnp program, which XLA shards
+            # properly.
+            from ..parallel.sharded_kernel import (
+                make_shardmap_spmv,
+                supports_shardmap,
+            )
+
+            import os
+
+            # Same platform policy as the single-device tier: compiled
+            # kernels on TPU; on CPU the interpreter is orders of
+            # magnitude too slow for real solves, so fall back to GSPMD
+            # jnp unless the env knob forces interpret mode (tests /
+            # the multichip dryrun on the virtual mesh).
+            on_tpu = jax.devices()[0].platform != "cpu"
+            want_sm = on_tpu or bool(os.environ.get("ABFT_SM_INTERPRET"))
+            ndev = mesh.devices.size if mesh is not None else 0
+            if (want_sm and variant == "standard" and mesh is not None
+                    and r_dev == mat.R
+                    and supports_shardmap(mat, dtype, ndev)):
+                key = ("smsolve", mat.fmt, self.mode, mat.exec_kind,
+                       mat.dia_offsets, mat.R, mat.K, mat.N, mat.nnz,
+                       mat.band, mat.perm is not None, str(dtype),
+                       max_itrs, float(conv), ndev)
+                if key not in _SOLVER_CACHE:
+                    spmv = make_shardmap_spmv(mat, mesh, dtype, self.mode)
+                    _SOLVER_CACHE[key] = jax.jit(
+                        make_cg_solver(spmv, max_itrs, conv))
+                return _SOLVER_CACHE[key]
             return super()._get_solver(mat, dtype, max_itrs, conv, r_dev,
                                        variant)
         # band + permutation presence shape the ELL kernel (window size,

@@ -213,3 +213,130 @@ def test_devices_flag_rejected_for_native_target():
         pytest.skip("native backend unavailable")
     with pytest.raises(ValueError):
         backend.solve(m, b, 100, 1e-8, verbose=False, devices=8)
+
+
+# ---- shard_map kernel tier (parallel.sharded_kernel) ------------------
+#
+# The per-iteration Pallas kernels under shard_map with the two-edge
+# ppermute halo exchange — interpret mode on the virtual mesh here; the
+# pallas backend routes `--devices N` through the compiled form on TPU.
+
+
+def _kernel_mat(force=None, shuffle=False, mode="secded", n=8192):
+    from abft_sparse_cg_tpu.utils.matgen import shuffle_labels
+
+    tri = spd_tridiagonal(n)
+    if shuffle:
+        tri = shuffle_labels(*tri, seed=3)
+    a = assemble(tri[1], tri[0], tri[2], tri[3], 1)
+    return build_protected("csr", a, mode, force_exec=force)
+
+
+def _shardmap_solvers(m, mode, max_itrs=200, conv=1e-6):
+    import jax.numpy as jnp
+
+    from abft_sparse_cg_tpu.ops.spmv import make_matrix_device, make_spmv
+    from abft_sparse_cg_tpu.parallel.sharded import _device_put_sharded
+    from abft_sparse_cg_tpu.parallel.sharded_kernel import (
+        make_shardmap_spmv,
+        supports_shardmap,
+    )
+    from abft_sparse_cg_tpu.solver.cg import make_cg_solver
+
+    assert supports_shardmap(m, jnp.float32, 8)
+    mesh = default_mesh(8)
+    impl = make_shardmap_spmv(m, mesh, jnp.float32, mode, interpret=True)
+    sm = jax.jit(make_cg_solver(impl, max_itrs, conv))
+    ref = jax.jit(make_cg_solver(make_spmv(m, jnp.float32, mode),
+                                 max_itrs, conv))
+
+    def run_sm(mat, b):
+        md, bdev, _ = _device_put_sharded(mat, b, mesh, jnp.float32)
+        return sm(md, bdev, None)
+
+    def run_ref(mat, b):
+        md = make_matrix_device(mat, jnp.float32)
+        bpad = np.zeros(mat.R)
+        bpad[: mat.N] = mat.to_exec_order(b)
+        return ref(md, jnp.asarray(bpad, jnp.float32), None)
+
+    return run_sm, run_ref
+
+
+@pytest.mark.parametrize("config,mode", [
+    ("dia", "secded"), ("ell", "secded"), ("ell-perm", "secded"),
+    ("dia", "none"), ("dia", "constraints"), ("ell", "sec7"),
+])
+def test_shardmap_kernel_matches_single_device(config, mode):
+    """Per-shard kernels + halo exchange reproduce the single-device
+    solve (same iterations, same solution) for both layouts, permuted
+    gather indices, and every signal schedule."""
+    force = None if config == "dia" else "ell"
+    m = _kernel_mat(force=force, shuffle=(config == "ell-perm"), mode=mode)
+    assert m.exec_kind == ("dia" if config == "dia" else "ell")
+    run_sm, run_ref = _shardmap_solvers(m, mode)
+    b = RNG.random(m.N)
+    r0, r1 = run_ref(m, b), run_sm(m, b)
+    assert int(r1.stats.errcode) == 0
+    assert int(r1.iterations) == int(r0.iterations)
+    np.testing.assert_allclose(np.asarray(r1.x), np.asarray(r0.x),
+                               rtol=2e-5, atol=1e-7)
+
+
+@pytest.mark.parametrize("config", ["dia", "ell", "ell-perm"])
+def test_shardmap_kernel_corrects_fault(config):
+    """An injected single-bit fault triggers the psum'd in-kernel
+    signal; the GSPMD classify corrects it on the sharded planes and
+    the resumed solve matches the clean one bit-for-bit."""
+    force = None if config == "dia" else "ell"
+    m = _kernel_mat(force=force, shuffle=(config == "ell-perm"))
+    run_sm, _ = _shardmap_solvers(m, "secded")
+    b = RNG.random(m.N)
+    clean = run_sm(m, b)
+    m2 = inject_bitflips(m, "ANY", 1, np.random.default_rng(4),
+                         echo=lambda s: None)
+    r = run_sm(m2, b)
+    assert int(r.stats.errcode) == 0
+    assert int(r.stats.corrected_count) == 1
+    assert int(r.iterations) == int(clean.iterations)
+    np.testing.assert_array_equal(np.asarray(r.x), np.asarray(clean.x))
+
+
+def test_shardmap_kernel_sed_failstop():
+    m = _kernel_mat(mode="sed")
+    run_sm, _ = _shardmap_solvers(m, "sed")
+    b = RNG.random(m.N)
+    m2 = inject_bitflips(m, "ANY", 1, np.random.default_rng(6),
+                         echo=lambda s: None)
+    r = run_sm(m2, b)
+    assert int(r.stats.errcode) == 1  # ERR_SED: detect-only fail-stop
+    assert int(r.iterations) == 0
+
+
+def test_shardmap_envelope():
+    import jax.numpy as jnp
+
+    from abft_sparse_cg_tpu.parallel.sharded_kernel import supports_shardmap
+
+    m = _kernel_mat()
+    assert supports_shardmap(m, jnp.float32, 8)
+    # f64 / single device / shards not 1024-aligned fall outside
+    assert not supports_shardmap(m, jnp.float64, 8)
+    assert not supports_shardmap(m, jnp.float32, 1)
+    m2 = _kernel_mat(n=4096)  # R_loc = 512
+    assert not supports_shardmap(m2, jnp.float32, 8)
+
+
+def test_shardmap_backend_routing(monkeypatch):
+    """`--devices 8` on the pallas target rides the shard_map kernel
+    tier (env knob forces interpret mode off-TPU)."""
+    monkeypatch.setenv("ABFT_SM_INTERPRET", "1")
+    m = _kernel_mat()
+    b = RNG.random(m.N)
+    res = create("pallas", "secded").solve(m, b, 200, 1e-6, verbose=False,
+                                           dtype="f32", devices=8)
+    ref = create("jnp", "secded").solve(m, b, 200, 1e-6, verbose=False,
+                                        dtype="f32")
+    assert not res.failed
+    assert res.iterations == ref.iterations
+    np.testing.assert_allclose(res.x, ref.x, rtol=2e-5, atol=1e-7)
