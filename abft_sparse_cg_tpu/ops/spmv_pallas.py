@@ -18,7 +18,14 @@ while-loop hoists it.
 Two kernels, selected by the matrix's execution layout:
 
   **DIA stencil** (banded, dense diagonals): multiply-add of the
-  pre-derived value plane against pre-shifted x planes — zero gathers.
+  pre-derived value plane against in-kernel shifted reads of an x
+  window — zero gathers.  The shifts are static lane rolls of
+  overlapping (LG, 128) window blocks (each diagonal's offset
+  decomposes into a static row shift + lane roll), NOT an XLA-side
+  ``stack([shift(x, off)])``: a pallas input must be a materialized
+  array, so the pre-shifted stack wrote and re-read a D-plane copy of
+  x every iteration (~196 MB/iter at 8M rows — the dominant term in
+  the kernel-vs-jnp gap at scale).
 
   **Banded-ELL windowed gather** (banded after RCM, diagonals too sparse
   for DIA): TPU has no fast dynamic gather (`tpu.dynamic_gather` crashes
@@ -91,6 +98,12 @@ def _ell_window(mat):
     """(side pad, window rows per 128-lane group)."""
     side = -(-max(mat.band, 0) // 128) * 128
     return side, 2 * (side // 128) + 1
+
+
+def _dia_side(mat) -> int:
+    """128-rounded max |offset| — the DIA kernel's x window halo."""
+    m = max((abs(o) for o in mat.dia_offsets), default=0)
+    return -(-m // 128) * 128
 
 
 def _ellb_ok(mat) -> bool:
@@ -223,10 +236,18 @@ def _mode_signals(mode, mat):
 
 def _make_dia_fast(mat, mode, interpret, halo=0):
     """``halo`` > 0: the returned callables expect an x of length
-    R + 2*halo whose ends hold neighbor-shard rows (parallel.
-    sharded_kernel's exchange) instead of padding with zeros — the
-    per-shard form of the kernel; |offset| <= halo is the caller's
-    envelope check."""
+    R + 2*halo (halo == the 128-rounded band, ``_dia_side``) whose ends
+    hold neighbor-shard rows (parallel.sharded_kernel's exchange)
+    instead of padding with zeros — the per-shard form of the kernel.
+
+    The stencil's shifted-x reads happen IN-KERNEL (static lane rolls
+    of overlapping x window blocks, the ELL kernel's XCOPIES trick):
+    a pallas input must be a materialized array, so the former XLA-side
+    ``stack([shift(x, off)])`` wrote and re-read a D-plane copy of x
+    every iteration — ~196 MB/iter of pure overhead at 8M rows, the
+    dominant term in the kernel-vs-jnp gap at scale.  Compute runs in
+    (sublane, lane) = (row block, row%128) space; the (D, R) planes
+    enter as free contiguous (D, RR, 128) reshapes."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -237,31 +258,41 @@ def _make_dia_fast(mat, mode, interpret, halo=0):
     use_parity, use_cksum, SW = _mode_signals(mode, mat)
     NW = len(SW)
     W = NW  # streamed word planes (all of them for ECC modes)
-    # Fused pw = dot(x, w) reuses the offset-0 shifted-x plane (an SPD
-    # matrix always has its main diagonal; guarded anyway).
     d0 = offsets.index(0) if 0 in offsets else None
 
     C = min(_CHUNK, R)
     while R % C:
         C //= 2
     G = R // C
+    LG = C // 128              # row blocks per chunk
+    RR = R // 128
+    SIDE = _dia_side(mat)
+    S0 = SIDE // 128
+    assert halo in (0, SIDE)
+    # Per-diagonal static decomposition: source row r+off lives at
+    # window row a+l (lanes s..) and a+l+1 (lanes ..s-1).
+    dshift = [(S0 + (off >> 7), off & 127) for off in offsets]
+    XCOPIES = -(-(LG + 2 * S0 + 1) // LG)
 
     def kernel(*refs):
-        # refs: NW plane chunks (D, C), vals chunk (D, C) f32, xs chunk
-        #       (D, C) [pre-shifted x], outputs: w (C,), pw_vec (1, C)
-        #       f32, par_vec (D, C) u32, ck_vec (W, C) u32.
-        # Every signal accumulates as VMEM lane vectors across the
-        # sequential grid steps (one resident output block each); the
-        # scalar folds happen in XLA after the call — a cross-lane
-        # reduction per chunk is a VPU pipeline stall, and there can be
-        # ~100 chunks (same finding as solver/fused.py).
+        # refs: NW word chunks (D, C) [2-D row-on-lanes blocks — the
+        #       detection path; streaming these as (D, LG, 128) blocks
+        #       measured ~2.5x the marginal cost on v5e], vals
+        #       (D, LG, 128) f32, XCOPIES x window blocks (LG, 128),
+        #       outputs: w (LG, 128), pw_vec (1, 128) f32, par acc
+        #       (D, C) u32, ck acc (W, C) u32.  Signals accumulate as
+        #       VMEM lane vectors across the sequential grid steps;
+        #       scalar folds happen in XLA after the call (a cross-lane
+        #       reduction per chunk is a VPU pipeline stall —
+        #       solver/fused.py finding).
         word_refs = refs[:NW]
         k = NW
         vals_ref = refs[k]
-        xs_ref = refs[k + 1]
-        w_ref = refs[k + 2]
-        pw_ref = refs[k + 3]
-        k += 4
+        xparts = refs[k + 1:k + 1 + XCOPIES]
+        k += 1 + XCOPIES
+        w_ref = refs[k]
+        pw_ref = refs[k + 1]
+        k += 2
         if use_parity:
             par_ref = refs[k]
             k += 1
@@ -271,10 +302,36 @@ def _make_dia_fast(mat, mode, interpret, halo=0):
         i = pl.program_id(0)
         first = i == 0
 
-        w = jnp.sum(vals_ref[...] * xs_ref[...], axis=0)
+        def xw(a):
+            """Window rows a..a+LG -> (LG, 128) (static slices)."""
+            c0, r0 = divmod(a, LG)
+            if r0 == 0:
+                return xparts[c0][...]
+            return jnp.concatenate(
+                [xparts[c0][r0:], xparts[c0 + 1][:r0]], axis=0)
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (LG, 128), 1)
+        vals = vals_ref[...]
+        w = None
+        xcache = {}
+        for d, (a, s) in enumerate(dshift):
+            if s == 0:
+                xg = xw(a)
+            else:
+                # y[l, j] = x[(a+l)*128 + j + s]: lane-roll the two
+                # straddled window rows (jnp.roll semantics: shift
+                # 128 - s rotates lane j+s into j), select at the
+                # boundary.
+                if (a, s) not in xcache:
+                    lo = pltpu.roll(xw(a), 128 - s, 1)
+                    hi = pltpu.roll(xw(a + 1), 128 - s, 1)
+                    xcache[(a, s)] = jnp.where(lane < 128 - s, lo, hi)
+                xg = xcache[(a, s)]
+            prod = vals[d] * xg
+            w = prod if w is None else w + prod
         w_ref[...] = w
         if d0 is not None:
-            pwc = (w * xs_ref[d0])[None, :]
+            pwc = jnp.sum(w * xw(S0), axis=0, keepdims=True)
 
             @pl.when(first)
             def _():
@@ -286,7 +343,7 @@ def _make_dia_fast(mat, mode, interpret, halo=0):
         else:
             @pl.when(first)
             def _():
-                pw_ref[...] = jnp.zeros((1, C), jnp.float32)
+                pw_ref[...] = jnp.zeros((1, 128), jnp.float32)
 
         if use_parity:
             acc_x = word_refs[0][...]
@@ -318,32 +375,40 @@ def _make_dia_fast(mat, mode, interpret, halo=0):
                     ckv_ref[wi:wi + 1, :] = ckv_ref[wi:wi + 1, :] ^ red
 
     def call(md: MatrixDevice, x):
-        # Pre-shift x once per call (cheap fused pads/slices in XLA) so
-        # the kernel reads aligned (D, C) blocks — no dynamic slicing.
-        from .spmv import _shift_read
-
         if halo:
-            # x carries neighbor-halo rows: every shift is an exact
-            # static slice (zero-filled at the global boundary by the
-            # exchange itself).
-            xs = jnp.stack(
-                [x[halo + off: halo + off + R] for off in offsets])
+            # x carries SIDE neighbor-halo rows on each side (zero at
+            # the global boundary, filled by the ppermute exchange).
+            back = (G - 1 + XCOPIES) * LG * 128 - (R + SIDE)
+            xpad = jnp.pad(x, (0, back - SIDE))
         else:
-            xs = jnp.stack([_shift_read(x, off) for off in offsets])
-        plane_spec = pl.BlockSpec((D, C), lambda i: (0, i),
-                                  memory_space=pltpu.VMEM)
+            back = (G - 1 + XCOPIES) * LG * 128 - (R + SIDE)
+            xpad = jnp.pad(x, (SIDE, back))
+        x2 = xpad.reshape(-1, 128)
+        plane2 = pl.BlockSpec((D, C), lambda i: (0, i),
+                              memory_space=pltpu.VMEM)
+        in_specs = [plane2] * NW
+        args = [md.words[i] for i in SW]
+        in_specs.append(pl.BlockSpec((D, LG, 128), lambda i: (0, i, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(md.values.reshape(D, RR, 128))
+        in_specs += [
+            pl.BlockSpec((LG, 128), lambda i, c=c: (i + c, 0),
+                         memory_space=pltpu.VMEM)
+            for c in range(XCOPIES)
+        ]
+        args += [x2] * XCOPIES
+
         acc = lambda rows: pl.BlockSpec(  # noqa: E731 — resident block
             (rows, C), lambda i: (0, 0), memory_space=pltpu.VMEM)
-        in_specs = [plane_spec] * NW + [plane_spec, plane_spec]
-        args = [md.words[i] for i in SW] + [md.values, xs]
-
         out_specs = [
-            pl.BlockSpec((C,), lambda i: (i,), memory_space=pltpu.VMEM),
-            acc(1),
+            pl.BlockSpec((LG, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
         ]
         out_shape = [
-            jax.ShapeDtypeStruct((R,), jnp.float32),
-            jax.ShapeDtypeStruct((1, C), jnp.float32),
+            jax.ShapeDtypeStruct((RR, 128), jnp.float32),
+            jax.ShapeDtypeStruct((1, 128), jnp.float32),
         ]
         if use_parity:
             out_specs.append(acc(D))
@@ -360,12 +425,8 @@ def _make_dia_fast(mat, mode, interpret, halo=0):
             out_shape=out_shape,
             interpret=interpret,
         )(*args)
-        w, pw_vec = outs[0], outs[1]
+        w, pw_vec = outs[0].reshape(R), outs[1]
         pw = jnp.sum(pw_vec)
-        # Scalar folds + checksum compare in XLA: the expected
-        # whole-plane fold is loop-invariant, so the solver's while-loop
-        # hoists it; coverage granularity is whole-plane per iteration
-        # (PARITY.md).
         trig = jnp.bool_(False)
         k = 2
         if use_parity:

@@ -60,8 +60,13 @@ class _LocalView:
 
 
 def _halo(mat):
+    # Both kernels take their 128-rounded x window as the halo (the
+    # DIA stencil reads shifted rows out of the same tiled window the
+    # ELL gather uses).
     if mat.exec_kind == "dia":
-        return max((abs(o) for o in mat.dia_offsets), default=0)
+        from ..ops.spmv_pallas import _dia_side
+
+        return _dia_side(mat)
     from ..ops.spmv_pallas import _ell_window
 
     side, _ = _ell_window(mat)
