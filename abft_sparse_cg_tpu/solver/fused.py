@@ -45,8 +45,11 @@ unpreconditioned or Jacobi (``precond=True`` keeps M^-1 as a fifth
 resident vector and runs the PCG recurrences in-kernel) — and the
 resident vectors + stream buffers within the VMEM budget (~3.8M rows
 against the v5e's 128 MiB VMEM) — the bench headline configurations
-sit inside it.  Everything else falls back to the per-iteration
-kernels.
+sit inside it.  Past that, DIA/ELL matrices ride the STREAMING tier
+(_make_streaming_kernel): only p + r stay resident while x and w move
+through HBM chunk-wise, stretching the envelope to ~11M rows with live
+detection still fused into the plane streams.  Everything else falls
+back to the per-iteration kernels.
 """
 
 from __future__ import annotations
@@ -73,7 +76,7 @@ _FUSED_MAX_WROWS = 255        # rolled window scan cap (band <= 16256,
 #                               formats.protected._BAND_KERNEL_MAX)
 
 
-def _plan(mat, mode, precond=False):
+def _plan(mat, mode, precond=False, force_streaming=False):
     """Static kernel plan: chunking, halos, buffer sizes; None if the
     matrix falls outside the envelope.
 
@@ -82,6 +85,15 @@ def _plan(mat, mode, precond=False):
     shuffle-gather (ops.spmv_pallas design), reading its x windows from
     the VMEM-resident p instead of shifted block inputs.  ``D`` is the
     per-plane row count streamed each chunk (diagonals resp. ELL slots).
+
+    When the four resident vectors exceed the VMEM budget the plan
+    falls back to the STREAMING tier (``streaming=True``): only p
+    (haloed — the SpMV reads it everywhere) and r stay resident; x and
+    w live in HBM and move chunk-wise through double-buffered DMAs
+    (_make_streaming_kernel).  That stretches the megakernel envelope
+    from ~3.8M to ~11M rows at the cost of ~1.6 vector streams per
+    iteration — still far below the per-iteration tier's full BLAS-1
+    HBM traffic.  ``force_streaming`` pins the tier for tests.
     """
     if mat.exec_kind == "split":
         return _plan_split(mat, mode, precond)
@@ -159,17 +171,41 @@ def _plan(mat, mode, precond=False):
         bufs = 2 * nstreams * D * C * 4
         return vecs + bufs <= _VMEM_BUDGET
 
-    while C > 1024 and not fits(C):
-        C //= 2
+    def fits_streaming(C):
+        # p (haloed) + r resident; chunk buffers for the plane streams
+        # plus the w-compute / w-read / x read-modify-write pipelines
+        # (2 slots each) and the minv chunks of the Jacobi variant.
+        vecs = (2 * RR + Hlo + Hhi) * 128 * 4
+        bufs = 2 * (nstreams + 3 + (1 if precond else 0)) * max(D, 1) * C * 4
+        return vecs + bufs <= _VMEM_BUDGET
+
+    streaming = bool(force_streaming)
+    if not streaming:
+        while C > 1024 and not fits(C):
+            C //= 2
+            ROWS = C // 128
+        if not fits(C) or (max(Hlo, Hhi) > ROWS and not rolled):
+            streaming = True
+            C, ROWS = None, None
+    if streaming:
+        for c in (8192, 4096, 2048, 1024):
+            if R % c == 0:
+                C = c
+                break
+        if C is None:
+            return None
         ROWS = C // 128
-    if not fits(C) or (max(Hlo, Hhi) > ROWS and not rolled):
-        return None
+        while C > 1024 and not fits_streaming(C):
+            C //= 2
+            ROWS = C // 128
+        if not fits_streaming(C) or (max(Hlo, Hhi) > ROWS and not rolled):
+            return None
     use_parity = mode in ("sed", "sec8", "secded")
     use_cksum = mode in ("sec7", "secded", "constraints")
     return dict(R=R, RR=RR, C=C, ROWS=ROWS, G=R // C, D=D, W=W, NW=NW,
                 SW=SW, kind=mat.exec_kind, offsets=offsets, Hlo=Hlo,
                 Hhi=Hhi, S0=S0, WROWS=WROWS, PACK=PACK, rolled=rolled,
-                precond=precond,
+                precond=precond, streaming=streaming,
                 use_parity=use_parity, use_cksum=use_cksum)
 
 
@@ -186,7 +222,10 @@ def _plan_split(mat, mode, precond):
     if tp is None or mat.tail.exec_kind != "flat":
         return None
     mp = _plan(mat.main, mode, precond)
-    if mp is None or mp["kind"] == "split":
+    if mp is None or mp["kind"] == "split" or mp["streaming"]:
+        # The tail's span windows update the resident w_ref directly;
+        # a streamed w has no resident target, so bordered matrices
+        # past the resident envelope ride the per-iteration kernels.
         return None
     rows, starts, S = tp
     if S % 128 or any(s % 128 for s in starts):
@@ -709,18 +748,483 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
     return call
 
 
+def _make_streaming_kernel(plan, mode, conv, trace_len, interpret):
+    """The streaming megakernel tier: p (haloed) + r VMEM-resident, x
+    and w in HBM, moved chunk-wise through double-buffered DMAs.
+
+    Per fast-loop iteration:
+
+      phase 1   stream the protected planes (live detection fused, as
+                in the resident kernel), compute each w chunk from the
+                resident p and DMA it out to an HBM scratch output;
+                pw and the detection signals accumulate as lane
+                vectors.
+      phase 2a  re-read the w chunks and compute rr1 (+ rz1 for
+                Jacobi, streaming M^-1 chunks) WITHOUT mutating any
+                state — a triggered or broken-down iteration is
+                discarded bit-exactly, same as the resident kernel's
+                pl.when(ok) update.
+      phase 2b  (only when the iteration stands) re-read w plus the
+                HBM x chunks, apply x += alpha p / r -= alpha w.
+      phase 3   (only when the iteration stands) chunked in-VMEM
+                p = z + beta p (Jacobi re-streams M^-1 — beta is not
+                known until rr1/rz1 are).
+
+    Everything else (trace, scalar carries, breakdown/trigger
+    semantics, classify-outside) matches _make_kernel.  x is copied
+    x_in -> x_out once per kernel call and read-modify-written in
+    place thereafter, so a zero-iteration call still returns x intact.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    R, RR, C, ROWS, G = (plan[k] for k in ("R", "RR", "C", "ROWS", "G"))
+    D, W, NW = plan["D"], plan["W"], plan["NW"]
+    offsets, Hlo, Hhi = plan["offsets"], plan["Hlo"], plan["Hhi"]
+    use_parity, use_cksum = plan["use_parity"], plan["use_cksum"]
+    is_ell = plan["kind"] == "ell"
+    S0, WROWS, PACK = plan["S0"], plan["WROWS"], plan["PACK"]
+    rolled = plan.get("rolled", False)
+    precond = plan["precond"]
+    PR = Hlo + RR + Hhi   # haloed p rows
+    conv = float(conv)
+
+    def shifted(ext, off):
+        q, s = divmod(off, 128)
+        base = ext[Hlo + q: Hlo + q + ROWS]
+        if s == 0:
+            return base
+        nxt = ext[Hlo + q + 1: Hlo + q + 1 + ROWS]
+        a = pltpu.roll(base, 128 - s, 1)
+        b = pltpu.roll(nxt, 128 - s, 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (ROWS, 128), 1)
+        return jnp.where(lane < 128 - s, a, b)
+
+    def kernel(*refs):
+        (x_in, r_in, p_in, vals_hbm) = refs[:4]
+        k = 4
+        if precond:
+            minv_in = refs[k]
+            k += 1
+        if is_ell:
+            gsrc_hbm = refs[k]
+            k += 1
+        if NW:
+            words_hbm = refs[k]
+            ckall = refs[k + 1]
+            k += 2
+        scal_in = refs[k]
+        itr_in = refs[k + 1]
+        upto = refs[k + 2]
+        k += 3
+        (x_out, r_out, p_out, trace_out, itr_out, rr_out, rz_out,
+         trig_out, err_out, w_hbm) = refs[k: k + 10]
+        k += 10
+        p_ref, r_ref = refs[k], refs[k + 1]
+        vbuf = refs[k + 2]
+        k += 3
+        gbuf = None
+        if is_ell:
+            gbuf = refs[k]
+            k += 1
+        if NW:
+            wbuf = refs[k]
+            k += 1
+        wcb, wrb, xb = refs[k], refs[k + 1], refs[k + 2]
+        k += 3
+        mb = None
+        if precond:
+            mb = refs[k]
+            k += 1
+        sems = refs[k]
+
+        # ---- load resident state; x goes HBM -> HBM into its working
+        # buffer (x_out) so phase 2b can read-modify-write it ----------
+        in_dmas = [
+            pltpu.make_async_copy(x_in, x_out, sems.at[0]),
+            pltpu.make_async_copy(r_in, r_ref, sems.at[1]),
+            pltpu.make_async_copy(p_in, p_ref.at[pl.ds(Hlo, RR), :],
+                                  sems.at[2]),
+        ]
+        if Hlo:
+            p_ref[pl.ds(0, Hlo), :] = jnp.zeros((Hlo, 128), jnp.float32)
+        if Hhi:
+            p_ref[pl.ds(Hlo + RR, Hhi), :] = jnp.zeros((Hhi, 128),
+                                                       jnp.float32)
+        for d in in_dmas:
+            d.start()
+        for d in in_dmas:
+            d.wait()
+        upto_v = upto[0]
+
+        def get_dmas(slot, ci):
+            if is_ell:
+                RP = ROWS // PACK
+                dmas = [pltpu.make_async_copy(
+                    vals_hbm.at[pl.ds(ci * RP, RP)],
+                    vbuf.at[slot], sems.at[3 + slot]),
+                    pltpu.make_async_copy(
+                        gsrc_hbm.at[pl.ds(ci * RP, RP)],
+                        gbuf.at[slot], sems.at[7 + slot])]
+            else:
+                dmas = [pltpu.make_async_copy(
+                    vals_hbm.at[:, pl.ds(ci * ROWS, ROWS), :],
+                    vbuf.at[slot], sems.at[3 + slot])]
+            if NW:
+                dmas.append(pltpu.make_async_copy(
+                    words_hbm.at[:, :, pl.ds(ci * ROWS, ROWS), :],
+                    wbuf.at[slot], sems.at[5 + slot]))
+            return dmas
+
+        def w_out_dma(slot, ci):
+            return pltpu.make_async_copy(
+                wcb.at[slot], w_hbm.at[pl.ds(ci * ROWS, ROWS), :],
+                sems.at[9 + slot])
+
+        def w_in_dma(slot, ci):
+            return pltpu.make_async_copy(
+                w_hbm.at[pl.ds(ci * ROWS, ROWS), :], wrb.at[slot],
+                sems.at[11 + slot])
+
+        def x_in_dma(slot, ci):
+            return pltpu.make_async_copy(
+                x_out.at[pl.ds(ci * ROWS, ROWS), :], xb.at[slot],
+                sems.at[13 + slot])
+
+        def x_out_dma(slot, ci):
+            return pltpu.make_async_copy(
+                xb.at[slot], x_out.at[pl.ds(ci * ROWS, ROWS), :],
+                sems.at[15 + slot])
+
+        def m_in_dma(slot, ci):
+            return pltpu.make_async_copy(
+                minv_in.at[pl.ds(ci * ROWS, ROWS), :], mb.at[slot],
+                sems.at[17 + slot])
+
+        def body(carry):
+            itr, rr, rz, _, _ = carry
+
+            # ---- phase 1: w = A p, live detection, w -> HBM ----------
+            for d in get_dmas(0, 0):
+                d.start()
+            acc0 = [jnp.zeros((ROWS, 128), jnp.float32)]       # pw
+            if NW and use_parity:
+                acc0.append(jnp.zeros((D, ROWS, 128), jnp.uint32))
+            if NW and use_cksum:
+                acc0 += [jnp.zeros((ROWS, 128), jnp.uint32)
+                         for _ in range(W)]
+
+            def chunk1(ci, acc):
+                acc = list(acc)
+                slot = ci % 2
+
+                @pl.when(ci + 1 < G)
+                def _():
+                    for d in get_dmas((ci + 1) % 2, ci + 1):
+                        d.start()
+
+                for d in get_dmas(slot, ci):
+                    d.wait()
+
+                # wcb[slot] was last DMA'd out at chunk ci-2; drain
+                # that copy before overwriting the buffer.
+                @pl.when(ci >= 2)
+                def _():
+                    w_out_dma(slot, ci - 2).wait()
+
+                row0 = pl.multiple_of(ci * ROWS, ROWS)
+                ext = p_ref[pl.ds(row0, ROWS + Hlo + Hhi), :]
+                if is_ell:
+                    for j in range(ROWS // PACK):
+                        loc = gbuf[slot][j]
+                        hi = loc >> 7
+                        lo = loc & 127
+                        xg = jnp.zeros((PACK * D, 128), jnp.float32)
+                        if rolled:
+                            base = row0 + Hlo - S0 + j
+
+                            def wround(s, xg, lo=lo, hi=hi, base=base):
+                                rowv = p_ref[pl.ds(base + s, 1), :]
+                                tbl = jnp.broadcast_to(rowv, (D, 128))
+                                cand = jnp.take_along_axis(tbl, lo,
+                                                           axis=1)
+                                return jnp.where(hi == s, cand, xg)
+
+                            xg = jax.lax.fori_loop(0, WROWS, wround, xg)
+                        else:
+                            for s in range(WROWS):
+                                t0 = Hlo - S0 + j * PACK + s
+                                if PACK == 1:
+                                    tbl = jnp.broadcast_to(
+                                        ext[t0:t0 + 1, :], (D, 128))
+                                else:
+                                    tbl = jnp.concatenate(
+                                        [jnp.broadcast_to(
+                                            ext[t0 + p:t0 + p + 1, :],
+                                            (D, 128))
+                                         for p in range(PACK)], axis=0)
+                                cand = jnp.take_along_axis(tbl, lo,
+                                                           axis=1)
+                                xg = jnp.where(hi == s, cand, xg)
+                        prod = vbuf[slot][j] * xg
+                        for p in range(PACK):
+                            wcb[slot, j * PACK + p:j * PACK + p + 1, :] = (
+                                jnp.sum(prod[p * D:(p + 1) * D], axis=0,
+                                        keepdims=True))
+                    w = wcb[slot]
+                else:
+                    w = jnp.zeros((ROWS, 128), jnp.float32)
+                    for d, off in enumerate(offsets):
+                        w = w + vbuf[slot][d] * shifted(ext, off)
+                    wcb[slot] = w
+                w_out_dma(slot, ci).start()
+                acc[0] = acc[0] + w * ext[Hlo: Hlo + ROWS]
+
+                if NW:
+                    words = [wbuf[slot][wi] for wi in range(W)]
+                    k = 1
+                    if use_parity:
+                        acc_x = words[0]
+                        for wd in words[1:]:
+                            acc_x = acc_x ^ wd
+                        acc[k] = acc[k] | (
+                            jax.lax.population_count(acc_x)
+                            & np.uint32(1))
+                        k += 1
+                    if use_cksum:
+                        for wi in range(W):
+                            red = words[wi][0]
+                            for d in range(1, D):
+                                red = red ^ words[wi][d]
+                            acc[k + wi] = acc[k + wi] ^ red
+                return tuple(acc)
+
+            accs = jax.lax.fori_loop(0, G, chunk1, tuple(acc0))
+            for cl in range(max(G - 2, 0), G):
+                w_out_dma(cl % 2, cl).wait()
+
+            trig_i = jnp.int32(0)
+            k = 1
+            if NW and use_parity:
+                cnt = jnp.sum(accs[k].astype(jnp.int32))
+                trig_i = trig_i | (cnt > 0).astype(jnp.int32)
+                k += 1
+            if NW and use_cksum:
+                lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+                for wi in range(W):
+                    f8 = _xor_fold_rows(accs[k + wi], to=8)
+                    for r in (4, 2, 1):
+                        f8 = f8 ^ pltpu.roll(f8, r, 1)
+                    bad = (f8 != ckall[wi]) & (lane8 % 8 == 7)
+                    trig_i = trig_i | jnp.any(bad).astype(jnp.int32)
+
+            pw = jnp.sum(accs[0])
+            alpha = rz / pw
+
+            # ---- phase 2a: rr1 (+ rz1), no mutation ------------------
+            w_in_dma(0, 0).start()
+            if precond:
+                m_in_dma(0, 0).start()
+            acc2 = (jnp.zeros((ROWS, 128), jnp.float32),
+                    jnp.zeros((ROWS, 128), jnp.float32))
+
+            def chunk2a(ci, acc):
+                rracc, rzacc = acc
+                slot = ci % 2
+
+                @pl.when(ci + 1 < G)
+                def _():
+                    w_in_dma((ci + 1) % 2, ci + 1).start()
+                    if precond:
+                        m_in_dma((ci + 1) % 2, ci + 1).start()
+
+                w_in_dma(slot, ci).wait()
+                row0 = pl.multiple_of(ci * ROWS, ROWS)
+                r1 = (r_ref[pl.ds(row0, ROWS), :]
+                      - alpha * wrb[slot])
+                rracc = rracc + r1 * r1
+                if precond:
+                    m_in_dma(slot, ci).wait()
+                    rzacc = rzacc + mb[slot] * r1 * r1
+                return (rracc, rzacc)
+
+            rracc, rzacc = jax.lax.fori_loop(0, G, chunk2a, acc2)
+            rr1 = jnp.sum(rracc)
+            rz1 = jnp.sum(rzacc) if precond else rr1
+
+            bad = jnp.logical_or(pw <= 0.0, ~jnp.isfinite(rr1))
+            ok = jnp.logical_and(trig_i == 0, ~bad)
+            beta = rz1 / rz
+
+            # ---- phase 2b: apply x/r updates (iteration stands) ------
+            @pl.when(ok)
+            def _():
+                w_in_dma(0, 0).start()
+                x_in_dma(0, 0).start()
+
+                def chunk2b(ci, _):
+                    slot = ci % 2
+
+                    @pl.when(ci + 1 < G)
+                    def _():
+                        # xb[(ci+1)%2] was DMA'd out at chunk ci-1;
+                        # drain before reloading the buffer.
+                        @pl.when(ci >= 1)
+                        def _():
+                            x_out_dma((ci + 1) % 2, ci - 1).wait()
+                        w_in_dma((ci + 1) % 2, ci + 1).start()
+                        x_in_dma((ci + 1) % 2, ci + 1).start()
+
+                    w_in_dma(slot, ci).wait()
+                    x_in_dma(slot, ci).wait()
+                    row0 = pl.multiple_of(ci * ROWS, ROWS)
+                    r_ref[pl.ds(row0, ROWS), :] = (
+                        r_ref[pl.ds(row0, ROWS), :]
+                        - alpha * wrb[slot])
+                    xb[slot] = (xb[slot]
+                                + alpha * p_ref[pl.ds(Hlo + row0, ROWS), :])
+                    x_out_dma(slot, ci).start()
+                    return 0
+
+                jax.lax.fori_loop(0, G, chunk2b, 0)
+                for cl in range(max(G - 2, 0), G):
+                    x_out_dma(cl % 2, cl).wait()
+
+            # ---- phase 3: p = z + beta p, in VMEM --------------------
+            @pl.when(ok)
+            def _():
+                if precond:
+                    m_in_dma(0, 0).start()
+
+                def chunk3(ci, _):
+                    slot = ci % 2
+                    if precond:
+                        @pl.when(ci + 1 < G)
+                        def _():
+                            m_in_dma((ci + 1) % 2, ci + 1).start()
+                        m_in_dma(slot, ci).wait()
+                    row0 = pl.multiple_of(ci * ROWS, ROWS)
+                    rblk = r_ref[pl.ds(row0, ROWS), :]
+                    z = mb[slot] * rblk if precond else rblk
+                    p_ref[pl.ds(Hlo + row0, ROWS), :] = (
+                        z + beta * p_ref[pl.ds(Hlo + row0, ROWS), :])
+                    return 0
+
+                jax.lax.fori_loop(0, G, chunk3, 0)
+                if trace_len:
+                    trace_out[itr] = rr1
+
+            itr1 = jnp.where(ok, itr + 1, itr)
+            rrn = jnp.where(ok, rr1, rr)
+            rzn = jnp.where(ok, rz1, rz)
+            err = jnp.where(bad & (trig_i == 0),
+                            jnp.int32(ERR_BREAKDOWN), jnp.int32(0))
+            return itr1, rrn, rzn, trig_i, err
+
+        def cond(carry):
+            itr, rr, _, trig, err = carry
+            return ((itr < upto_v) & (rr > conv) & (trig == 0)
+                    & (err == 0))
+
+        itr, rr, rz, trig, err = jax.lax.while_loop(
+            cond, body,
+            (itr_in[0], scal_in[0], scal_in[1], jnp.int32(0),
+             jnp.int32(0)))
+
+        itr_out[0, 0] = itr
+        rr_out[0, 0] = rr
+        rz_out[0, 0] = rz
+        trig_out[0, 0] = trig
+        err_out[0, 0] = err
+
+        out_dmas = [
+            pltpu.make_async_copy(r_ref, r_out, sems.at[1]),
+            pltpu.make_async_copy(p_ref.at[pl.ds(Hlo, RR), :], p_out,
+                                  sems.at[2]),
+        ]
+        for d in out_dmas:
+            d.start()
+        for d in out_dmas:
+            d.wait()
+
+    def call(x2, r2, p2, minv2, vals3, gsrc, wstack, ckall, tail_args,
+             rr, rz, itr, upto):
+        vec = jax.ShapeDtypeStruct((RR, 128), jnp.float32)
+        s11f = jax.ShapeDtypeStruct((1, 1), jnp.float32)
+        s11i = jax.ShapeDtypeStruct((1, 1), jnp.int32)
+        any_spec = pl.BlockSpec(memory_space=pl.ANY)
+        smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)  # noqa: E731
+        in_specs = [any_spec, any_spec, any_spec, any_spec]
+        args = [x2, r2, p2, vals3]
+        if precond:
+            in_specs.append(any_spec)
+            args.append(minv2)
+        if is_ell:
+            in_specs.append(any_spec)
+            args.append(gsrc)
+        if NW:
+            in_specs += [any_spec,
+                         pl.BlockSpec(memory_space=pltpu.VMEM)]
+            args += [wstack, ckall]
+        in_specs += [smem(), smem(), smem()]
+        args += [jnp.stack([rr, rz]).astype(jnp.float32),
+                 jnp.reshape(itr, (1,)).astype(jnp.int32),
+                 jnp.reshape(upto, (1,)).astype(jnp.int32)]
+        ebuf = (2, ROWS // PACK, PACK * D, 128)
+        scratch = [
+            pltpu.VMEM((PR, 128), jnp.float32),        # p (haloed)
+            pltpu.VMEM((RR, 128), jnp.float32),        # r
+            pltpu.VMEM(ebuf if is_ell else (2, D, ROWS, 128),
+                       jnp.float32),
+        ]
+        if is_ell:
+            scratch.append(pltpu.VMEM(ebuf, jnp.int32))
+        if NW:
+            scratch.append(pltpu.VMEM((2, W, D, ROWS, 128), jnp.uint32))
+        scratch.append(pltpu.VMEM((2, ROWS, 128), jnp.float32))  # wcb
+        scratch.append(pltpu.VMEM((2, ROWS, 128), jnp.float32))  # wrb
+        scratch.append(pltpu.VMEM((2, ROWS, 128), jnp.float32))  # xb
+        if precond:
+            scratch.append(pltpu.VMEM((2, ROWS, 128), jnp.float32))
+        scratch.append(pltpu.SemaphoreType.DMA((19,)))
+        from jax.experimental import pallas as _pl
+
+        outs = _pl.pallas_call(
+            kernel,
+            in_specs=in_specs,
+            out_specs=[any_spec, any_spec, any_spec, smem(), smem(),
+                       smem(), smem(), smem(), smem(), any_spec],
+            out_shape=[vec, vec, vec,
+                       jax.ShapeDtypeStruct((max(trace_len, 1),),
+                                            jnp.float32),
+                       s11i, s11f, s11f, s11i, s11i,
+                       vec],                       # w HBM scratch
+            scratch_shapes=scratch,
+            interpret=interpret,
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT),
+        )(*args)
+        return outs[:9]
+
+    return call
+
+
 def make_fused_continue(mat, mode, conv_threshold, trace_rr=True,
-                        interpret=False, precond=False):
+                        interpret=False, precond=False,
+                        force_streaming=False):
     """``continue_(md, state, upto, minv=None)`` with solver.cg's
     contract, running the fast loop in the megakernel.  The classify /
     repair slow path (once per fault) is the jnp implementation, wrapped
     in the same outer while-loop as solver.cg._make_lazy_continue.
     ``precond=True`` builds the Jacobi variant: ``minv`` becomes a fifth
     VMEM-resident vector and the update phase runs the PCG recurrences
-    (z = M^-1 r, rz = r.z) in-kernel."""
+    (z = M^-1 r, rz = r.z) in-kernel.  Past the resident-vector VMEM
+    envelope the plan switches to the streaming tier
+    (_make_streaming_kernel); ``force_streaming`` pins that tier for
+    tests."""
     from ..ops.spmv import make_spmv
 
-    plan = _plan(mat, mode, precond)
+    plan = _plan(mat, mode, precond, force_streaming)
     if plan is None:
         raise ValueError("matrix outside the fused-kernel envelope")
     RR, G, C, W, NW = (plan[k] for k in ("RR", "G", "C", "W", "NW"))
@@ -814,7 +1318,9 @@ def make_fused_continue(mat, mode, conv_threshold, trace_rr=True,
                 f"rr trace of {tl} entries exceeds the kernel's SMEM cap "
                 f"({_MAX_TRACE_SMEM}); lower max_itrs or pass "
                 "trace_rr=False")
-        kern = _make_kernel(plan, mode, conv_threshold, tl, interpret)
+        maker = (_make_streaming_kernel if plan["streaming"]
+                 else _make_kernel)
+        kern = maker(plan, mode, conv_threshold, tl, interpret)
         minv2 = minv.reshape(RR, 128) if precond else None
 
         def run_fast(md, s: CGState):
@@ -877,12 +1383,12 @@ def make_fused_continue(mat, mode, conv_threshold, trace_rr=True,
 
 def make_fused_solver(mat, mode, max_itrs: int, conv_threshold: float,
                       trace_rr: bool = True, interpret: bool = False,
-                      precond: bool = False):
+                      precond: bool = False, force_streaming: bool = False):
     """``solve(md, b, minv=None) -> CGResult`` on the megakernel.
     ``minv`` must match ``precond`` (None unless the Jacobi variant was
     requested)."""
     cont = make_fused_continue(mat, mode, conv_threshold, trace_rr,
-                               interpret, precond)
+                               interpret, precond, force_streaming)
 
     def solve(md, b, minv=None):
         s, md_out = cont(md, init_state(b, max_itrs, trace_rr, minv),

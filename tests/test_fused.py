@@ -430,3 +430,132 @@ def test_fused_rolled_corrects_fault():
     assert int(r.stats.corrected_count) == 1
     assert int(r.iterations) == int(clean.iterations)
     np.testing.assert_array_equal(np.asarray(r.x), np.asarray(clean.x))
+
+
+# --------------------------------------------------------------------------
+# Streaming tier: p + r resident, x / w streamed through HBM
+# --------------------------------------------------------------------------
+
+def solvers_streaming(m, mode, max_itrs=300, conv=1e-8, precond=False):
+    md = make_matrix_device(m, jnp.float32)
+    ref = jax.jit(make_cg_solver(make_spmv(m, jnp.float32, mode),
+                                 max_itrs, conv))
+    fus = jax.jit(make_fused_solver(m, mode, max_itrs, conv,
+                                    interpret=True, precond=precond,
+                                    force_streaming=True))
+    return md, ref, fus
+
+
+@pytest.mark.parametrize("layout", ["dia", "ell", "rcm-ell"])
+@pytest.mark.parametrize("mode", ["none", "sed", "sec7", "sec8", "secded"])
+def test_streaming_matches_jnp_clean(mode, layout):
+    from abft_sparse_cg_tpu.solver.fused import _plan
+
+    m = make(layout, mode)
+    plan = _plan(m, mode, force_streaming=True)
+    assert plan is not None and plan["streaming"]
+    md, ref, fus = solvers_streaming(m, mode)
+    b = bvec(m)
+    r0, r1 = ref(md, b), fus(md, b)
+    assert int(r1.stats.errcode) == 0
+    assert int(r1.iterations) == int(r0.iterations)
+    np.testing.assert_allclose(np.asarray(r1.x), np.asarray(r0.x),
+                               rtol=1e-6, atol=1e-7)
+    k = int(r0.iterations)
+    np.testing.assert_allclose(np.asarray(r1.rr_trace)[:k],
+                               np.asarray(r0.rr_trace)[:k], rtol=1e-4)
+    assert np.isnan(np.asarray(r1.rr_trace)[k:]).all()
+
+
+@pytest.mark.parametrize("layout", ["dia", "ell"])
+@pytest.mark.parametrize("mode", ["sec8", "secded"])
+def test_streaming_corrects_fault_and_resumes(mode, layout):
+    m = make(layout, mode)
+    md, _, fus = solvers_streaming(m, mode)
+    b = bvec(m)
+    clean = fus(md, b)
+    for seed in range(3):
+        m2 = inject_bitflips(m, "ANY", 1, np.random.default_rng(seed),
+                             echo=lambda s: None)
+        md2 = make_matrix_device(m2, jnp.float32)
+        r = fus(md2, b)
+        assert int(r.stats.errcode) == 0, seed
+        assert int(r.stats.corrected_count) == 1, seed
+        assert int(r.iterations) == int(clean.iterations)
+        np.testing.assert_array_equal(np.asarray(r.x),
+                                      np.asarray(clean.x))
+
+
+def test_streaming_sed_detects_and_halts():
+    m = dia_matrix("sed")
+    md, ref, fus = solvers_streaming(m, "sed")
+    b = bvec(m)
+    m2 = inject_bitflips(m, "ANY", 1, np.random.default_rng(3),
+                         echo=lambda s: None)
+    md2 = make_matrix_device(m2, jnp.float32)
+    r0, r1 = ref(md2, b), fus(md2, b)
+    assert int(r1.stats.errcode) == int(r0.stats.errcode) == 1
+    assert int(r1.iterations) == int(r0.iterations) == 0
+
+
+def test_streaming_breakdown_guard():
+    """A discarded (broken-down) iteration must leave x/r/p bit-intact:
+    phase 2a computes rr1 without mutating, 2b/3 never run."""
+    m = dia_matrix("none")
+    planes = {k: v.copy() for k, v in m.planes.items()}
+    from abft_sparse_cg_tpu.ecc.values import planes_to_f64_np
+    vals = planes_to_f64_np(planes["value_lo"], planes["value_hi"])
+    neg = (-vals).view(np.uint64)
+    planes["value_lo"] = (neg & 0xFFFFFFFF).astype(np.uint32)
+    planes["value_hi"] = (neg >> 32).astype(np.uint32)
+    m2 = m.with_planes(planes)
+    md = make_matrix_device(m2, jnp.float32)
+    fus = jax.jit(make_fused_solver(m2, "none", 100, 1e-8,
+                                    interpret=True,
+                                    force_streaming=True))
+    r = fus(md, bvec(m))
+    assert int(r.stats.errcode) == ERR_BREAKDOWN
+    assert int(r.iterations) == 0
+
+
+@pytest.mark.parametrize("mode", ["none", "secded"])
+def test_streaming_jacobi_matches_jnp(mode):
+    """Jacobi on the streaming tier: M^-1 chunks re-stream in phases
+    2a and 3."""
+    m = dia_matrix(mode)
+    md = make_matrix_device(m, jnp.float32)
+    b = bvec(m)
+    d = m.diagonal()
+    mpad = np.zeros(m.R)
+    mpad[: m.N] = m.to_exec_order(
+        np.where(d != 0.0, 1.0 / np.where(d == 0, 1, d), 1.0))
+    minv = jnp.asarray(mpad, jnp.float32)
+    ref = jax.jit(make_cg_solver(make_spmv(m, jnp.float32, mode),
+                                 300, 1e-8))
+    fus = jax.jit(make_fused_solver(m, mode, 300, 1e-8, interpret=True,
+                                    precond=True, force_streaming=True))
+    r0, r1 = ref(md, b, minv), fus(md, b, minv)
+    assert int(r1.stats.errcode) == 0
+    assert int(r1.iterations) == int(r0.iterations)
+    np.testing.assert_allclose(np.asarray(r1.x), np.asarray(r0.x),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_streaming_plan_auto_routes_past_vmem():
+    """A matrix whose resident vectors exceed the VMEM budget plans
+    onto the streaming tier automatically (supports_fused stays True so
+    the pallas backend keeps the megakernel at -b 100 scale); split
+    stays out (the tail needs the resident w)."""
+    import types
+
+    from abft_sparse_cg_tpu.solver.fused import _plan
+
+    m = dia_matrix("secded")
+    big = types.SimpleNamespace(exec_kind="dia", R=8192 * 1000,
+                                dia_offsets=(-1, 0, 1),
+                                layout=m.layout, fmt="csr")
+    plan = _plan(big, "secded")
+    assert plan is not None and plan["streaming"]
+    assert supports_fused(big, jnp.float32, "secded", 500)
+    small = _plan(m, "secded")
+    assert small is not None and not small["streaming"]
