@@ -58,6 +58,46 @@ def build(fmt, mode, layout, blocks):
         m = build_protected(fmt, a, mode)
         assert m.exec_kind == "split", m.exec_kind
         return m
+    if layout == "wideband":
+        # Uniformly wide band (post-RCM band > the banded kernels' 1920
+        # cap) -> the rolled window-scan megakernel keeps it whole.
+        n = 81920
+        rng = np.random.default_rng(2)
+        rows = [np.arange(n)]
+        cols = [np.arange(n)]
+        for _ in range(3):
+            d = rng.integers(1, 2500, n)
+            i = np.arange(n)
+            keep = i + d < n
+            rows.append((i + d)[keep])
+            cols.append(i[keep])
+        rows = np.concatenate(rows)
+        cols = np.concatenate(cols)
+        vals = np.where(rows == cols, 30.0, -1.0)
+        a = assemble(cols, rows, vals, n, blocks)
+        m = build_protected(fmt, a, mode, reorder="none")
+        assert m.exec_kind == "ell" and m.band > 1920, (m.exec_kind, m.band)
+        return m
+    if layout == "bandsplit":
+        # Banded core + sparse random matching: no narrow band exists,
+        # so the band-split composite (banded core + flat out-of-band
+        # tail) is the only compiled-tier route.
+        n = 81920
+        rows = list(range(n)) + list(range(1, n))
+        cols = list(range(n)) + list(range(n - 1))
+        vals = [8.0] * n + [-1.0] * (n - 1)
+        rng = np.random.default_rng(5)
+        for i in range(0, n, 8):
+            j = int(rng.integers(0, n))
+            if abs(j - i) > 3:
+                rows.append(max(i, j))
+                cols.append(min(i, j))
+                vals.append(-0.5)
+        a = assemble(np.array(cols), np.array(rows),
+                     np.array(vals, float), n, blocks)
+        m = build_protected(fmt, a, mode)
+        assert m.exec_kind == "split", m.exec_kind
+        return m
     a = assemble(tri[1], tri[0], tri[2], tri[3], blocks)
     force = "dia" if layout == "dia" else "ell"
     return build_protected(fmt, a, mode, force_exec=force)

@@ -7,9 +7,10 @@ the sync RTT.  Usage:
 
     python scripts/tpu_slope.py [-b BLOCKS] [target:mode ...]
 
-Defaults: -b 100 (N=8.19M — beyond the megakernel envelope, so the
-pallas target rides the per-iteration kernels), jnp:secded jnp:none
-pallas:secded pallas:none.
+Defaults: -b 100 (N=8.19M — beyond the VMEM-resident megakernel
+envelope, so the pallas target rides the STREAMING megakernel tier:
+x/w in HBM, p+r resident), jnp:secded jnp:none pallas:secded
+pallas:none.
 """
 
 import os

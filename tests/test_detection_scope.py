@@ -78,8 +78,14 @@ def test_sec7_multi_element_scope(delta, jnp_det, kern_det, fused_det):
         jnp.float32) == kern_det
 
 
+@pytest.mark.parametrize("streaming", [False, True],
+                         ids=["resident", "streaming"])
 @pytest.mark.parametrize("delta,jnp_det,kern_det,fused_det", SCOPE)
-def test_sec7_megakernel_scope(delta, jnp_det, kern_det, fused_det):
+def test_sec7_megakernel_scope(delta, jnp_det, kern_det, fused_det,
+                               streaming):
+    """Both megakernel tiers (VMEM-resident and HBM-streaming) fold the
+    plane checksums into the same interleaved class structure — the
+    detect/miss boundary must not drift between them."""
     from abft_sparse_cg_tpu.solver.fused import make_fused_solver
 
     m = dia_mat("sec7")
@@ -87,7 +93,8 @@ def test_sec7_megakernel_scope(delta, jnp_det, kern_det, fused_det):
     md = make_matrix_device(m2, jnp.float32)
     b = np.zeros(m.R)
     b[: m.N] = np.random.default_rng(1).random(m.N)
-    fus = jax.jit(make_fused_solver(m, "sec7", 50, 1e-6, interpret=True))
+    fus = jax.jit(make_fused_solver(m, "sec7", 50, 1e-6, interpret=True,
+                                    force_streaming=streaming))
     r = fus(md, jnp.asarray(b, jnp.float32))
     # Detection => classify corrects both single-bit elements.
     assert int(r.stats.corrected_count) == (2 if fused_det else 0)
