@@ -188,7 +188,14 @@ def _plan(mat, mode, precond=False, force_streaming=False):
             streaming = True
             C, ROWS = None, None
     if streaming:
-        for c in (8192, 4096, 2048, 1024):
+        # The streaming tier wants the LARGEST chunk that fits: each
+        # chunk body pays a fixed ~0.25 us of DMA/loop overhead, and at
+        # C=8192 an 8.19M-row solve runs ~3000 chunk bodies per
+        # iteration across the phases — overhead exceeded the stream
+        # time itself (measured 1069 us/iter for mode none vs a ~320 us
+        # traffic bound).  fits_streaming() downsizes C for big-D (ELL)
+        # matrices where the plane buffers would blow the VMEM budget.
+        for c in (65536, 32768, 16384, 8192, 4096, 2048, 1024):
             if R % c == 0:
                 C = c
                 break
