@@ -101,6 +101,29 @@ def test_sec7_megakernel_scope(delta, jnp_det, kern_det, fused_det,
     assert int(r.stats.errcode) == 0
 
 
+@pytest.mark.parametrize("delta,fused_det", [(2, False), (8, True),
+                                             (1024, False)])
+def test_sec7_rolled_megakernel_scope(delta, fused_det):
+    """The rolled wide-band tier (batched dynamic window gather) folds
+    its streamed word planes into the same (row mod 1024, 8-wide)
+    classes as the banded tiers — the boundary must not drift."""
+    from abft_sparse_cg_tpu.formats import assemble  # noqa: F401
+    from abft_sparse_cg_tpu.solver.fused import _plan, make_fused_solver
+    from tests.test_fused import wideband_matrix
+
+    m = wideband_matrix("sec7")
+    plan = _plan(m, "sec7")
+    assert plan is not None and plan["rolled"]
+    m2 = flip_rows(m, 1000, 1000 + delta)
+    md = make_matrix_device(m2, jnp.float32)
+    b = np.zeros(m.R)
+    b[: m.N] = np.random.default_rng(1).random(m.N)
+    fus = jax.jit(make_fused_solver(m, "sec7", 50, 1e-6, interpret=True))
+    r = fus(md, jnp.asarray(b, jnp.float32))
+    assert int(r.stats.corrected_count) == (2 if fused_det else 0)
+    assert int(r.stats.errcode) == 0
+
+
 @pytest.mark.parametrize("delta", [d for d, *_ in SCOPE])
 def test_secded_parity_covers_multi_element(delta):
     """The per-element parity mask detects two odd-weight elements at

@@ -92,6 +92,31 @@ def bvec(m):
     return jnp.asarray(b, jnp.float32)
 
 
+@pytest.mark.parametrize("mode", ["sec7", "secded"])
+def test_fused_coo_format(mode):
+    """COO (128-bit codewords, 4 word planes) through the megakernel:
+    clean match to jnp + a mid-stream injected fault corrected."""
+    rows, cols, vals, n = spd_tridiagonal(1024)
+    m = build_protected("coo", assemble(cols, rows, vals, n, 1), mode)
+    assert m.exec_kind == "dia" and m.fmt == "coo"
+    assert supports_fused(m, jnp.float32, mode, 300)
+    md, ref, fus = solvers(m, mode)
+    b = bvec(m)
+    r0, r1 = ref(md, b), fus(md, b)
+    assert int(r1.stats.errcode) == 0
+    assert int(r1.iterations) == int(r0.iterations)
+    np.testing.assert_allclose(np.asarray(r1.x), np.asarray(r0.x),
+                               rtol=1e-6, atol=1e-7)
+    m2 = inject_bitflips(m, "ANY", 1, np.random.default_rng(6),
+                         echo=lambda s: None)
+    md2 = make_matrix_device(m2, jnp.float32)
+    r2 = fus(md2, b)
+    assert int(r2.stats.errcode) == 0
+    assert int(r2.stats.corrected_count) == 1
+    np.testing.assert_allclose(np.asarray(r2.x), np.asarray(r1.x),
+                               rtol=0, atol=0)
+
+
 @pytest.mark.parametrize("layout", ["dia", "ell", "rcm-ell", "split"])
 @pytest.mark.parametrize("mode", ["none", "sed", "sec7", "sec8", "secded"])
 def test_fused_matches_jnp_clean(mode, layout):
