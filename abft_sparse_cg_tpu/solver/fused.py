@@ -137,6 +137,12 @@ def _plan(mat, mode, precond=False, force_streaming=False):
             return None
         S0 = side // 128
         Hlo = Hhi = -(-S0 // 8) * 8
+        if rolled:
+            # The batched window scan (_rolled_window_gather) reads 8
+            # rows per round, up to 7 past the window top — widen the
+            # upper halo so those reads stay in-bounds (hi < WROWS
+            # masks their values out).
+            Hhi += 8
         D = mat.K
         offsets = None
         # vals + gather indices (always streamed) + streamed words.
@@ -148,8 +154,16 @@ def _plan(mat, mode, precond=False, force_streaming=False):
         PACK = 1 if rolled else max(1, 8 // D)
     else:
         return None
+    # Chunk candidates, largest-fitting first: every chunk body pays a
+    # fixed ~0.25 us of DMA/loop overhead, so fewer/bigger chunks win.
+    # The ELL kernel's row-group loop UNROLLS per chunk row (ROWS
+    # shuffle bodies), so its chunk is capped at 8192 (64 groups) to
+    # bound Mosaic code size / compile time; the DIA stencil computes
+    # whole chunks in D vector ops, so its code size is C-independent.
+    cands = ((65536, 32768, 16384, 8192, 4096, 2048, 1024)
+             if mat.exec_kind == "dia" else (8192, 4096, 2048, 1024))
     C = None
-    for c in (8192, 4096, 2048, 1024):
+    for c in cands:
         if R % c == 0:
             C = c
             break
@@ -188,14 +202,14 @@ def _plan(mat, mode, precond=False, force_streaming=False):
             streaming = True
             C, ROWS = None, None
     if streaming:
-        # The streaming tier wants the LARGEST chunk that fits: each
-        # chunk body pays a fixed ~0.25 us of DMA/loop overhead, and at
-        # C=8192 an 8.19M-row solve runs ~3000 chunk bodies per
-        # iteration across the phases — overhead exceeded the stream
-        # time itself (measured 1069 us/iter for mode none vs a ~320 us
-        # traffic bound).  fits_streaming() downsizes C for big-D (ELL)
-        # matrices where the plane buffers would blow the VMEM budget.
-        for c in (65536, 32768, 16384, 8192, 4096, 2048, 1024):
+        # Same largest-chunk-first rule (the overhead bite is worst
+        # here: at C=8192 an 8.19M-row solve ran ~3000 chunk bodies per
+        # iteration across the phases and the overhead exceeded the
+        # stream time — 1069 us/iter for mode none vs a ~320 us traffic
+        # bound).  fits_streaming() downsizes C for big-D (ELL)
+        # matrices where the plane buffers would blow the VMEM budget;
+        # the ELL code-size cap applies as above.
+        for c in cands:
             if R % c == 0:
                 C = c
                 break
@@ -214,6 +228,32 @@ def _plan(mat, mode, precond=False, force_streaming=False):
                 Hhi=Hhi, S0=S0, WROWS=WROWS, PACK=PACK, rolled=rolled,
                 precond=precond, streaming=streaming,
                 use_parity=use_parity, use_cksum=use_cksum)
+
+
+def _rolled_window_gather(pl, p_ref, base, lo, hi, D, WROWS):
+    """Window gather past the unrolled cap, batched 8 rows per round.
+
+    One dynamic (8, 128) read from the resident p per ``fori_loop``
+    round, then 8 static broadcast/shuffle/select subrounds.  The
+    original one-row-per-round loop paid ~8x its VPU work in loop issue
+    + dynamic-slice overhead (measured 26 ms/iter at band=2499 /
+    N=819k vs ~3.3 ms of select work).  The final round may read up to
+    7 rows past the window top; the plan widens Hhi by 8 for that, and
+    ``hi < WROWS`` guarantees no lane selects the overrun rows.
+    """
+    WR8 = -(-WROWS // 8)
+
+    def wround(s8, xg):
+        s0 = s8 * 8
+        win8 = p_ref[pl.ds(base + s0, 8), :]
+        for t in range(8):
+            tbl = jnp.broadcast_to(win8[t:t + 1, :], (D, 128))
+            cand = jnp.take_along_axis(tbl, lo, axis=1)
+            xg = jnp.where(hi == s0 + t, cand, xg)
+        return xg
+
+    return jax.lax.fori_loop(0, WR8, wround,
+                             jnp.zeros((D, 128), jnp.float32))
 
 
 def _plan_split(mat, mode, precond):
@@ -261,7 +301,7 @@ def _plan_split(mat, mode, precond):
         C //= 2
     mp = dict(mp)
     mp.update(C=C, ROWS=C // 128, G=mp["R"] // C)
-    if max(Hlo, Hhi) > mp["ROWS"]:
+    if max(Hlo, Hhi) > mp["ROWS"] and not mp.get("rolled"):
         return None
     mp["tail"] = dict(rows=tuple(rows), starts=tuple(starts), S=S,
                       SR=S // 128, E=E, EP=EP, ER=EP // 128, T=T,
@@ -438,12 +478,17 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
             # vectors (FMA / XOR / OR per chunk) and reduce to scalars
             # ONCE per iteration: a cross-lane reduction per chunk is a
             # VPU pipeline stall, and G can be ~100 chunks.
+            # The cksum accumulators for all W word planes live in ONE
+            # stacked (W, ROWS, 128) carry, not W separate arrays: with
+            # the rolled gather's nested fori_loop inside the chunk
+            # loop, >=4 separate loop carries crashed the TPU worker at
+            # G >= 60 (a Mosaic lowering fault; sed's single big parity
+            # carry at G=100 was always fine).
             acc0 = [jnp.zeros((ROWS, 128), jnp.float32)]       # pw
             if NW and use_parity:
                 acc0.append(jnp.zeros((D, ROWS, 128), jnp.uint32))
             if NW and use_cksum:
-                acc0 += [jnp.zeros((ROWS, 128), jnp.uint32)
-                         for _ in range(W)]
+                acc0.append(jnp.zeros((W, ROWS, 128), jnp.uint32))
 
             def chunk(ci, acc):
                 acc = list(acc)
@@ -475,19 +520,12 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
                         loc = gbuf[slot][j]       # (PACK*D, 128) int32
                         hi = loc >> 7
                         lo = loc & 127
-                        xg = jnp.zeros((PACK * D, 128), jnp.float32)
                         if rolled:
-                            base = row0 + Hlo - S0 + j
-
-                            def wround(s, xg, lo=lo, hi=hi, base=base):
-                                rowv = p_ref[pl.ds(base + s, 1), :]
-                                tbl = jnp.broadcast_to(rowv, (D, 128))
-                                cand = jnp.take_along_axis(tbl, lo,
-                                                           axis=1)
-                                return jnp.where(hi == s, cand, xg)
-
-                            xg = jax.lax.fori_loop(0, WROWS, wround, xg)
+                            xg = _rolled_window_gather(
+                                pl, p_ref, row0 + Hlo - S0 + j, lo, hi,
+                                D, WROWS)
                         else:
+                            xg = jnp.zeros((PACK * D, 128), jnp.float32)
                             for s in range(WROWS):
                                 t0 = Hlo - S0 + j * PACK + s
                                 if PACK == 1:
@@ -535,11 +573,13 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
                             & np.uint32(1))
                         k += 1
                     if use_cksum:
+                        reds = []
                         for wi in range(W):
                             red = words[wi][0]        # (ROWS, 128)
                             for d in range(1, D):
                                 red = red ^ words[wi][d]
-                            acc[k + wi] = acc[k + wi] ^ red
+                            reds.append(red)
+                        acc[k] = acc[k] ^ jnp.stack(reds, axis=0)
                 return tuple(acc)
 
             accs = jax.lax.fori_loop(0, G, chunk, tuple(acc0))
@@ -552,7 +592,7 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
             if NW and use_cksum:
                 lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
                 for wi in range(W):
-                    f8 = _xor_fold_rows(accs[k + wi], to=8)  # (8, 128)
+                    f8 = _xor_fold_rows(accs[k][wi], to=8)  # (8, 128)
                     # Aligned 8-lane-block XOR via rotate-halvings
                     # (Mosaic has no cross-lane reduce_xor): after
                     # rolls 4/2/1, lanes == 7 (mod 8) hold each aligned
@@ -914,12 +954,14 @@ def _make_streaming_kernel(plan, mode, conv, trace_len, interpret):
             # ---- phase 1: w = A p, live detection, w -> HBM ----------
             for d in get_dmas(0, 0):
                 d.start()
+            # One stacked cksum carry — see the resident kernel's note
+            # (>=4 separate carries + the rolled inner loop crashed the
+            # TPU worker at G >= 60).
             acc0 = [jnp.zeros((ROWS, 128), jnp.float32)]       # pw
             if NW and use_parity:
                 acc0.append(jnp.zeros((D, ROWS, 128), jnp.uint32))
             if NW and use_cksum:
-                acc0 += [jnp.zeros((ROWS, 128), jnp.uint32)
-                         for _ in range(W)]
+                acc0.append(jnp.zeros((W, ROWS, 128), jnp.uint32))
 
             def chunk1(ci, acc):
                 acc = list(acc)
@@ -946,19 +988,12 @@ def _make_streaming_kernel(plan, mode, conv, trace_len, interpret):
                         loc = gbuf[slot][j]
                         hi = loc >> 7
                         lo = loc & 127
-                        xg = jnp.zeros((PACK * D, 128), jnp.float32)
                         if rolled:
-                            base = row0 + Hlo - S0 + j
-
-                            def wround(s, xg, lo=lo, hi=hi, base=base):
-                                rowv = p_ref[pl.ds(base + s, 1), :]
-                                tbl = jnp.broadcast_to(rowv, (D, 128))
-                                cand = jnp.take_along_axis(tbl, lo,
-                                                           axis=1)
-                                return jnp.where(hi == s, cand, xg)
-
-                            xg = jax.lax.fori_loop(0, WROWS, wround, xg)
+                            xg = _rolled_window_gather(
+                                pl, p_ref, row0 + Hlo - S0 + j, lo, hi,
+                                D, WROWS)
                         else:
+                            xg = jnp.zeros((PACK * D, 128), jnp.float32)
                             for s in range(WROWS):
                                 t0 = Hlo - S0 + j * PACK + s
                                 if PACK == 1:
@@ -999,11 +1034,13 @@ def _make_streaming_kernel(plan, mode, conv, trace_len, interpret):
                             & np.uint32(1))
                         k += 1
                     if use_cksum:
+                        reds = []
                         for wi in range(W):
                             red = words[wi][0]
                             for d in range(1, D):
                                 red = red ^ words[wi][d]
-                            acc[k + wi] = acc[k + wi] ^ red
+                            reds.append(red)
+                        acc[k] = acc[k] ^ jnp.stack(reds, axis=0)
                 return tuple(acc)
 
             accs = jax.lax.fori_loop(0, G, chunk1, tuple(acc0))
@@ -1019,7 +1056,7 @@ def _make_streaming_kernel(plan, mode, conv, trace_len, interpret):
             if NW and use_cksum:
                 lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
                 for wi in range(W):
-                    f8 = _xor_fold_rows(accs[k + wi], to=8)
+                    f8 = _xor_fold_rows(accs[k][wi], to=8)
                     for r in (4, 2, 1):
                         f8 = f8 ^ pltpu.roll(f8, r, 1)
                     bad = (f8 != ckall[wi]) & (lane8 % 8 == 7)
