@@ -37,8 +37,9 @@ shifted-block-input machinery becomes unnecessary) and the gather
 indices pre-localized/pre-clamped once per solve in XLA.
 
 Envelope (``supports_fused``): DIA or banded-ELL layout (K <= 64;
-band <= 1920 unrolled, <= 16256 via the rolled window scan — a
-fori_loop over window rows with dynamic reads of the resident p),
+band <= 1920 unrolled, <= 16256 via the absolute-row window scan —
+one static pass over the chunk's extended p rows, selecting each row
+into the groups whose windows contain it (_absolute_window_scan)),
 float32, R % 1024 == 0, every mode incl. the constraints lazy
 schedule (index-word checksum scan in-kernel), standard CG —
 unpreconditioned or Jacobi (``precond=True`` keeps M^-1 as a fifth
@@ -137,20 +138,15 @@ def _plan(mat, mode, precond=False, force_streaming=False):
             return None
         S0 = side // 128
         Hlo = Hhi = -(-S0 // 8) * 8
-        if rolled:
-            # The batched window scan (_rolled_window_gather) reads 8
-            # rows per round, up to 7 past the window top — widen the
-            # upper halo so those reads stay in-bounds (hi < WROWS
-            # masks their values out).
-            Hhi += 8
         D = mat.K
         offsets = None
         # vals + gather indices (always streamed) + streamed words.
         nstreams = 2 + NW
         # Sublane packing: a (K, 128) shuffle op uses K of the VPU's 8
         # sublanes; process PACK row groups per op so small-K matrices
-        # fill them (tridiagonal K=3 -> (6, 128) ops).  The rolled scan
-        # reads one dynamic p row per round, so it keeps PACK = 1.
+        # fill them (tridiagonal K=3 -> (6, 128) ops).  The rolled
+        # (absolute-scan) tier operates on whole-chunk (ROWS*D, 128)
+        # tiles, so packing is moot there; it keeps PACK = 1.
         PACK = 1 if rolled else max(1, 8 // D)
     else:
         return None
@@ -180,9 +176,16 @@ def _plan(mat, mode, precond=False, force_streaming=False):
     # adds the resident M^-1 diagonal and the z = M^-1 r temporary.
     NV = 8 if precond else 6
 
+    # The rolled absolute scan adds a gathered-x chunk accumulator in
+    # scratch plus two chunk-sized hi/lo index values the compiler
+    # spills to VMEM across the scan bodies — charge 3 extra chunk
+    # planes in both tiers.
+
     def fits(C):
         vecs = (NV * RR + Hlo + Hhi) * 128 * 4
         bufs = 2 * nstreams * D * C * 4
+        if rolled:
+            bufs += 3 * D * C * 4
         return vecs + bufs <= _VMEM_BUDGET
 
     def fits_streaming(C):
@@ -191,6 +194,8 @@ def _plan(mat, mode, precond=False, force_streaming=False):
         # (2 slots each) and the minv chunks of the Jacobi variant.
         vecs = (2 * RR + Hlo + Hhi) * 128 * 4
         bufs = 2 * (nstreams + 3 + (1 if precond else 0)) * max(D, 1) * C * 4
+        if rolled:
+            bufs += 3 * D * C * 4
         return vecs + bufs <= _VMEM_BUDGET
 
     streaming = bool(force_streaming)
@@ -230,30 +235,33 @@ def _plan(mat, mode, precond=False, force_streaming=False):
                 use_parity=use_parity, use_cksum=use_cksum)
 
 
-def _rolled_window_gather(pl, p_ref, base, lo, hi, D, WROWS):
-    """Window gather past the unrolled cap, batched 8 rows per round.
+def _absolute_window_scan(loc, xacc, ext, Hlo, S0, ROWS, WROWS, D):
+    """Wide-band window gather as ONE static pass over the chunk's
+    extended p rows (the rolled tier's gather).
 
-    One dynamic (8, 128) read from the resident p per ``fori_loop``
-    round, then 8 static broadcast/shuffle/select subrounds.  The
-    original one-row-per-round loop paid ~8x its VPU work in loop issue
-    + dynamic-slice overhead (measured 26 ms/iter at band=2499 /
-    N=819k vs ~3.3 ms of select work).  The final round may read up to
-    7 rows past the window top; the plan widens Hhi by 8 for that, and
-    ``hi < WROWS`` guarantees no lane selects the overrun rows.
+    Indices arrive pre-localized to chunk-extended row coordinates
+    (``hi`` == ext row, derive()), so every 128-lane row group's window
+    scan collapses into EXT = ROWS + WROWS - 1 static bodies: body e
+    broadcasts ext row e once and selects it into exactly the groups
+    whose windows contain e — a static slice [g0*D, g1*D) of the
+    (ROWS*D, 128) gather accumulator.  Total select work equals the
+    unrolled tier's (each (group, window-row) pair touched once), with
+    no fori rounds and no dynamic reads: the prior batched rolled scan
+    paid ~8x its VPU work in loop issue + dynamic-slice overhead
+    (6.5 ms/iter at band=2499 / N=819k vs ~0.5 ms of select work).
     """
-    WR8 = -(-WROWS // 8)
-
-    def wround(s8, xg):
-        s0 = s8 * 8
-        win8 = p_ref[pl.ds(base + s0, 8), :]
-        for t in range(8):
-            tbl = jnp.broadcast_to(win8[t:t + 1, :], (D, 128))
-            cand = jnp.take_along_axis(tbl, lo, axis=1)
-            xg = jnp.where(hi == s0 + t, cand, xg)
-        return xg
-
-    return jax.lax.fori_loop(0, WR8, wround,
-                             jnp.zeros((D, 128), jnp.float32))
+    hi = loc >> 7                           # loc: (ROWS*D, 128) int32
+    lo = loc & 127
+    e0 = Hlo - S0
+    xacc[...] = jnp.zeros((ROWS * D, 128), jnp.float32)
+    for e in range(e0, e0 + ROWS + WROWS - 1):
+        g0 = max(0, e - e0 - (WROWS - 1))
+        g1 = min(ROWS, e - e0 + 1)
+        sl = slice(g0 * D, g1 * D)
+        tbl = jnp.broadcast_to(ext[e:e + 1, :], ((g1 - g0) * D, 128))
+        cand = jnp.take_along_axis(tbl, lo[sl], axis=1)
+        xacc[sl, :] = jnp.where(hi[sl] == e, cand, xacc[sl, :])
+    return xacc[...]
 
 
 def _plan_split(mat, mode, precond):
@@ -294,6 +302,8 @@ def _plan_split(mat, mode, precond):
     while True:
         vecs = (NV * RR + Hlo + Hhi) * 128 * 4
         bufs = 2 * nstreams * D * C * 4
+        if mp.get("rolled"):
+            bufs += 3 * D * C * 4   # xacc scratch + hi/lo spill
         if vecs + bufs + tail_bytes <= _VMEM_BUDGET:
             break
         if C <= 1024:
@@ -397,10 +407,13 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
         if precond:
             m_ref = refs[k]
             k += 1
-        gbuf = wtmp = None
+        gbuf = wtmp = xacc = None
         if is_ell:
             gbuf, wtmp = refs[k], refs[k + 1]
             k += 2
+            if rolled:
+                xacc = refs[k]
+                k += 1
         if NW:
             wbuf = refs[k]
             k += 1
@@ -445,7 +458,10 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
             if is_ell:
                 # Row-major streams: chunk row groups lead, so each
                 # PACK-group is a static (PACK*D, 128) slice in-kernel.
-                RP = ROWS // PACK
+                # The rolled tier streams flat (ROWS*D, 128) chunk
+                # planes instead (same bytes, 2-D blocks for the
+                # absolute window scan).
+                RP = ROWS * D if rolled else ROWS // PACK
                 dmas = [pltpu.make_async_copy(
                     vals_hbm.at[pl.ds(ci * RP, RP)],
                     vbuf.at[slot], sems.at[3 + slot]),
@@ -511,20 +527,26 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
                     # PACK row groups share each (PACK*D, 128) op: the
                     # lane shuffle acts per sublane row, so pack slot p
                     # just needs ITS window row in its tbl rows.
-                    # Past the unrolled cap (``rolled``) the scan runs
-                    # as a fori_loop reading each window row from p_ref
-                    # with a dynamic sublane slice — the wide-band tier
-                    # (band <= 8064), cost still ~4 VPU ops per entry
-                    # per OCCUPIED window row.
-                    for j in range(ROWS // PACK):
-                        loc = gbuf[slot][j]       # (PACK*D, 128) int32
-                        hi = loc >> 7
-                        lo = loc & 127
-                        if rolled:
-                            xg = _rolled_window_gather(
-                                pl, p_ref, row0 + Hlo - S0 + j, lo, hi,
-                                D, WROWS)
-                        else:
+                    # Past the unrolled cap (``rolled``) indices are
+                    # chunk-absolute and the scan runs as ONE static
+                    # ext-row pass over the whole chunk — the wide-band
+                    # tier (band <= 16256), same select work as here in
+                    # EXT static bodies (_absolute_window_scan).
+                    if rolled:
+                        xg = _absolute_window_scan(
+                            gbuf[slot], xacc, ext, Hlo, S0, ROWS,
+                            WROWS, D)
+                        prod = vbuf[slot][...] * xg
+                        for j in range(ROWS):
+                            wtmp[j:j + 1, :] = jnp.sum(
+                                prod[j * D:(j + 1) * D], axis=0,
+                                keepdims=True)
+                        w = wtmp[...]
+                    else:
+                        for j in range(ROWS // PACK):
+                            loc = gbuf[slot][j]   # (PACK*D, 128) int32
+                            hi = loc >> 7
+                            lo = loc & 127
                             xg = jnp.zeros((PACK * D, 128), jnp.float32)
                             for s in range(WROWS):
                                 t0 = Hlo - S0 + j * PACK + s
@@ -540,12 +562,12 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
                                 cand = jnp.take_along_axis(tbl, lo,
                                                            axis=1)
                                 xg = jnp.where(hi == s, cand, xg)
-                        prod = vbuf[slot][j] * xg
-                        for p in range(PACK):
-                            wtmp[j * PACK + p:j * PACK + p + 1, :] = (
-                                jnp.sum(prod[p * D:(p + 1) * D], axis=0,
-                                        keepdims=True))
-                    w = wtmp[...]
+                            prod = vbuf[slot][j] * xg
+                            for p in range(PACK):
+                                wtmp[j * PACK + p:j * PACK + p + 1, :] = (
+                                    jnp.sum(prod[p * D:(p + 1) * D],
+                                            axis=0, keepdims=True))
+                        w = wtmp[...]
                 else:
                     w = jnp.zeros((ROWS, 128), jnp.float32)
                     for d, off in enumerate(offsets):
@@ -750,7 +772,8 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
         args += [jnp.stack([rr, rz]).astype(jnp.float32),
                  jnp.reshape(itr, (1,)).astype(jnp.int32),
                  jnp.reshape(upto, (1,)).astype(jnp.int32)]
-        ebuf = (2, ROWS // PACK, PACK * D, 128)
+        ebuf = ((2, ROWS * D, 128) if rolled
+                else (2, ROWS // PACK, PACK * D, 128))
         scratch = [
             pltpu.VMEM((PR, 128), jnp.float32),        # p (haloed)
             pltpu.VMEM((RR, 128), jnp.float32),        # r
@@ -764,6 +787,8 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
         if is_ell:
             scratch.append(pltpu.VMEM(ebuf, jnp.int32))
             scratch.append(pltpu.VMEM((ROWS, 128), jnp.float32))
+            if rolled:
+                scratch.append(pltpu.VMEM((ROWS * D, 128), jnp.float32))
         if NW:
             scratch.append(pltpu.VMEM((2, W, D, ROWS, 128), jnp.uint32))
         if tail:
@@ -870,10 +895,13 @@ def _make_streaming_kernel(plan, mode, conv, trace_len, interpret):
         p_ref, r_ref = refs[k], refs[k + 1]
         vbuf = refs[k + 2]
         k += 3
-        gbuf = None
+        gbuf = xacc = None
         if is_ell:
             gbuf = refs[k]
             k += 1
+            if rolled:
+                xacc = refs[k]
+                k += 1
         if NW:
             wbuf = refs[k]
             k += 1
@@ -906,7 +934,7 @@ def _make_streaming_kernel(plan, mode, conv, trace_len, interpret):
 
         def get_dmas(slot, ci):
             if is_ell:
-                RP = ROWS // PACK
+                RP = ROWS * D if rolled else ROWS // PACK
                 dmas = [pltpu.make_async_copy(
                     vals_hbm.at[pl.ds(ci * RP, RP)],
                     vbuf.at[slot], sems.at[3 + slot]),
@@ -984,15 +1012,20 @@ def _make_streaming_kernel(plan, mode, conv, trace_len, interpret):
                 row0 = pl.multiple_of(ci * ROWS, ROWS)
                 ext = p_ref[pl.ds(row0, ROWS + Hlo + Hhi), :]
                 if is_ell:
-                    for j in range(ROWS // PACK):
-                        loc = gbuf[slot][j]
-                        hi = loc >> 7
-                        lo = loc & 127
-                        if rolled:
-                            xg = _rolled_window_gather(
-                                pl, p_ref, row0 + Hlo - S0 + j, lo, hi,
-                                D, WROWS)
-                        else:
+                    if rolled:
+                        xg = _absolute_window_scan(
+                            gbuf[slot], xacc, ext, Hlo, S0, ROWS,
+                            WROWS, D)
+                        prod = vbuf[slot][...] * xg
+                        for j in range(ROWS):
+                            wcb[slot, j:j + 1, :] = jnp.sum(
+                                prod[j * D:(j + 1) * D], axis=0,
+                                keepdims=True)
+                    else:
+                        for j in range(ROWS // PACK):
+                            loc = gbuf[slot][j]
+                            hi = loc >> 7
+                            lo = loc & 127
                             xg = jnp.zeros((PACK * D, 128), jnp.float32)
                             for s in range(WROWS):
                                 t0 = Hlo - S0 + j * PACK + s
@@ -1008,11 +1041,12 @@ def _make_streaming_kernel(plan, mode, conv, trace_len, interpret):
                                 cand = jnp.take_along_axis(tbl, lo,
                                                            axis=1)
                                 xg = jnp.where(hi == s, cand, xg)
-                        prod = vbuf[slot][j] * xg
-                        for p in range(PACK):
-                            wcb[slot, j * PACK + p:j * PACK + p + 1, :] = (
-                                jnp.sum(prod[p * D:(p + 1) * D], axis=0,
-                                        keepdims=True))
+                            prod = vbuf[slot][j] * xg
+                            for p in range(PACK):
+                                wcb[slot,
+                                    j * PACK + p:j * PACK + p + 1, :] = (
+                                    jnp.sum(prod[p * D:(p + 1) * D],
+                                            axis=0, keepdims=True))
                     w = wcb[slot]
                 else:
                     w = jnp.zeros((ROWS, 128), jnp.float32)
@@ -1214,7 +1248,8 @@ def _make_streaming_kernel(plan, mode, conv, trace_len, interpret):
         args += [jnp.stack([rr, rz]).astype(jnp.float32),
                  jnp.reshape(itr, (1,)).astype(jnp.int32),
                  jnp.reshape(upto, (1,)).astype(jnp.int32)]
-        ebuf = (2, ROWS // PACK, PACK * D, 128)
+        ebuf = ((2, ROWS * D, 128) if rolled
+                else (2, ROWS // PACK, PACK * D, 128))
         scratch = [
             pltpu.VMEM((PR, 128), jnp.float32),        # p (haloed)
             pltpu.VMEM((RR, 128), jnp.float32),        # r
@@ -1223,6 +1258,8 @@ def _make_streaming_kernel(plan, mode, conv, trace_len, interpret):
         ]
         if is_ell:
             scratch.append(pltpu.VMEM(ebuf, jnp.int32))
+            if rolled:
+                scratch.append(pltpu.VMEM((ROWS * D, 128), jnp.float32))
         if NW:
             scratch.append(pltpu.VMEM((2, W, D, ROWS, 128), jnp.uint32))
         scratch.append(pltpu.VMEM((2, ROWS, 128), jnp.float32))  # wcb
@@ -1274,7 +1311,8 @@ def make_fused_continue(mat, mode, conv_threshold, trace_rr=True,
     RR, G, C, W, NW = (plan[k] for k in ("RR", "G", "C", "W", "NW"))
     SW = plan["SW"]
     D, is_ell, S0, WROWS = (plan[k] for k in ("D", "kind", "S0", "WROWS"))
-    PACK = plan["PACK"]
+    PACK, Hlo, ROWS = plan["PACK"], plan["Hlo"], plan["ROWS"]
+    rolled = plan.get("rolled", False)
     is_ell = is_ell == "ell"
     tail = plan.get("tail")
     # The main-layout machinery reads the split's main part; md arrives
@@ -1331,7 +1369,18 @@ def make_fused_continue(mat, mode, conv_threshold, trace_rr=True,
             rowblk = (jnp.arange(plan["R"], dtype=jnp.int32) >> 7) << 7
             local = g.astype(jnp.int32) + (S0 * 128 - rowblk)[None, :]
             local = jnp.clip(local, 0, WROWS * 128 - 1)
-            gsrc = pack(local)
+            if rolled:
+                # Absolute-scan tier: re-base each group's window-local
+                # index onto its chunk-extended row coordinate e =
+                # Hlo - S0 + (group within chunk) + window row, and
+                # stream flat (ROWS*D, 128) chunk planes (same bytes,
+                # 2-D blocks for _absolute_window_scan).
+                grp = (jnp.arange(plan["R"], dtype=jnp.int32) >> 7) % ROWS
+                local = local + ((Hlo - S0 + grp) * 128)[None, :]
+                gsrc = pack(local).reshape(RR * D, 128)
+                vals3 = vals3.reshape(RR * D, 128)
+            else:
+                gsrc = pack(local)
         else:
             vals3 = md.values.reshape(D, RR, 128)
         if not NW:

@@ -425,8 +425,9 @@ def wideband_matrix(mode, n=4096, b=2500, k=3, seed=2):
 
 @pytest.mark.parametrize("mode", ["none", "secded"])
 def test_fused_rolled_wideband_matches_jnp(mode):
-    """Band > 1920: the megakernel's rolled window scan (dynamic p-row
-    reads) replaces the unrolled shuffle — same iterates as jnp."""
+    """Band > 1920: the megakernel's absolute-row window scan replaces
+    the unrolled shuffle — same iterates as jnp.  WROWS (41) exceeds
+    the chunk height (ROWS = 32), covering windows wider than a chunk."""
     from abft_sparse_cg_tpu.solver.fused import _plan
 
     m = wideband_matrix(mode)
@@ -437,6 +438,24 @@ def test_fused_rolled_wideband_matches_jnp(mode):
     b = bvec(m)
     r0, r1 = ref(md, b), fus(md, b)
     assert int(r1.stats.errcode) == 0
+    assert int(r1.iterations) == int(r0.iterations)
+    np.testing.assert_allclose(np.asarray(r1.x), np.asarray(r0.x),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_fused_rolled_very_wide_band():
+    """WROWS well past the chunk height and deep into the rolled range
+    (band ~ 7000): the scan's ramp-up/down slices stay correct at
+    extreme geometry."""
+    from abft_sparse_cg_tpu.solver.fused import _plan
+
+    m = wideband_matrix("none", n=8192, b=7000, k=2, seed=5)
+    plan = _plan(m, "none")
+    assert plan is not None and plan["rolled"]
+    assert plan["WROWS"] > plan["ROWS"] + 32, (plan["WROWS"], plan["ROWS"])
+    md, ref, fus = solvers(m, "none", max_itrs=60)
+    b = bvec(m)
+    r0, r1 = ref(md, b), fus(md, b)
     assert int(r1.iterations) == int(r0.iterations)
     np.testing.assert_allclose(np.asarray(r1.x), np.asarray(r0.x),
                                rtol=1e-6, atol=1e-7)
