@@ -55,6 +55,8 @@ back to the per-iteration kernels.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -128,12 +130,14 @@ def _plan(mat, mode, precond=False, force_streaming=False):
         if mat.K > _ELL_MAX_K:
             return None
         side, WROWS = _ell_window(mat)
-        # Windows past the unrolled cap switch to a fori_loop window
-        # scan with dynamic p-row reads (the resident p makes any row a
-        # cheap dynamic sublane slice) — the wide-band tier, up to
-        # _FUSED_MAX_WROWS (band <= 8064).  Unrolling 100+ shuffle
-        # rounds per lane group would explode Mosaic compile time.
-        rolled = WROWS > _ELL_MAX_WROWS
+        # Windows past the unrolled cap switch to the absolute-row
+        # static window scan (_absolute_window_scan) — the wide-band
+        # tier, up to _FUSED_MAX_WROWS (band <= 16256).  Unrolling
+        # 100+ shuffle rounds per lane group would explode Mosaic
+        # compile time.  ABFT_FUSED_ABS_SCAN=1 forces the scan for
+        # narrow bands too (A/B benching vs the unrolled shuffle).
+        rolled = (WROWS > _ELL_MAX_WROWS
+                  or bool(os.environ.get("ABFT_FUSED_ABS_SCAN")))
         if WROWS > _FUSED_MAX_WROWS:
             return None
         S0 = side // 128

@@ -461,6 +461,47 @@ def test_fused_rolled_very_wide_band():
                                rtol=1e-6, atol=1e-7)
 
 
+def test_fused_rolled_split_main():
+    """Bordered matrix whose banded core is ALSO wide-band: the split
+    megakernel runs with a rolled (absolute-scan) main + span-window
+    tail in one pallas_call, matching jnp and correcting a fault."""
+    from abft_sparse_cg_tpu.solver.fused import _plan
+
+    rng = np.random.default_rng(3)
+    n = 4096
+    rows, cols = [np.arange(n)], [np.arange(n)]
+    for _ in range(3):
+        d = rng.integers(1, 2500, n)
+        i = np.arange(n)
+        keep = i + d < n
+        rows.append((i + d)[keep])
+        cols.append(i[keep])
+    for br in (5, 60):    # two dense border rows
+        c = rng.choice(n, 400, replace=False)
+        rows.append(np.full(400, br))
+        cols.append(c)
+    rows, cols = np.concatenate(rows), np.concatenate(cols)
+    vals = np.where(rows == cols, 200.0, -1.0)
+    a = assemble(cols, rows, vals, n, 1)
+    m = build_protected("csr", a, "secded", reorder="none")
+    assert m.exec_kind == "split"
+    plan = _plan(m, "secded")
+    assert plan is not None and plan["rolled"]
+    md, ref, fus = solvers(m, "secded")
+    b = bvec(m)
+    r0, r1 = ref(md, b), fus(md, b)
+    assert int(r1.stats.errcode) == 0
+    assert int(r1.iterations) == int(r0.iterations)
+    np.testing.assert_allclose(np.asarray(r1.x), np.asarray(r0.x),
+                               rtol=1e-6, atol=1e-7)
+    m2 = inject_bitflips(m, "ANY", 1, np.random.default_rng(9),
+                         echo=lambda s: None)
+    r2 = fus(make_matrix_device(m2, jnp.float32), b)
+    assert int(r2.stats.errcode) == 0
+    assert int(r2.stats.corrected_count) == 1
+    np.testing.assert_array_equal(np.asarray(r2.x), np.asarray(r1.x))
+
+
 def test_fused_rolled_corrects_fault():
     m = wideband_matrix("secded")
     md, _, fus = solvers(m, "secded")
