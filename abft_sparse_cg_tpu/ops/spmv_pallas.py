@@ -91,7 +91,10 @@ _ELL_MAX_K = 64      # ELL slots: the lane-shuffle gathers act on whole
 #                      (K, 128) tiles, so K only costs sublanes/VMEM —
 #                      beyond this, padding waste (every row pays K
 #                      slots) argues for a tail split instead (roadmap)
-_ELL_MAX_WROWS = 31  # window rows per 128-lane group (band <= 1920)
+_ELL_MAX_WROWS = 31  # unrolled-shuffle cap (band <= 1920); past it the
+#                      kernel rides the wideband absolute-row scan
+_ELL_WIDE_MAX_WROWS = 255  # wideband-tier cap (band <= 16256, matching
+#                            the fused megakernel's _FUSED_MAX_WROWS)
 
 
 def _ell_window(mat):
@@ -112,7 +115,7 @@ def _ellb_ok(mat) -> bool:
     if mat.R % 128 or not _ell_chunk(mat.R):
         return False
     _, wrows = _ell_window(mat)
-    return wrows <= _ELL_MAX_WROWS
+    return wrows <= _ELL_WIDE_MAX_WROWS
 
 
 def supports(mat, dtype) -> bool:
@@ -488,18 +491,29 @@ def _make_ellb_fast(mat, mode, interpret, halo=False, with_base=False):
     LG = CR // 128            # 128-lane row groups per chunk
     SIDE, WROWS = _ell_window(mat)
     S0 = SIDE // 128
+    # Past the unrolled cap the kernel switches to the WIDEBAND tier:
+    # group-major vals/gather chunk planes + the absolute-row static
+    # window scan (the design of solver.fused._absolute_window_scan) —
+    # one static pass over the chunk's LG + WROWS - 1 window rows,
+    # each row selected into just the lane groups whose windows
+    # contain it.  Same select work as the unrolled shuffle, far fewer
+    # static bodies (LG + WROWS - 1 vs LG * WROWS).  The group-major
+    # repack + index localization run in XLA once per call — they are
+    # loop-invariant, so solver while-loops hoist them out.
+    wide = WROWS > _ELL_MAX_WROWS
 
     # Gather-index source: the pre-derived exec plane when an RCM
     # permutation is active, else the stored codeword word (masked
     # in-kernel for ECC modes — reference CSR/CPUContext.cpp:237).
     # When the detection signals already bring every word plane into
     # VMEM (NW > 0), the gather word is reused from there instead of
-    # being passed (and read from HBM) a second time.
+    # being passed (and read from HBM) a second time (lane-major tier
+    # only: the wideband tier's gather plane is group-major).
     gather_w = layout.word_names.index(mat.ell_gather_word)
     mask_ecc = (mat.ell_gather_word == "col"
                 and mode in ("sed", "sec7", "sec8", "secded"))
     has_gidx = mat.perm is not None
-    gsrc_in_words = (not has_gidx) and gather_w in SW
+    gsrc_in_words = (not wide) and (not has_gidx) and gather_w in SW
 
     # The per-chunk x windows overlap (each lane group reads WROWS rows
     # around itself), which plain BlockSpecs cannot express.  Instead x
@@ -517,7 +531,7 @@ def _make_ellb_fast(mat, mode, interpret, halo=False, with_base=False):
         #       accumulate as VMEM lane vectors across the sequential
         #       grid steps; scalar folds happen in XLA after the call
         #       (a cross-lane reduction per chunk is a VPU stall).
-        if with_base:
+        if with_base and not wide:
             base_ref = refs[0]  # (1,) int32 in SMEM: shard row offset
             refs = refs[1:]
         word_refs = refs[:NW]
@@ -547,46 +561,72 @@ def _make_ellb_fast(mat, mode, interpret, halo=False, with_base=False):
             """Static window row t of this chunk -> (1, 128)."""
             return xparts[t // LG][t % LG:t % LG + 1, :]
 
-        g = gsrc_ref[...]
-        if not has_gidx:
-            if mask_ecc:
-                g = g & np.uint32(ECC_COL_MASK)
-            g = jax.lax.bitcast_convert_type(g, jnp.int32)
-        if with_base:
-            g = g - base_ref[0]  # global -> shard-local source rows
-        vals = vals_ref[...]
+        if wide:
+            # Wideband tier: indices arrive pre-localized to chunk
+            # window-row coordinates (hi == window row e such that
+            # group j's window is e in [j, j + WROWS)), group-major.
+            xacc = refs[-1]       # (LG*K, 128) f32 VMEM scratch
+            loc = gsrc_ref[...]
+            hi = loc >> 7
+            lo = loc & 127
+            xacc[...] = jnp.zeros((LG * K, 128), jnp.float32)
+            for e in range(LG + WROWS - 1):
+                g0 = max(0, e - (WROWS - 1))
+                g1 = min(LG, e + 1)
+                sl = slice(g0 * K, g1 * K)
+                tbl = jnp.broadcast_to(window_row(e),
+                                       ((g1 - g0) * K, 128))
+                cand = jnp.take_along_axis(tbl, lo[sl], axis=1)
+                xacc[sl, :] = jnp.where(hi[sl] == e, cand, xacc[sl, :])
+            prod = vals_ref[...] * xacc[...]
+            pw_acc = jnp.zeros((1, 128), jnp.float32)
+            for j in range(LG):
+                wj = jnp.sum(prod[j * K:(j + 1) * K], axis=0,
+                             keepdims=True)
+                w_ref[j:j + 1, :] = wj
+                pw_acc = pw_acc + wj * window_row(j + S0)
+        else:
+            g = gsrc_ref[...]
+            if not has_gidx:
+                if mask_ecc:
+                    g = g & np.uint32(ECC_COL_MASK)
+                g = jax.lax.bitcast_convert_type(g, jnp.int32)
+            if with_base:
+                g = g - base_ref[0]  # global -> shard-local source rows
+            vals = vals_ref[...]
 
-        # In-window position of each entry's source row; the window for
-        # a lane group is WROWS consecutive 128-lane rows of the
-        # pre-tiled x.  Valid entries land inside by the band bound;
-        # corrupted indices are clamped (they still poison the product —
-        # detection happens on the raw planes).  The index math runs
-        # chunk-wide (full (K, CR) tiles keep the VPU lanes busy; doing
-        # it per 128-lane group measured ~35% slower).
-        iota = jax.lax.broadcasted_iota(jnp.int32, (K, CR), 1)
-        local = g - (i * CR + ((iota >> 7) << 7)) + SIDE
-        local = jnp.where(local < 0, 0, local)
-        local = jnp.where(local >= WROWS * 128, WROWS * 128 - 1, local)
-        hi_all = local >> 7
-        lo_all = local & 127
+            # In-window position of each entry's source row; the window
+            # for a lane group is WROWS consecutive 128-lane rows of the
+            # pre-tiled x.  Valid entries land inside by the band bound;
+            # corrupted indices are clamped (they still poison the
+            # product — detection happens on the raw planes).  The index
+            # math runs chunk-wide (full (K, CR) tiles keep the VPU
+            # lanes busy; per 128-lane group measured ~35% slower).
+            iota = jax.lax.broadcasted_iota(jnp.int32, (K, CR), 1)
+            local = g - (i * CR + ((iota >> 7) << 7)) + SIDE
+            local = jnp.where(local < 0, 0, local)
+            local = jnp.where(local >= WROWS * 128, WROWS * 128 - 1,
+                              local)
+            hi_all = local >> 7
+            lo_all = local & 127
 
-        # pw accumulates as a 128-lane vector, reduced ONCE per chunk
-        # (a cross-lane reduction per group is a pipeline stall).
-        pw_acc = jnp.zeros((1, 128), jnp.float32)
-        for j in range(LG):
-            cols = slice(j * 128, (j + 1) * 128)
-            hi = hi_all[:, cols]
-            lo = lo_all[:, cols]
-            xg = jnp.zeros((K, 128), jnp.float32)
-            for s in range(WROWS):
-                tbl = jnp.broadcast_to(window_row(j + s), (K, 128))
-                cand = jnp.take_along_axis(tbl, lo, axis=1)  # lane shuffle
-                xg = jnp.where(hi == s, cand, xg)
-            wj = jnp.sum(vals[:, cols] * xg, axis=0)         # (128,)
-            w_ref[cols] = wj
-            # Fused pw = dot(x, w): this group's aligned x is the
-            # window's center row — already in the window blocks.
-            pw_acc = pw_acc + wj[None, :] * window_row(j + S0)
+            # pw accumulates as a 128-lane vector, reduced ONCE per
+            # chunk (a cross-lane reduction per group is a stall).
+            pw_acc = jnp.zeros((1, 128), jnp.float32)
+            for j in range(LG):
+                cols = slice(j * 128, (j + 1) * 128)
+                hi = hi_all[:, cols]
+                lo = lo_all[:, cols]
+                xg = jnp.zeros((K, 128), jnp.float32)
+                for s in range(WROWS):
+                    tbl = jnp.broadcast_to(window_row(j + s), (K, 128))
+                    cand = jnp.take_along_axis(tbl, lo, axis=1)
+                    xg = jnp.where(hi == s, cand, xg)
+                wj = jnp.sum(vals[:, cols] * xg, axis=0)     # (128,)
+                w_ref[cols] = wj
+                # Fused pw = dot(x, w): this group's aligned x is the
+                # window's center row — already in the window blocks.
+                pw_acc = pw_acc + wj[None, :] * window_row(j + S0)
 
         @pl.when(first)
         def _():
@@ -642,16 +682,43 @@ def _make_ellb_fast(mat, mode, interpret, halo=False, with_base=False):
             (rows, cols), lambda i: (0, 0), memory_space=pltpu.VMEM)
         in_specs = []
         args = []
-        if with_base:
+        if with_base and not wide:
             in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
             args.append(jnp.asarray(base, jnp.int32).reshape(1))
         in_specs += [plane_spec] * NW
         args += [md.words[i] for i in SW]
-        in_specs.append(plane_spec)
-        args.append(md.values)
-        if not gsrc_in_words:
+        if wide:
+            # Group-major repack + window-row localization, in XLA once
+            # per call (loop-invariant => hoisted out of solver loops).
+            g = md.gidx if has_gidx else md.words[gather_w]
+            if not has_gidx:
+                if mask_ecc:
+                    g = g & np.uint32(ECC_COL_MASK)
+                g = jax.lax.bitcast_convert_type(g, jnp.int32)
+            else:
+                g = g.astype(jnp.int32)
+            if with_base:
+                g = g - jnp.asarray(base, jnp.int32)
+            row = jnp.arange(R, dtype=jnp.int32)
+            local = g + (SIDE - ((row >> 7) << 7))[None, :]
+            local = jnp.clip(local, 0, WROWS * 128 - 1)
+            loc = local + (((row >> 7) % LG) * 128)[None, :]
+            RRg = R // 128
+
+            def gm(a):
+                return (a.reshape(K, RRg, 128).transpose(1, 0, 2)
+                        .reshape(RRg * K, 128))
+
+            gm_spec = pl.BlockSpec((LG * K, 128), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)
+            in_specs += [gm_spec, gm_spec]
+            args += [gm(md.values), gm(loc)]
+        else:
             in_specs.append(plane_spec)
-            args.append(md.gidx if has_gidx else md.words[gather_w])
+            args.append(md.values)
+            if not gsrc_in_words:
+                in_specs.append(plane_spec)
+                args.append(md.gidx if has_gidx else md.words[gather_w])
         in_specs += [
             pl.BlockSpec((LG, 128), lambda i, c=c: (i + c, 0),
                          memory_space=pltpu.VMEM)
@@ -660,11 +727,14 @@ def _make_ellb_fast(mat, mode, interpret, halo=False, with_base=False):
         args += [x2] * XCOPIES
 
         out_specs = [
+            pl.BlockSpec((LG, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM) if wide else
             pl.BlockSpec((CR,), lambda i: (i,), memory_space=pltpu.VMEM),
             acc(1, 128),
         ]
         out_shape = [
-            jax.ShapeDtypeStruct((R,), jnp.float32),
+            jax.ShapeDtypeStruct((R // 128, 128), jnp.float32) if wide
+            else jax.ShapeDtypeStruct((R,), jnp.float32),
             jax.ShapeDtypeStruct((1, 128), jnp.float32),
         ]
         if use_parity:
@@ -674,15 +744,18 @@ def _make_ellb_fast(mat, mode, interpret, halo=False, with_base=False):
             out_specs.append(acc(W, CR))
             out_shape.append(jax.ShapeDtypeStruct((W, CR), jnp.uint32))
 
-        grid_spec = pl.GridSpec(grid=(G,), in_specs=in_specs,
-                                out_specs=out_specs)
         outs = pl.pallas_call(
             kernel,
-            grid_spec=grid_spec,
+            grid=(G,),
+            in_specs=in_specs,
+            out_specs=out_specs,
             out_shape=out_shape,
+            scratch_shapes=([pltpu.VMEM((LG * K, 128), jnp.float32)]
+                            if wide else []),
             interpret=interpret,
         )(*args)
-        w, pw = outs[0], jnp.sum(outs[1])
+        w = outs[0].reshape(R) if wide else outs[0]
+        pw = jnp.sum(outs[1])
         # Scalar folds + checksum compare in XLA (the expected fold is
         # loop-invariant and hoisted by the solver's while-loop);
         # granularity is whole-plane per iteration (PARITY.md).

@@ -20,7 +20,8 @@ running the kernel per shard.  Here the kernel IS the per-shard program:
     (``ops.spmv_pallas``) built at the local row count: DIA reads its
     shifted-x planes from the halo'd p (``halo=``), banded-ELL
     localizes its (global) gather indices by subtracting the shard's
-    row offset via one SMEM scalar (``with_base=``);
+    row offset via one SMEM scalar (``with_base=``; the wideband tier
+    subtracts it in its XLA index prep instead);
   - detection signals stay shard-local (checksum blocks never straddle
     a shard: local rows are a multiple of 8) and fold with one psum of
     the trigger bit; the fused pw = dot(p, w) psums the same way.

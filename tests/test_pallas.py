@@ -201,16 +201,77 @@ def test_ellb_high_k_matrix():
     np.testing.assert_allclose(np.asarray(wp), np.asarray(wj), rtol=1e-6)
 
 
+def protected_wideband(mode, n=4096, b=2500, k=3, seed=2):
+    """Uniformly wide band (random in-band neighbors) past the unrolled
+    shuffle cap — the per-iteration wideband (absolute-scan) tier."""
+    rng = np.random.default_rng(seed)
+    rows, cols = [np.arange(n)], [np.arange(n)]
+    for _ in range(k):
+        d = rng.integers(1, b, n)
+        i = np.arange(n)
+        keep = i + d < n
+        rows.append((i + d)[keep])
+        cols.append(i[keep])
+    rows, cols = np.concatenate(rows), np.concatenate(cols)
+    vals = np.where(rows == cols, 30.0, -1.0)
+    a = assemble(cols, rows, vals, n, 1)
+    m = build_protected("csr", a, mode, reorder="none")
+    assert m.exec_kind == "ell" and m.band > 1920
+    return m
+
+
+@pytest.mark.parametrize("mode", ["none", "sed", "secded"])
+def test_ellb_wideband_kernel_matches_jnp(mode):
+    """Band > 1920: the per-iteration kernel rides the absolute-row
+    window scan (group-major planes), matching jnp."""
+    from abft_sparse_cg_tpu.ops.spmv_pallas import (
+        _ELL_MAX_WROWS,
+        _ell_window,
+    )
+
+    m = protected_wideband(mode)
+    assert supports(m, jnp.float32)
+    assert _ell_window(m)[1] > _ELL_MAX_WROWS
+    md = device_matrix(m)
+    x = jnp.asarray(RNG.random(m.R), jnp.float32)
+    impl_p = make_pallas_spmv(m, jnp.float32, mode, interpret=True)
+    impl_j = make_spmv(m, jnp.float32, mode)
+    if mode == "none":
+        wp, _ = jax.jit(impl_p.full)(md, x)
+        wj, _ = jax.jit(impl_j.full)(md, x)
+    else:
+        wp, trig_p = jax.jit(impl_p.fast)(md, x)
+        wj, trig_j = jax.jit(impl_j.fast)(md, x)
+        assert not bool(trig_p) and not bool(trig_j)
+    # The scan's per-group slot sums and XLA's tree reduce reassociate
+    # differently (1-2 ulp; small-magnitude entries need the atol), as
+    # in the high-K case above.
+    np.testing.assert_allclose(np.asarray(wp), np.asarray(wj),
+                               rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("mode", ["sed", "secded"])
+def test_ellb_wideband_triggers_on_fault(mode):
+    m = protected_wideband(mode)
+    x = jnp.asarray(RNG.random(m.R), jnp.float32)
+    impl = make_pallas_spmv(m, jnp.float32, mode, interpret=True)
+    for seed in range(3):
+        m2 = inject_bitflips(m, "ANY", 1, np.random.default_rng(seed),
+                             echo=lambda s: None)
+        _, trig = jax.jit(impl.fast)(device_matrix(m2), x)
+        assert bool(trig), f"seed {seed}: single-bit fault missed"
+
+
 def test_wide_band_falls_back_to_jnp():
-    """Matrices outside the windowed kernel's envelope (band too wide —
-    here a label shuffle with reordering disabled) transparently use the
-    jnp implementation."""
+    """Matrices outside the windowed kernel's envelope (band past even
+    the wideband tier's 16256 cap — a label shuffle with reordering
+    disabled) transparently use the jnp implementation."""
     from abft_sparse_cg_tpu.utils.matgen import shuffle_labels
 
-    tri = shuffle_labels(*spd_tridiagonal(16384), seed=1)
+    tri = shuffle_labels(*spd_tridiagonal(32768), seed=1)
     a = assemble(tri[1], tri[0], tri[2], tri[3], 1)
     m_ell = build_protected("csr", a, "secded", reorder="none")
-    assert m_ell.exec_kind == "ell" and m_ell.band > 4096
+    assert m_ell.exec_kind == "ell" and m_ell.band > 16256
     assert not supports(m_ell, jnp.float32)
     impl = make_pallas_spmv(m_ell, jnp.float32, "secded", interpret=True)
     md = device_matrix(m_ell)

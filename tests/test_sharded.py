@@ -302,6 +302,39 @@ def test_shardmap_kernel_corrects_fault(config):
     np.testing.assert_array_equal(np.asarray(r.x), np.asarray(clean.x))
 
 
+def test_shardmap_kernel_wideband():
+    """Band > 1920 rides the per-iteration wideband (absolute-scan)
+    kernel under shard_map: the halo exchange carries the full SIDE
+    rows and the sharded solve matches single-device."""
+    from abft_sparse_cg_tpu.ops.spmv_pallas import (
+        _ELL_MAX_WROWS,
+        _ell_window,
+    )
+
+    rng = np.random.default_rng(2)
+    n, b = 24576, 2500
+    rows, cols = [np.arange(n)], [np.arange(n)]
+    for _ in range(3):
+        d = rng.integers(1, b, n)
+        i = np.arange(n)
+        keep = i + d < n
+        rows.append((i + d)[keep])
+        cols.append(i[keep])
+    rows, cols = np.concatenate(rows), np.concatenate(cols)
+    vals = np.where(rows == cols, 30.0, -1.0)
+    a = assemble(cols, rows, vals, n, 1)
+    m = build_protected("csr", a, "secded", reorder="none")
+    assert m.exec_kind == "ell" and m.band > 1920
+    assert _ell_window(m)[1] > _ELL_MAX_WROWS
+    run_sm, run_ref = _shardmap_solvers(m, "secded")
+    bv = RNG.random(m.N)
+    r0, r1 = run_ref(m, bv), run_sm(m, bv)
+    assert int(r1.stats.errcode) == 0
+    assert int(r1.iterations) == int(r0.iterations)
+    np.testing.assert_allclose(np.asarray(r1.x), np.asarray(r0.x),
+                               rtol=2e-5, atol=1e-7)
+
+
 def test_shardmap_kernel_sed_failstop():
     m = _kernel_mat(mode="sed")
     run_sm, _ = _shardmap_solvers(m, "sed")
