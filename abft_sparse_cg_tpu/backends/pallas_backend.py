@@ -64,12 +64,18 @@ class PallasBackend(JnpBackend):
         # gather-index source), and a bordered tail's dense_plan statics
         # are baked into the megakernel — same-shaped matrices must not
         # collide.
+        import os
+
         tail_plan = (getattr(mat.tail, "dense_plan", None)
                      if mat.exec_kind == "split" else None)
+        # Lazy detection schedule (solver.fused plan docstring): stream
+        # the word planes every CI-th iteration, snapshot-rollback on a
+        # trigger.  CLI --check-interval sets the env var.
+        ci = max(1, int(os.environ.get("ABFT_CHECK_INTERVAL", "1") or 1))
         key = ("psolve", variant, mat.fmt, self.mode, mat.exec_kind,
                mat.dia_offsets, mat.R, mat.K, mat.N, mat.nnz, mat.band,
                mat.perm is not None, tail_plan, str(dtype), max_itrs,
-               float(conv))
+               float(conv), ci)
         if key not in _SOLVER_CACHE:
             spmv = make_pallas_spmv(mat, dtype, self.mode)
             if variant == "pipelined":
@@ -82,19 +88,21 @@ class PallasBackend(JnpBackend):
 
                 on_tpu = jax.devices()[0].platform != "cpu"
                 if on_tpu and supports_fused(mat, dtype, self.mode,
-                                             max_itrs):
+                                             max_itrs,
+                                             check_interval=ci):
                     # Whole-solve megakernel (solver.fused): VMEM-resident
                     # CG vectors + live per-iteration detection.  Jacobi
                     # solves get the precond kernel variant when it fits
                     # (M^-1 is a fifth resident vector); anything else
                     # keeps the per-iteration tier.
                     fused = make_fused_solver(mat, self.mode, max_itrs,
-                                              conv)
+                                              conv, check_interval=ci)
                     fused_p = None
                     if supports_fused(mat, dtype, self.mode, max_itrs,
-                                      precond=True):
+                                      precond=True, check_interval=ci):
                         fused_p = make_fused_solver(
-                            mat, self.mode, max_itrs, conv, precond=True)
+                            mat, self.mode, max_itrs, conv, precond=True,
+                            check_interval=ci)
                     periter = solver
 
                     def solver(md, b, minv=None, _f=fused, _fp=fused_p,

@@ -44,6 +44,9 @@ _USAGE_OPTIONS = """Options:
       --solver          S     CG variant: standard | pipelined
       --reps            N     Executions averaged into 'time taken'
                               (default: 20 on TPU, 1 on CPU)
+      --check-interval  K     Lazy ABFT schedule (pallas megakernel):
+                              verify every K-th iteration, snapshot-
+                              rollback on a trigger (default 1 = live)
   -p  --precond         P     Preconditioner: none | jacobi
 
   The -l|--list argument will provide a list of tuples that describe
@@ -197,6 +200,12 @@ def parse_arguments(argv, fmt):
                 print("Invalid rep count")
                 raise SystemExit(1)
             params["reps"] = v
+        elif a == "--check-interval":
+            i += 1
+            if i >= n or (v := _parse_int(argv[i])) < 1:
+                print("Invalid check interval")
+                raise SystemExit(1)
+            os.environ["ABFT_CHECK_INTERVAL"] = str(v)
         elif a in ("--precond", "-p"):
             i += 1
             if i >= n or argv[i] not in ("none", "jacobi"):

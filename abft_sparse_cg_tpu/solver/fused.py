@@ -79,9 +79,21 @@ _FUSED_MAX_WROWS = 255        # rolled window scan cap (band <= 16256,
 #                               formats.protected._BAND_KERNEL_MAX)
 
 
-def _plan(mat, mode, precond=False, force_streaming=False):
+def _plan(mat, mode, precond=False, force_streaming=False,
+          check_interval=1):
     """Static kernel plan: chunking, halos, buffer sizes; None if the
     matrix falls outside the envelope.
+
+    ``check_interval`` > 1 selects the LAZY detection schedule: the
+    protected word planes stream (and the signals arm) only every
+    CI-th iteration, with an in-kernel snapshot of the last verified
+    state to roll back to on a trigger — ABFT traffic drops ~CI-fold
+    while end-to-end guarantees hold (faults are persistent plane
+    corruptions; the solver re-executes from verified state, and the
+    outer loop closes the unverified tail with one jnp detection pass
+    per clean exit).  Resident tier only (the streaming tier's x lives
+    in HBM, so a snapshot would re-stream it); needs detection signals
+    (NW > 0) to mean anything.
 
     Two layouts, one kernel skeleton: ``kind='dia'`` computes w with
     stencil lane-rotations; ``kind='ell'`` with the banded windowed
@@ -99,7 +111,7 @@ def _plan(mat, mode, precond=False, force_streaming=False):
     HBM traffic.  ``force_streaming`` pins the tier for tests.
     """
     if mat.exec_kind == "split":
-        return _plan_split(mat, mode, precond)
+        return _plan_split(mat, mode, precond, check_interval)
     R = mat.R
     if R % 1024:
         return None
@@ -177,8 +189,12 @@ def _plan(mat, mode, precond=False, force_streaming=False):
 
     # 4 resident vectors + halo, plus 2 full-vector equivalents for the
     # update phase's compiler temporaries (_VMEM_LIMIT note); Jacobi
-    # adds the resident M^-1 diagonal and the z = M^-1 r temporary.
-    NV = 8 if precond else 6
+    # adds the resident M^-1 diagonal and the z = M^-1 r temporary; the
+    # lazy schedule adds the 3-vector verified-state snapshot.
+    use_parity = mode in ("sed", "sec8", "secded")
+    use_cksum = mode in ("sec7", "secded", "constraints")
+    ci = check_interval if (use_parity or use_cksum) else 1
+    NV = (8 if precond else 6) + (3 if ci > 1 else 0)
 
     # The rolled absolute scan adds a gathered-x chunk accumulator in
     # scratch plus two chunk-sized hi/lo index values the compiler
@@ -230,12 +246,12 @@ def _plan(mat, mode, precond=False, force_streaming=False):
             ROWS = C // 128
         if not fits_streaming(C) or (max(Hlo, Hhi) > ROWS and not rolled):
             return None
-    use_parity = mode in ("sed", "sec8", "secded")
-    use_cksum = mode in ("sec7", "secded", "constraints")
+    if streaming:
+        ci = 1  # no resident x to snapshot; lazy stays resident-only
     return dict(R=R, RR=RR, C=C, ROWS=ROWS, G=R // C, D=D, W=W, NW=NW,
                 SW=SW, kind=mat.exec_kind, offsets=offsets, Hlo=Hlo,
                 Hhi=Hhi, S0=S0, WROWS=WROWS, PACK=PACK, rolled=rolled,
-                precond=precond, streaming=streaming,
+                precond=precond, streaming=streaming, ci=ci,
                 use_parity=use_parity, use_cksum=use_cksum)
 
 
@@ -268,7 +284,7 @@ def _absolute_window_scan(loc, xacc, ext, Hlo, S0, ROWS, WROWS, D):
     return xacc[...]
 
 
-def _plan_split(mat, mode, precond):
+def _plan_split(mat, mode, precond, check_interval=1):
     """Split (bordered) plan: the main part's plan + tail statics.
 
     The tail rides the span-window formulation (ops.spmv.dense_tail_plan
@@ -280,7 +296,7 @@ def _plan_split(mat, mode, precond):
     tp = getattr(mat.tail, "dense_plan", None)
     if tp is None or mat.tail.exec_kind != "flat":
         return None
-    mp = _plan(mat.main, mode, precond)
+    mp = _plan(mat.main, mode, precond, check_interval=check_interval)
     if mp is None or mp["kind"] == "split" or mp["streaming"]:
         # The tail's span windows update the resident w_ref directly;
         # a streamed w has no resident target, so bordered matrices
@@ -299,7 +315,7 @@ def _plan_split(mat, mode, precond):
     tail_bytes = 2 * T * S * 4 + NTW * EP * 4
     # Re-check VMEM with the tail residents + word buffer on top of the
     # main plan's allocation, shrinking the stream chunk if needed.
-    NV = 8 if precond else 6
+    NV = (8 if precond else 6) + (3 if mp.get("ci", 1) > 1 else 0)
     RR, Hlo, Hhi, D, NW = (mp[k] for k in ("RR", "Hlo", "Hhi", "D", "NW"))
     nstreams = (2 if mp["kind"] == "ell" else 1) + NW
     C = mp["C"]
@@ -324,12 +340,13 @@ def _plan_split(mat, mode, precond):
 
 
 def supports_fused(mat, dtype, mode, max_itrs, trace_rr=True,
-                   precond=False) -> bool:
+                   precond=False, check_interval=1) -> bool:
     if jnp.dtype(dtype) != jnp.float32:
         return False
     if trace_rr and min(max_itrs, _MAX_TRACE) > _MAX_TRACE_SMEM:
         return False
-    return _plan(mat, mode, precond) is not None
+    return _plan(mat, mode, precond,
+                 check_interval=check_interval) is not None
 
 
 def _xor_fold_rows(v, to=1):
@@ -364,6 +381,8 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
     tail = plan.get("tail")
     PR = Hlo + RR + Hhi   # haloed p rows
     conv = float(conv)
+    CI = plan.get("ci", 1)
+    lazy = CI > 1 and NW > 0   # lazy detection schedule (plan docstring)
 
     def shifted(ext, off):
         """(ROWS, 128) block holding element index +off relative to the
@@ -405,6 +424,11 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
         (x_out, r_out, p_out, trace_out, itr_out, rr_out, rz_out,
          trig_out, err_out) = refs[k: k + 9]
         k += 9
+        if lazy:
+            # Last-verified-state snapshot (vectors + scalars).
+            xs_out, rs_out, ps_out = refs[k: k + 3]
+            its_out, rrs_out, rzs_out = refs[k + 3: k + 6]
+            k += 6
         p_ref, r_ref, x_ref, w_ref, vbuf = refs[k: k + 5]
         k += 5
         m_ref = None
@@ -427,6 +451,9 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
             if tail["NTW"]:
                 twbuf = refs[k]
                 k += 1
+        if lazy:
+            xs_ref, rs_ref, ps_ref = refs[k: k + 3]
+            k += 3
         sems = refs[k]
 
         # ---- load state into VMEM ------------------------------------
@@ -454,6 +481,12 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
             d.start()
         for d in in_dmas:
             d.wait()
+        if lazy:
+            # The entry state is verified (initial, or a post-repair
+            # snapshot resume) — it seeds the rollback snapshot.
+            xs_ref[...] = x_ref[...]
+            rs_ref[...] = r_ref[...]
+            ps_ref[...] = p_ref[pl.ds(Hlo, RR), :]
         # trace_out is only consumed on the slots this call writes
         # ([itr_in, itr)); the caller window-merges, so no init needed.
         upto_v = upto[0]
@@ -476,23 +509,43 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
                 dmas = [pltpu.make_async_copy(
                     vals_hbm.at[:, pl.ds(ci * ROWS, ROWS), :],
                     vbuf.at[slot], sems.at[3 + slot])]
-            if NW:
-                dmas.append(pltpu.make_async_copy(
-                    words_hbm.at[:, :, pl.ds(ci * ROWS, ROWS), :],
-                    wbuf.at[slot], sems.at[5 + slot]))
+            if NW and not lazy:
+                dmas.append(word_dmas(slot, ci)[0])
             return dmas
 
+        def word_dmas(slot, ci):
+            return [pltpu.make_async_copy(
+                words_hbm.at[:, :, pl.ds(ci * ROWS, ROWS), :],
+                wbuf.at[slot], sems.at[5 + slot])]
+
         def body(carry):
-            itr, rr, rz, _, _ = carry
+            if lazy:
+                itr, rr, rz, _, _, its, rrs, rzs = carry
+            else:
+                itr, rr, rz, _, _ = carry
+            # Lazy schedule: the word streams (and the armed signals)
+            # run only on checked iterations — every CI-th, keyed on the
+            # absolute iteration count so resumes stay consistent.
+            chk = ((itr % CI) == (CI - 1)) if lazy else None
             for d in get_dmas(0, 0):
                 d.start()
+            if lazy:
+                @pl.when(chk)
+                def _():
+                    for d in word_dmas(0, 0):
+                        d.start()
             tw_dma = None
             if tail and tail["NTW"]:
-                # Tail word planes re-stream every iteration (live
-                # detection); overlaps the main chunk pipeline.
+                # Tail word planes re-stream each checked iteration
+                # (live detection); overlaps the main chunk pipeline.
                 tw_dma = pltpu.make_async_copy(twords_hbm, twbuf,
                                                sems.at[12])
-                tw_dma.start()
+                if lazy:
+                    @pl.when(chk)
+                    def _():
+                        tw_dma.start()
+                else:
+                    tw_dma.start()
 
             # All per-chunk signals accumulate in VMEM-shaped lane
             # vectors (FMA / XOR / OR per chunk) and reduce to scalars
@@ -518,9 +571,19 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
                 def _():
                     for d in get_dmas((ci + 1) % 2, ci + 1):
                         d.start()
+                    if lazy:
+                        @pl.when(chk)
+                        def _():
+                            for d in word_dmas((ci + 1) % 2, ci + 1):
+                                d.start()
 
                 for d in get_dmas(slot, ci):
                     d.wait()
+                if lazy:
+                    @pl.when(chk)
+                    def _():
+                        for d in word_dmas(slot, ci):
+                            d.wait()
                 row0 = pl.multiple_of(ci * ROWS, ROWS)
                 ext = p_ref[pl.ds(row0, ROWS + Hlo + Hhi), :]
                 if is_ell:
@@ -665,7 +728,12 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
                     w_ref[pl.ds(srow, SR), :] = (
                         w_ref[pl.ds(srow, SR), :] + pb * tb_ref[t])
                 if tail["NTW"]:
-                    tw_dma.wait()
+                    if lazy:
+                        @pl.when(chk)
+                        def _():
+                            tw_dma.wait()
+                    else:
+                        tw_dma.wait()
                     twords = [twbuf[wi] for wi in range(tail["TW"])]
                     if use_parity:
                         accx = twords[0]
@@ -687,6 +755,12 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
             else:
                 pw = jnp.sum(accs[0])
 
+            if lazy:
+                # Unchecked iterations fold stale word buffers into the
+                # signal lane vectors (the VPU work rides free under the
+                # now-smaller HBM envelope); their trigger is
+                # meaningless and masked off here.
+                trig_i = jnp.where(chk, trig_i, jnp.int32(0))
             alpha = rz / pw
             r1 = r_ref[...] - alpha * w_ref[...]
             rr1 = jnp.sum(r1 * r1)
@@ -710,23 +784,40 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
                     z1 + beta * p_ref[pl.ds(Hlo, RR), :])
                 if trace_len:
                     trace_out[itr] = rr1
+                if lazy:
+                    # A checked iteration that stood is verified state:
+                    # refresh the rollback snapshot (VMEM copies, every
+                    # CI-th iteration only).
+                    @pl.when(chk)
+                    def _():
+                        xs_ref[...] = x_ref[...]
+                        rs_ref[...] = r_ref[...]
+                        ps_ref[...] = p_ref[pl.ds(Hlo, RR), :]
 
             itr1 = jnp.where(ok, itr + 1, itr)
             rrn = jnp.where(ok, rr1, rr)
             rzn = jnp.where(ok, rz1, rz)
             err = jnp.where(bad & (trig_i == 0),
                             jnp.int32(ERR_BREAKDOWN), jnp.int32(0))
+            if lazy:
+                snapped = ok & chk
+                its1 = jnp.where(snapped, itr + 1, its)
+                rrs1 = jnp.where(snapped, rr1, rrs)
+                rzs1 = jnp.where(snapped, rz1, rzs)
+                return itr1, rrn, rzn, trig_i, err, its1, rrs1, rzs1
             return itr1, rrn, rzn, trig_i, err
 
         def cond(carry):
-            itr, rr, _, trig, err = carry
+            itr, rr, _, trig, err = carry[:5]
             return ((itr < upto_v) & (rr > conv) & (trig == 0)
                     & (err == 0))
 
-        itr, rr, rz, trig, err = jax.lax.while_loop(
-            cond, body,
-            (itr_in[0], scal_in[0], scal_in[1], jnp.int32(0),
-             jnp.int32(0)))
+        carry0 = (itr_in[0], scal_in[0], scal_in[1], jnp.int32(0),
+                  jnp.int32(0))
+        if lazy:
+            carry0 = carry0 + (itr_in[0], scal_in[0], scal_in[1])
+        out = jax.lax.while_loop(cond, body, carry0)
+        itr, rr, rz, trig, err = out[:5]
 
         itr_out[0, 0] = itr
         rr_out[0, 0] = rr
@@ -741,6 +832,16 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
             pltpu.make_async_copy(p_ref.at[pl.ds(Hlo, RR), :], p_out,
                                   sems.at[2]),
         ]
+        if lazy:
+            its, rrs, rzs = out[5:]
+            its_out[0, 0] = its
+            rrs_out[0, 0] = rrs
+            rzs_out[0, 0] = rzs
+            out_dmas += [
+                pltpu.make_async_copy(xs_ref, xs_out, sems.at[3]),
+                pltpu.make_async_copy(rs_ref, rs_out, sems.at[4]),
+                pltpu.make_async_copy(ps_ref, ps_out, sems.at[5]),
+            ]
         for d in out_dmas:
             d.start()
         for d in out_dmas:
@@ -802,18 +903,28 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
             if tail["NTW"]:
                 scratch.append(pltpu.VMEM(
                     (tail["TW"], tail["ER"], 128), jnp.uint32))
+        lazy = plan.get("ci", 1) > 1 and NW > 0
+        if lazy:
+            for _ in range(3):   # x/r/p verified-state snapshot
+                scratch.append(pltpu.VMEM((RR, 128), jnp.float32))
         scratch.append(pltpu.SemaphoreType.DMA((13,)))
         from jax.experimental import pallas as _pl
 
+        out_specs = [any_spec, any_spec, any_spec, smem(), smem(),
+                     smem(), smem(), smem(), smem()]
+        out_shape = [vec, vec, vec,
+                     jax.ShapeDtypeStruct((max(trace_len, 1),),
+                                          jnp.float32),
+                     s11i, s11f, s11f, s11i, s11i]
+        if lazy:
+            out_specs += [any_spec, any_spec, any_spec,
+                          smem(), smem(), smem()]
+            out_shape += [vec, vec, vec, s11i, s11f, s11f]
         outs = _pl.pallas_call(
             kernel,
             in_specs=in_specs,
-            out_specs=[any_spec, any_spec, any_spec, smem(), smem(),
-                       smem(), smem(), smem(), smem()],
-            out_shape=[vec, vec, vec,
-                       jax.ShapeDtypeStruct((max(trace_len, 1),),
-                                            jnp.float32),
-                       s11i, s11f, s11f, s11i, s11i],
+            out_specs=out_specs,
+            out_shape=out_shape,
             scratch_shapes=scratch,
             interpret=interpret,
             compiler_params=None if interpret else pltpu.CompilerParams(
@@ -1296,7 +1407,7 @@ def _make_streaming_kernel(plan, mode, conv, trace_len, interpret):
 
 def make_fused_continue(mat, mode, conv_threshold, trace_rr=True,
                         interpret=False, precond=False,
-                        force_streaming=False):
+                        force_streaming=False, check_interval=1):
     """``continue_(md, state, upto, minv=None)`` with solver.cg's
     contract, running the fast loop in the megakernel.  The classify /
     repair slow path (once per fault) is the jnp implementation, wrapped
@@ -1309,9 +1420,10 @@ def make_fused_continue(mat, mode, conv_threshold, trace_rr=True,
     tests."""
     from ..ops.spmv import make_spmv
 
-    plan = _plan(mat, mode, precond, force_streaming)
+    plan = _plan(mat, mode, precond, force_streaming, check_interval)
     if plan is None:
         raise ValueError("matrix outside the fused-kernel envelope")
+    lazy = plan.get("ci", 1) > 1 and plan["NW"] > 0
     RR, G, C, W, NW = (plan[k] for k in ("RR", "G", "C", "W", "NW"))
     SW = plan["SW"]
     D, is_ell, S0, WROWS = (plan[k] for k in ("D", "kind", "S0", "WROWS"))
@@ -1425,9 +1537,10 @@ def make_fused_continue(mat, mode, conv_threshold, trace_rr=True,
             x2 = s.x.reshape(RR, 128)
             r2 = s.r.reshape(RR, 128)
             p2 = s.p.reshape(RR, 128)
-            (x2, r2, p2, ktrace, itr, rr, rz, trig, err) = kern(
+            outs = kern(
                 x2, r2, p2, minv2, vals3, gsrc, wstack, ckall,
                 tail_args, s.rr, s.rz, s.itr, upto)
+            (x2, r2, p2, ktrace, itr, rr, rz, trig, err) = outs[:9]
             itr = itr[0, 0]
             trace = s.trace
             if trace_rr:
@@ -1439,12 +1552,19 @@ def make_fused_continue(mat, mode, conv_threshold, trace_rr=True,
             s1 = CGState(itr=itr, x=x2.reshape(-1), r=r2.reshape(-1),
                          p=p2.reshape(-1), rr=rr[0, 0], rz=rz[0, 0],
                          stats=s.stats, trace=trace)
-            return s1, trig[0, 0] != 0, err[0, 0]
+            snap = None
+            if lazy:
+                xs2, rs2, ps2, its, rrs, rzs = outs[9:]
+                snap = CGState(itr=its[0, 0], x=xs2.reshape(-1),
+                               r=rs2.reshape(-1), p=ps2.reshape(-1),
+                               rr=rrs[0, 0], rz=rzs[0, 0],
+                               stats=s.stats, trace=trace)
+            return s1, snap, trig[0, 0] != 0, err[0, 0]
 
         if NW == 0:
             # Mode none: no detection, no repair — one kernel call runs
             # the loop to convergence/limit/breakdown.
-            s, _trig, err = run_fast(md, state)
+            s, _snap, _trig, err = run_fast(md, state)
             st = s.stats.merge_first(SpmvStats.clean()._replace(
                 errcode=err))
             return s._replace(stats=st), md
@@ -1455,7 +1575,7 @@ def make_fused_continue(mat, mode, conv_threshold, trace_rr=True,
 
         def outer_body(c):
             _, md, s = c
-            s, trig, err = run_fast(md, s)
+            s, _snap, trig, err = run_fast(md, s)
             st = s.stats.merge_first(SpmvStats.clean()._replace(
                 errcode=err))
 
@@ -1471,8 +1591,49 @@ def make_fused_continue(mat, mode, conv_threshold, trace_rr=True,
             done = (~trig) | (st.errcode != 0)
             return (done, md, s)
 
+        def outer_body_lazy(c):
+            _, md, s = c
+            s1, snap, trig, err = run_fast(md, s)
+            # Exit-time verification: on a clean exit, up to CI-1 tail
+            # iterations are unverified — one jnp detection pass (once
+            # per clean solve) closes the window.  Faults are
+            # persistent plane corruptions, so clean-now covers every
+            # unchecked iteration since the last check (PARITY.md).
+            _, ttrig = jnp_impl.fast(md, s1.p)
+            anomaly = trig | ttrig | (err != 0)
+
+            def repair(md):
+                st1, md2 = jnp_impl.classify(md)
+                return md2, st1
+
+            def keep(md):
+                return md, SpmvStats.clean()
+
+            md, st1 = jax.lax.cond(anomaly, repair, keep, md)
+            # A repaired fault rolls the state back to the last
+            # verified snapshot and re-runs; an uncorrectable detection
+            # (classify set errcode) also rolls back — the tail
+            # iterations ran on corrupt planes — and fail-stops; a
+            # fault-free anomaly is a genuine breakdown and stands.
+            fixed = (st1.corrected_count > 0) & (st1.errcode == 0)
+            roll = fixed | (st1.errcode != 0)
+            brk = jnp.where(fixed, jnp.int32(0), err)
+            st = s1.stats.merge_first(st1._replace(
+                errcode=jnp.where(st1.errcode != 0, st1.errcode, brk)))
+            s2 = CGState(
+                itr=jnp.where(roll, snap.itr, s1.itr),
+                x=jnp.where(roll, snap.x, s1.x),
+                r=jnp.where(roll, snap.r, s1.r),
+                p=jnp.where(roll, snap.p, s1.p),
+                rr=jnp.where(roll, snap.rr, s1.rr),
+                rz=jnp.where(roll, snap.rz, s1.rz),
+                stats=st, trace=s1.trace)
+            done = (~fixed) | (st.errcode != 0)
+            return (done, md, s2)
+
         _, md_out, s = jax.lax.while_loop(
-            outer_cond, outer_body, (jnp.bool_(False), md, state))
+            outer_cond, outer_body_lazy if lazy else outer_body,
+            (jnp.bool_(False), md, state))
         return s, md_out
 
     return continue_
@@ -1480,12 +1641,15 @@ def make_fused_continue(mat, mode, conv_threshold, trace_rr=True,
 
 def make_fused_solver(mat, mode, max_itrs: int, conv_threshold: float,
                       trace_rr: bool = True, interpret: bool = False,
-                      precond: bool = False, force_streaming: bool = False):
+                      precond: bool = False, force_streaming: bool = False,
+                      check_interval: int = 1):
     """``solve(md, b, minv=None) -> CGResult`` on the megakernel.
     ``minv`` must match ``precond`` (None unless the Jacobi variant was
-    requested)."""
+    requested).  ``check_interval`` > 1 selects the lazy detection
+    schedule (see _plan)."""
     cont = make_fused_continue(mat, mode, conv_threshold, trace_rr,
-                               interpret, precond, force_streaming)
+                               interpret, precond, force_streaming,
+                               check_interval)
 
     def solve(md, b, minv=None):
         s, md_out = cont(md, init_state(b, max_itrs, trace_rr, minv),

@@ -461,6 +461,76 @@ def test_fused_rolled_very_wide_band():
                                rtol=1e-6, atol=1e-7)
 
 
+# --------------------------------------------------------------------------
+# Lazy detection schedule (check_interval > 1): words stream every
+# CI-th iteration, snapshot-rollback on trigger
+# --------------------------------------------------------------------------
+
+def lazy_solver(m, mode, ci, max_itrs=300, conv=1e-8):
+    return jax.jit(make_fused_solver(m, mode, max_itrs, conv,
+                                     interpret=True, check_interval=ci))
+
+
+@pytest.mark.parametrize("layout", ["dia", "ell", "split"])
+def test_lazy_clean_solve_matches_live(layout):
+    """CI=4 on a clean solve: identical iterates to the live schedule
+    (the signals never affect the arithmetic)."""
+    m = make(layout, "secded")
+    md, _, fus = solvers(m, "secded")
+    b = bvec(m)
+    r1 = fus(md, b)
+    r4 = lazy_solver(m, "secded", 4)(md, b)
+    assert int(r4.stats.errcode) == 0
+    assert int(r4.iterations) == int(r1.iterations)
+    np.testing.assert_array_equal(np.asarray(r4.x), np.asarray(r1.x))
+
+
+@pytest.mark.parametrize("layout,ci", [("dia", 4), ("ell", 3),
+                                       ("split", 4), ("dia", 7)])
+def test_lazy_corrects_fault_via_rollback(layout, ci):
+    """An injected fault triggers at the first checked iteration; the
+    solve rolls back to the verified snapshot, scrubs, and lands on the
+    clean solve bit-for-bit."""
+    m = make(layout, "secded")
+    md, _, fus = solvers(m, "secded")
+    b = bvec(m)
+    clean = lazy_solver(m, "secded", ci)(md, b)
+    np.testing.assert_array_equal(np.asarray(clean.x),
+                                  np.asarray(fus(md, b).x))
+    m2 = inject_bitflips(m, "ANY", 1, np.random.default_rng(8),
+                         echo=lambda s: None)
+    r = lazy_solver(m2, "secded", ci)(make_matrix_device(m2, jnp.float32),
+                                      b)
+    assert int(r.stats.errcode) == 0
+    assert int(r.stats.corrected_count) == 1
+    assert int(r.iterations) == int(clean.iterations)
+    np.testing.assert_array_equal(np.asarray(r.x), np.asarray(clean.x))
+
+
+def test_lazy_sed_failstop_rolls_back():
+    """Detect-only mode under the lazy schedule: the uncorrectable
+    fault fail-stops with the state rolled back to the last verified
+    snapshot (here: the initial state, iteration count 0)."""
+    m = make("dia", "sed")
+    b = bvec(m)
+    m2 = inject_bitflips(m, "ANY", 1, np.random.default_rng(5),
+                         echo=lambda s: None)
+    r = lazy_solver(m2, "sed", 4)(make_matrix_device(m2, jnp.float32), b)
+    assert int(r.stats.errcode) != 0
+    assert int(r.iterations) == 0
+
+
+def test_lazy_secded_double_bit_failstop():
+    m = make("dia", "secded")
+    b = bvec(m)
+    m2 = inject_bitflips(m, "VALUE", 2, np.random.default_rng(12),
+                         echo=lambda s: None)
+    r = lazy_solver(m2, "secded", 4)(make_matrix_device(m2, jnp.float32),
+                                     b)
+    assert int(r.stats.errcode) != 0
+    assert int(r.iterations) == 0
+
+
 def test_fused_rolled_split_main():
     """Bordered matrix whose banded core is ALSO wide-band: the split
     megakernel runs with a rolled (absolute-scan) main + span-window
