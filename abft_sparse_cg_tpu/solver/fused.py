@@ -91,8 +91,9 @@ def _plan(mat, mode, precond=False, force_streaming=False,
     while end-to-end guarantees hold (faults are persistent plane
     corruptions; the solver re-executes from verified state, and the
     outer loop closes the unverified tail with one jnp detection pass
-    per clean exit).  Resident tier only (the streaming tier's x lives
-    in HBM, so a snapshot would re-stream it); needs detection signals
+    per clean exit).  The resident tier snapshots in VMEM (3 extra
+    resident vectors); the streaming tier snapshots to HBM with
+    whole-vector DMAs on checked iterations.  Needs detection signals
     (NW > 0) to mean anything.
 
     Two layouts, one kernel skeleton: ``kind='dia'`` computes w with
@@ -246,8 +247,8 @@ def _plan(mat, mode, precond=False, force_streaming=False,
             ROWS = C // 128
         if not fits_streaming(C) or (max(Hlo, Hhi) > ROWS and not rolled):
             return None
-    if streaming:
-        ci = 1  # no resident x to snapshot; lazy stays resident-only
+    # (The streaming tier keeps its snapshots in HBM — whole-vector
+    # DMAs on checked iterations — so ci needs no VMEM there.)
     return dict(R=R, RR=RR, C=C, ROWS=ROWS, G=R // C, D=D, W=W, NW=NW,
                 SW=SW, kind=mat.exec_kind, offsets=offsets, Hlo=Hlo,
                 Hhi=Hhi, S0=S0, WROWS=WROWS, PACK=PACK, rolled=rolled,
@@ -975,6 +976,8 @@ def _make_streaming_kernel(plan, mode, conv, trace_len, interpret):
     precond = plan["precond"]
     PR = Hlo + RR + Hhi   # haloed p rows
     conv = float(conv)
+    CI = plan.get("ci", 1)
+    lazy = CI > 1 and NW > 0   # lazy schedule; snapshots live in HBM
 
     def shifted(ext, off):
         q, s = divmod(off, 128)
@@ -1007,6 +1010,11 @@ def _make_streaming_kernel(plan, mode, conv, trace_len, interpret):
         (x_out, r_out, p_out, trace_out, itr_out, rr_out, rz_out,
          trig_out, err_out, w_hbm) = refs[k: k + 10]
         k += 10
+        if lazy:
+            # Last-verified-state snapshot, HBM-resident.
+            xs_out, rs_out, ps_out = refs[k: k + 3]
+            its_out, rrs_out, rzs_out = refs[k + 3: k + 6]
+            k += 6
         p_ref, r_ref = refs[k], refs[k + 1]
         vbuf = refs[k + 2]
         k += 3
@@ -1036,6 +1044,13 @@ def _make_streaming_kernel(plan, mode, conv, trace_len, interpret):
             pltpu.make_async_copy(p_in, p_ref.at[pl.ds(Hlo, RR), :],
                                   sems.at[2]),
         ]
+        if lazy:
+            # The entry state is verified — it seeds the snapshot.
+            in_dmas += [
+                pltpu.make_async_copy(x_in, xs_out, sems.at[19]),
+                pltpu.make_async_copy(r_in, rs_out, sems.at[20]),
+                pltpu.make_async_copy(p_in, ps_out, sems.at[21]),
+            ]
         if Hlo:
             p_ref[pl.ds(0, Hlo), :] = jnp.zeros((Hlo, 128), jnp.float32)
         if Hhi:
@@ -1060,11 +1075,14 @@ def _make_streaming_kernel(plan, mode, conv, trace_len, interpret):
                 dmas = [pltpu.make_async_copy(
                     vals_hbm.at[:, pl.ds(ci * ROWS, ROWS), :],
                     vbuf.at[slot], sems.at[3 + slot])]
-            if NW:
-                dmas.append(pltpu.make_async_copy(
-                    words_hbm.at[:, :, pl.ds(ci * ROWS, ROWS), :],
-                    wbuf.at[slot], sems.at[5 + slot]))
+            if NW and not lazy:
+                dmas.append(word_dmas(slot, ci)[0])
             return dmas
+
+        def word_dmas(slot, ci):
+            return [pltpu.make_async_copy(
+                words_hbm.at[:, :, pl.ds(ci * ROWS, ROWS), :],
+                wbuf.at[slot], sems.at[5 + slot])]
 
         def w_out_dma(slot, ci):
             return pltpu.make_async_copy(
@@ -1092,11 +1110,20 @@ def _make_streaming_kernel(plan, mode, conv, trace_len, interpret):
                 sems.at[17 + slot])
 
         def body(carry):
-            itr, rr, rz, _, _ = carry
+            if lazy:
+                itr, rr, rz, _, _, its, rrs, rzs = carry
+            else:
+                itr, rr, rz, _, _ = carry
+            chk = ((itr % CI) == (CI - 1)) if lazy else None
 
             # ---- phase 1: w = A p, live detection, w -> HBM ----------
             for d in get_dmas(0, 0):
                 d.start()
+            if lazy:
+                @pl.when(chk)
+                def _():
+                    for d in word_dmas(0, 0):
+                        d.start()
             # One stacked cksum carry — see the resident kernel's note
             # (>=4 separate carries + the rolled inner loop crashed the
             # TPU worker at G >= 60).
@@ -1114,9 +1141,19 @@ def _make_streaming_kernel(plan, mode, conv, trace_len, interpret):
                 def _():
                     for d in get_dmas((ci + 1) % 2, ci + 1):
                         d.start()
+                    if lazy:
+                        @pl.when(chk)
+                        def _():
+                            for d in word_dmas((ci + 1) % 2, ci + 1):
+                                d.start()
 
                 for d in get_dmas(slot, ci):
                     d.wait()
+                if lazy:
+                    @pl.when(chk)
+                    def _():
+                        for d in word_dmas(slot, ci):
+                            d.wait()
 
                 # wcb[slot] was last DMA'd out at chunk ci-2; drain
                 # that copy before overwriting the buffer.
@@ -1211,6 +1248,10 @@ def _make_streaming_kernel(plan, mode, conv, trace_len, interpret):
                     bad = (f8 != ckall[wi]) & (lane8 % 8 == 7)
                     trig_i = trig_i | jnp.any(bad).astype(jnp.int32)
 
+            if lazy:
+                # Unchecked iterations fold stale word buffers; their
+                # trigger is meaningless and masked off here.
+                trig_i = jnp.where(chk, trig_i, jnp.int32(0))
             pw = jnp.sum(accs[0])
             alpha = rz / pw
 
@@ -1306,29 +1347,61 @@ def _make_streaming_kernel(plan, mode, conv, trace_len, interpret):
                 jax.lax.fori_loop(0, G, chunk3, 0)
                 if trace_len:
                     trace_out[itr] = rr1
+                if lazy:
+                    # A checked iteration that stood is verified state:
+                    # refresh the HBM snapshot (3 whole-vector DMAs,
+                    # every CI-th iteration only).
+                    @pl.when(chk)
+                    def _():
+                        snap_dmas = [
+                            pltpu.make_async_copy(x_out, xs_out,
+                                                  sems.at[19]),
+                            pltpu.make_async_copy(r_ref, rs_out,
+                                                  sems.at[20]),
+                            pltpu.make_async_copy(
+                                p_ref.at[pl.ds(Hlo, RR), :], ps_out,
+                                sems.at[21]),
+                        ]
+                        for d in snap_dmas:
+                            d.start()
+                        for d in snap_dmas:
+                            d.wait()
 
             itr1 = jnp.where(ok, itr + 1, itr)
             rrn = jnp.where(ok, rr1, rr)
             rzn = jnp.where(ok, rz1, rz)
             err = jnp.where(bad & (trig_i == 0),
                             jnp.int32(ERR_BREAKDOWN), jnp.int32(0))
+            if lazy:
+                snapped = ok & chk
+                its1 = jnp.where(snapped, itr + 1, its)
+                rrs1 = jnp.where(snapped, rr1, rrs)
+                rzs1 = jnp.where(snapped, rz1, rzs)
+                return itr1, rrn, rzn, trig_i, err, its1, rrs1, rzs1
             return itr1, rrn, rzn, trig_i, err
 
         def cond(carry):
-            itr, rr, _, trig, err = carry
+            itr, rr, _, trig, err = carry[:5]
             return ((itr < upto_v) & (rr > conv) & (trig == 0)
                     & (err == 0))
 
-        itr, rr, rz, trig, err = jax.lax.while_loop(
-            cond, body,
-            (itr_in[0], scal_in[0], scal_in[1], jnp.int32(0),
-             jnp.int32(0)))
+        carry0 = (itr_in[0], scal_in[0], scal_in[1], jnp.int32(0),
+                  jnp.int32(0))
+        if lazy:
+            carry0 = carry0 + (itr_in[0], scal_in[0], scal_in[1])
+        out = jax.lax.while_loop(cond, body, carry0)
+        itr, rr, rz, trig, err = out[:5]
 
         itr_out[0, 0] = itr
         rr_out[0, 0] = rr
         rz_out[0, 0] = rz
         trig_out[0, 0] = trig
         err_out[0, 0] = err
+        if lazy:
+            its, rrs, rzs = out[5:]
+            its_out[0, 0] = its
+            rrs_out[0, 0] = rrs
+            rzs_out[0, 0] = rzs
 
         out_dmas = [
             pltpu.make_async_copy(r_ref, r_out, sems.at[1]),
@@ -1382,25 +1455,32 @@ def _make_streaming_kernel(plan, mode, conv, trace_len, interpret):
         scratch.append(pltpu.VMEM((2, ROWS, 128), jnp.float32))  # xb
         if precond:
             scratch.append(pltpu.VMEM((2, ROWS, 128), jnp.float32))
-        scratch.append(pltpu.SemaphoreType.DMA((19,)))
+        scratch.append(pltpu.SemaphoreType.DMA((22,)))
         from jax.experimental import pallas as _pl
 
+        lazy = plan.get("ci", 1) > 1 and NW > 0
+        out_specs = [any_spec, any_spec, any_spec, smem(), smem(),
+                     smem(), smem(), smem(), smem(), any_spec]
+        out_shape = [vec, vec, vec,
+                     jax.ShapeDtypeStruct((max(trace_len, 1),),
+                                          jnp.float32),
+                     s11i, s11f, s11f, s11i, s11i,
+                     vec]                          # w HBM scratch
+        if lazy:
+            out_specs += [any_spec, any_spec, any_spec,
+                          smem(), smem(), smem()]
+            out_shape += [vec, vec, vec, s11i, s11f, s11f]
         outs = _pl.pallas_call(
             kernel,
             in_specs=in_specs,
-            out_specs=[any_spec, any_spec, any_spec, smem(), smem(),
-                       smem(), smem(), smem(), smem(), any_spec],
-            out_shape=[vec, vec, vec,
-                       jax.ShapeDtypeStruct((max(trace_len, 1),),
-                                            jnp.float32),
-                       s11i, s11f, s11f, s11i, s11i,
-                       vec],                       # w HBM scratch
+            out_specs=out_specs,
+            out_shape=out_shape,
             scratch_shapes=scratch,
             interpret=interpret,
             compiler_params=None if interpret else pltpu.CompilerParams(
                 vmem_limit_bytes=_VMEM_LIMIT),
         )(*args)
-        return outs[:9]
+        return tuple(outs[:9]) + tuple(outs[10:])  # drop the w scratch
 
     return call
 

@@ -641,6 +641,34 @@ def test_streaming_corrects_fault_and_resumes(mode, layout):
                                       np.asarray(clean.x))
 
 
+@pytest.mark.parametrize("layout", ["dia", "ell"])
+def test_streaming_lazy_schedule(layout):
+    """check_interval > 1 on the streaming tier: HBM snapshots, clean
+    solve bit-exact vs live, fault corrected via rollback."""
+    from abft_sparse_cg_tpu.solver.fused import _plan
+
+    m = make(layout, "secded")
+    plan = _plan(m, "secded", force_streaming=True, check_interval=4)
+    assert plan is not None and plan["streaming"] and plan["ci"] == 4
+    md, _, fus = solvers_streaming(m, "secded")
+    lazy = jax.jit(make_fused_solver(m, "secded", 300, 1e-8,
+                                     interpret=True, force_streaming=True,
+                                     check_interval=4))
+    b = bvec(m)
+    clean = fus(md, b)
+    r4 = lazy(md, b)
+    assert int(r4.stats.errcode) == 0
+    assert int(r4.iterations) == int(clean.iterations)
+    np.testing.assert_array_equal(np.asarray(r4.x), np.asarray(clean.x))
+    m2 = inject_bitflips(m, "ANY", 1, np.random.default_rng(8),
+                         echo=lambda s: None)
+    r = lazy(make_matrix_device(m2, jnp.float32), b)
+    assert int(r.stats.errcode) == 0
+    assert int(r.stats.corrected_count) == 1
+    assert int(r.iterations) == int(clean.iterations)
+    np.testing.assert_array_equal(np.asarray(r.x), np.asarray(clean.x))
+
+
 def test_streaming_sed_detects_and_halts():
     m = dia_matrix("sed")
     md, ref, fus = solvers_streaming(m, "sed")
