@@ -110,6 +110,9 @@ def main():
     ap.add_argument("--modes", default=",".join(ALL_MODES))
     ap.add_argument("--layouts", default="dia,ell,rcm-ell")
     ap.add_argument("--formats", default="csr")
+    ap.add_argument("--check-interval", type=int, default=0,
+                    help="lazy ABFT schedule for the pallas megakernel "
+                         "(rows gain a 'ci' field)")
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "BENCH_TPU.jsonl"))
@@ -123,6 +126,8 @@ def main():
     from abft_sparse_cg_tpu.backends import create
 
     log(f"device: {jax.devices()[0]}")
+    if args.check_interval > 1:
+        os.environ["ABFT_CHECK_INTERVAL"] = str(args.check_interval)
     out = open(args.out, "a")
 
     for fmt in args.formats.split(","):
@@ -153,6 +158,8 @@ def main():
                             "failed": res.failed,
                             "wall_s": round(time.time() - t0, 1),
                         }
+                        if args.check_interval > 1:
+                            rec["ci"] = args.check_interval
                     except Exception as e:  # noqa: BLE001 — record and move on
                         rec = {
                             "fmt": fmt, "layout": layout, "mode": mode,

@@ -220,6 +220,31 @@ def main():
             print(f"dia+jacobi: corrected OK "
                   f"(solve {rj.solve_seconds * 1e3:.2f} ms)", flush=True)
 
+            # Lazy detection schedule (--check-interval 8): clean solve
+            # bit-exact vs live, fault corrected via snapshot rollback.
+            import os
+
+            os.environ["ABFT_CHECK_INTERVAL"] = "8"
+            try:
+                bl = create("pallas", "secded")
+                rl = bl.solve(m, b, 500, 1e-6, verbose=False,
+                              dtype="f32")
+                assert not rl.failed, "lazy clean"
+                assert rl.iterations == clean.iterations, "lazy iters"
+                np.testing.assert_array_equal(rl.x, clean.x,
+                                              err_msg="lazy clean x")
+                rlf = bl.solve(m2, b, 500, 1e-6, verbose=False,
+                               dtype="f32")
+                assert not rlf.failed and rlf.corrected_count == 1, \
+                    "lazy corrected"
+                np.testing.assert_array_equal(rlf.x, clean.x,
+                                              err_msg="lazy rollback x")
+            finally:
+                os.environ.pop("ABFT_CHECK_INTERVAL", None)
+            print(f"dia+lazy8: clean bit-exact + rollback-corrected OK "
+                  f"(solve {rl.solve_seconds * 1e3:.2f} ms vs live "
+                  f"{clean.solve_seconds * 1e3:.2f})", flush=True)
+
     print("TPU SMOKE OK", flush=True)
 
 
