@@ -1680,7 +1680,8 @@ def make_fused_continue(mat, mode, conv_threshold, trace_rr=True,
             # persistent plane corruptions, so clean-now covers every
             # unchecked iteration since the last check (PARITY.md).
             _, ttrig = jnp_impl.fast(md, s1.p)
-            anomaly = trig | ttrig | (err != 0)
+            trigged = trig | ttrig
+            anomaly = trigged | (err != 0)
 
             def repair(md):
                 st1, md2 = jnp_impl.classify(md)
@@ -1690,12 +1691,17 @@ def make_fused_continue(mat, mode, conv_threshold, trace_rr=True,
                 return md, SpmvStats.clean()
 
             md, st1 = jax.lax.cond(anomaly, repair, keep, md)
-            # A repaired fault rolls the state back to the last
-            # verified snapshot and re-runs; an uncorrectable detection
-            # (classify set errcode) also rolls back — the tail
-            # iterations ran on corrupt planes — and fail-stops; a
-            # fault-free anomaly is a genuine breakdown and stands.
-            fixed = (st1.corrected_count > 0) & (st1.errcode == 0)
+            # Retry from the last verified snapshot when classify
+            # handled the anomaly: any detection trigger it did not
+            # fail-stop (a correction, or a benign constraints adoption
+            # — classify always refreshes the checksum baseline, so the
+            # retry cannot re-trigger on the same event), or a
+            # breakdown it traced to a corrected fault.  An
+            # uncorrectable detection (classify set errcode) rolls back
+            # too — the tail iterations ran on corrupt planes — and
+            # fail-stops; a fault-free breakdown stands.
+            fixed = ((trigged | (st1.corrected_count > 0))
+                     & (st1.errcode == 0))
             roll = fixed | (st1.errcode != 0)
             brk = jnp.where(fixed, jnp.int32(0), err)
             st = s1.stats.merge_first(st1._replace(

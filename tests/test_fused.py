@@ -531,6 +531,51 @@ def test_lazy_secded_double_bit_failstop():
     assert int(r.iterations) == 0
 
 
+def test_lazy_constraints_adopts_and_failstops():
+    """Constraints under the lazy schedule: clean matches live, a
+    benign index change is adopted (classify refreshes the baseline;
+    the retry from snapshot completes), a violation fail-stops."""
+    m = make("ell", "constraints")
+    md, _, fus = solvers(m, "constraints")
+    b = bvec(m)
+    clean = fus(md, b)
+    lz = lazy_solver(m, "constraints", 4)
+    r = lz(md, b)
+    assert int(r.stats.errcode) == 0
+    assert int(r.iterations) == int(clean.iterations)
+    np.testing.assert_array_equal(np.asarray(r.x), np.asarray(clean.x))
+    # Benign in-order column bump: adopted, solve completes.
+    cols = np.asarray(m.planes["col"])
+    rp = np.asarray(m.row_ptr)
+    tgt = None
+    for row in range(m.N):
+        lo, hi = rp[row], rp[row + 1]
+        cs = cols[lo:hi]
+        for i in range(hi - lo):
+            nxt = cs[i + 1] if i + 1 < hi - lo else m.N
+            prv = cs[i - 1] if i > 0 else -1
+            if prv < cs[i] + 1 < nxt and cs[i] + 1 < m.N:
+                tgt = lo + i
+                break
+        if tgt is not None:
+            break
+    planes = {k: v.copy() for k, v in m.planes.items()}
+    planes["col"][tgt] += np.uint32(1)
+    m2 = m.with_planes(planes)
+    r2 = lazy_solver(m2, "constraints", 4)(
+        make_matrix_device(m2, jnp.float32), b)
+    assert int(r2.stats.errcode) == 0
+    assert int(r2.iterations) > 0
+    # Out-of-range column: fail-stop with the structural oracle's code.
+    planes = {k: v.copy() for k, v in m.planes.items()}
+    planes["col"][10] |= np.uint32(1 << 23)
+    m3 = m.with_planes(planes)
+    r3 = lazy_solver(m3, "constraints", 4)(
+        make_matrix_device(m3, jnp.float32), b)
+    assert int(r3.stats.errcode) != 0
+    assert int(r3.iterations) == 0
+
+
 def test_fused_rolled_split_main():
     """Bordered matrix whose banded core is ALSO wide-band: the split
     megakernel runs with a rolled (absolute-scan) main + span-window
