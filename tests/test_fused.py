@@ -399,7 +399,7 @@ def test_fused_constraints_adopts_benign_change():
     assert int(r.iterations) > 0
 
 
-def wideband_matrix(mode, n=4096, b=2500, k=3, seed=2):
+def wideband_matrix(mode, n=4096, b=2500, k=3, seed=2, fmt="csr"):
     """Uniformly wide band (random in-band neighbors).  At production
     scale RCM cannot reband this family (measured: n=32768 b=2800 ->
     RCM band 2556); at test scale it can, so the build pins the
@@ -417,10 +417,30 @@ def wideband_matrix(mode, n=4096, b=2500, k=3, seed=2):
     cols = np.concatenate(cols)
     vals = np.where(rows == cols, 30.0, -1.0)
     a = assemble(cols, rows, vals, n, 1)
-    m = build_protected("csr", a, mode, reorder="none")
+    m = build_protected(fmt, a, mode, reorder="none")
     assert m.exec_kind == "ell" and m.R % 1024 == 0
     assert m.band > 1920, m.band
     return m
+
+
+def test_fused_rolled_wideband_coo():
+    """Wideband through the megakernel with the COO layout (128-bit
+    codewords, 4 word planes): same iterates as jnp, fault corrected."""
+    m = wideband_matrix("secded", fmt="coo")
+    assert m.fmt == "coo"
+    md, ref, fus = solvers(m, "secded")
+    b = bvec(m)
+    r0, r1 = ref(md, b), fus(md, b)
+    assert int(r1.stats.errcode) == 0
+    assert int(r1.iterations) == int(r0.iterations)
+    np.testing.assert_allclose(np.asarray(r1.x), np.asarray(r0.x),
+                               rtol=1e-6, atol=1e-7)
+    m2 = inject_bitflips(m, "ANY", 1, np.random.default_rng(4),
+                         echo=lambda s: None)
+    r2 = fus(make_matrix_device(m2, jnp.float32), b)
+    assert int(r2.stats.errcode) == 0
+    assert int(r2.stats.corrected_count) == 1
+    np.testing.assert_array_equal(np.asarray(r2.x), np.asarray(r1.x))
 
 
 @pytest.mark.parametrize("mode", ["none", "secded"])
