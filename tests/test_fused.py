@@ -525,6 +525,11 @@ def test_lazy_corrects_fault_via_rollback(layout, ci):
     assert int(r.stats.corrected_count) == 1
     assert int(r.iterations) == int(clean.iterations)
     np.testing.assert_array_equal(np.asarray(r.x), np.asarray(clean.x))
+    # Rolled-back iterations re-execute and overwrite their rr-trace
+    # slots: the final trace matches the clean solve's exactly.
+    k = int(clean.iterations)
+    np.testing.assert_array_equal(np.asarray(r.rr_trace)[:k],
+                                  np.asarray(clean.rr_trace)[:k])
 
 
 def test_lazy_sed_failstop_rolls_back():
