@@ -532,6 +532,63 @@ def test_lazy_corrects_fault_via_rollback(layout, ci):
                                   np.asarray(clean.rr_trace)[:k])
 
 
+def test_lazy_jacobi_corrects():
+    """Lazy schedule on the preconditioned kernel variant (11 resident
+    vectors: PCG set + M^-1 + snapshot): clean bit-exact vs live,
+    rollback correction bit-exact."""
+    m = make("dia", "secded")
+    assert supports_fused(m, jnp.float32, "secded", 300, precond=True,
+                          check_interval=4)
+    md = make_matrix_device(m, jnp.float32)
+    b = bvec(m)
+    d = m.diagonal()
+    mpad = np.zeros(m.R)
+    mpad[: m.N] = m.to_exec_order(
+        np.where(d != 0.0, 1.0 / np.where(d == 0, 1, d), 1.0))
+    minv = jnp.asarray(mpad, jnp.float32)
+    live = jax.jit(make_fused_solver(m, "secded", 300, 1e-8,
+                                     interpret=True, precond=True))
+    lz = jax.jit(make_fused_solver(m, "secded", 300, 1e-8,
+                                   interpret=True, precond=True,
+                                   check_interval=4))
+    r0, r1 = live(md, b, minv), lz(md, b, minv)
+    assert int(r1.stats.errcode) == 0
+    assert int(r1.iterations) == int(r0.iterations)
+    np.testing.assert_array_equal(np.asarray(r1.x), np.asarray(r0.x))
+    m2 = inject_bitflips(m, "ANY", 1, np.random.default_rng(8),
+                         echo=lambda s: None)
+    r2 = lz(make_matrix_device(m2, jnp.float32), b, minv)
+    assert int(r2.stats.errcode) == 0
+    assert int(r2.stats.corrected_count) == 1
+    np.testing.assert_array_equal(np.asarray(r2.x), np.asarray(r0.x))
+
+
+def test_lazy_checkpointed_solve(tmp_path):
+    """A lazy continue_fn under CheckpointedSolve: segments verify at
+    their boundaries (exit pass), the mid-solve scrub still happens
+    exactly once, same answer as the one-shot live solve."""
+    from abft_sparse_cg_tpu.solver.checkpoint import CheckpointedSolve
+    from abft_sparse_cg_tpu.solver.fused import make_fused_continue
+
+    m = dia_matrix("secded")
+    m2 = inject_bitflips(m, "ANY", 1, np.random.default_rng(5),
+                         echo=lambda s: None)
+    md = make_matrix_device(m2, jnp.float32)
+    b = bvec(m)
+    cont = make_fused_continue(m, "secded", 1e-8, interpret=True,
+                               check_interval=4)
+    runner = CheckpointedSolve(None, 1e-8, every=3,
+                               path=str(tmp_path / "ck.npz"),
+                               continue_fn=cont)
+    res = runner.run(md, b, max_itrs=300)
+    _, _, fus = solvers(m, "secded")
+    ref = fus(make_matrix_device(m, jnp.float32), b)
+    assert int(res.stats.errcode) == 0
+    assert int(res.stats.corrected_count) == 1
+    assert int(res.iterations) == int(ref.iterations)
+    np.testing.assert_array_equal(np.asarray(res.x), np.asarray(ref.x))
+
+
 def test_lazy_sed_failstop_rolls_back():
     """Detect-only mode under the lazy schedule: the uncorrectable
     fault fail-stops with the state rolled back to the last verified
