@@ -124,6 +124,28 @@ def test_sec7_rolled_megakernel_scope(delta, fused_det):
     assert int(r.stats.errcode) == 0
 
 
+@pytest.mark.parametrize("delta,kern_det", [(2, False), (8, True),
+                                            (4096, False)])
+def test_sec7_periter_wideband_scope(delta, kern_det):
+    """The per-iteration wideband (absolute-scan) kernel keeps the
+    lane-major word planes and the position-in-chunk class compare of
+    the banded kernel — the detect/miss boundary must not drift."""
+    from abft_sparse_cg_tpu.ops.spmv_pallas import (
+        _ELL_MAX_WROWS,
+        _ell_chunk,
+        _ell_window,
+    )
+    from tests.test_fused import wideband_matrix
+
+    m = wideband_matrix("sec7", n=16384)
+    assert _ell_window(m)[1] > _ELL_MAX_WROWS
+    assert _ell_chunk(m.R) == 4096  # delta=4096 -> same chunk class
+    m2 = flip_rows(m, 1000, 1000 + delta)
+    assert fast_trigger(
+        make_pallas_spmv(m, jnp.float32, "sec7", interpret=True), m2,
+        jnp.float32) == kern_det
+
+
 @pytest.mark.parametrize("delta", [d for d, *_ in SCOPE])
 def test_secded_parity_covers_multi_element(delta):
     """The per-element parity mask detects two odd-weight elements at
