@@ -87,22 +87,29 @@ class PallasBackend(JnpBackend):
                 from ..solver.fused import make_fused_solver, supports_fused
 
                 on_tpu = jax.devices()[0].platform != "cpu"
-                if on_tpu and supports_fused(mat, dtype, self.mode,
-                                             max_itrs,
-                                             check_interval=ci):
+                # ABFT_FUSED_INTERPRET=1 routes the megakernel through
+                # the Pallas interpreter off-TPU — far too slow for real
+                # solves, but it lets tests drive the full CLI/backend
+                # wiring (incl. --check-interval) without hardware.
+                want_fused = on_tpu or bool(
+                    os.environ.get("ABFT_FUSED_INTERPRET"))
+                if want_fused and supports_fused(mat, dtype, self.mode,
+                                                 max_itrs,
+                                                 check_interval=ci):
                     # Whole-solve megakernel (solver.fused): VMEM-resident
                     # CG vectors + live per-iteration detection.  Jacobi
                     # solves get the precond kernel variant when it fits
                     # (M^-1 is a fifth resident vector); anything else
                     # keeps the per-iteration tier.
                     fused = make_fused_solver(mat, self.mode, max_itrs,
-                                              conv, check_interval=ci)
+                                              conv, check_interval=ci,
+                                              interpret=not on_tpu)
                     fused_p = None
                     if supports_fused(mat, dtype, self.mode, max_itrs,
                                       precond=True, check_interval=ci):
                         fused_p = make_fused_solver(
                             mat, self.mode, max_itrs, conv, precond=True,
-                            check_interval=ci)
+                            check_interval=ci, interpret=not on_tpu)
                     periter = solver
 
                     def solver(md, b, minv=None, _f=fused, _fp=fused_p,

@@ -171,3 +171,22 @@ def test_deterministic_with_seed():
     p2 = run_cg("csr", *BASE, "-t", "jnp", "-m", "secded", "-x")
     strip = lambda s: re.sub(r"time = +[\d.]+ ms|taken = +[\d.]+ ms", "", s)
     assert strip(p1.stdout) == strip(p2.stdout)
+
+
+def test_check_interval_megakernel_wiring():
+    """--check-interval reaches the megakernel through the backend: the
+    CLI flag sets the env knob, the pallas backend keys its solver cache
+    on it, and the lazy solve corrects an injected fault (exit 0).
+    ABFT_FUSED_INTERPRET routes the megakernel through the interpreter
+    so the full wiring runs without TPU hardware."""
+    exe = os.path.join(REPO, "bin", "cg-csr")
+    env = dict(ENV, ABFT_FUSED_INTERPRET="1")
+    p = subprocess.run(
+        [sys.executable, exe, "-f", MTX, "-b", "8", "--seed", "7",
+         "--dtype", "f32", "-t", "pallas", "-m", "secded", "-x",
+         "--check-interval", "4"],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert p.returncode == 0, p.stdout + p.stderr
+    assert "corrected bit" in p.stdout
+    assert "time taken" in p.stdout
