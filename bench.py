@@ -77,11 +77,30 @@ def main():
 
     apply_platform_env()
 
+    # Device init goes through the axon tunnel; when the tunnel is down
+    # jax.devices() blocks forever — fail with a parseable JSON line
+    # instead of hanging the caller (watchdog, not a timeout on work).
+    import threading
+
+    ready = threading.Event()
+
+    def _watchdog():
+        if not ready.wait(600):
+            print(json.dumps({
+                "metric": "cg_csr_secded_solve_ms", "value": None,
+                "unit": "ms", "vs_baseline": None,
+                "error": "device init timed out (axon tunnel down?)"}),
+                flush=True)
+            os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     import jax
 
     from abft_sparse_cg_tpu.formats import build_protected, load_matrix
 
     log(f"device: {jax.devices()[0]}")
+    ready.set()
     path = ensure_matrix()
     a = load_matrix(path, BLOCKS)
     log(f"matrix: N={a.N:,} nnz={a.nnz:,} (-b {BLOCKS})")
