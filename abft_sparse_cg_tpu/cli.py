@@ -253,7 +253,20 @@ def main(argv=None, fmt="csr"):
         raise SystemExit(1)
 
     try:
-        mat = build_protected(params["fmt"], assembled, params["mode"])
+        # --devices N: align the padded row count to the mesh at build
+        # time so the sharded tiers stay available for any N — the
+        # shard_map kernel tier needs 1024 rows per shard
+        # (parallel.sharded_kernel.supports_shardmap), GSPMD split
+        # sharding needs 8 (parallel.sharded._device_put_sharded).
+        ra = None
+        if params["devices"] and params["devices"] > 1:
+            import math
+
+            ra = (1024 if params["target"] == "pallas" else 8) \
+                * params["devices"]
+            ra = math.lcm(ra, 128)  # R is always lane-padded to 128
+        mat = build_protected(params["fmt"], assembled, params["mode"],
+                              row_align=ra)
     except ValueError as e:
         print(str(e))
         raise SystemExit(1)

@@ -313,7 +313,8 @@ def build_protected(fmt: str, assembled: AssembledMatrix, mode: str,
                     force_exec: str = None,
                     reorder: str = "auto",
                     split: str = "auto",
-                    force_perm: np.ndarray = None):
+                    force_perm: np.ndarray = None,
+                    row_align: int = None):
     """Encode + lay out a protected matrix.
 
     ``force_exec``: None = auto-select execution layout; "ell"/"dia"
@@ -329,6 +330,15 @@ def build_protected(fmt: str, assembled: AssembledMatrix, mode: str,
     matrices alone).
     ``force_perm``: impose a specific exec-space permutation (the split
     machinery aligns its parts with this; overrides ``reorder``).
+    ``row_align``: pad the execution row count R up to a multiple of
+    this (itself a multiple of 128).  A mesh-sharded solve needs R
+    divisible by the shard granularity — 1024 rows/device for the
+    shard_map kernel tier (parallel.sharded_kernel), 8 rows/device for
+    GSPMD — and aligning at BUILD time keeps those tiers available
+    instead of silently falling back (extra rows are zero codewords,
+    exactly like the 128-lane padding).  Layout-adoption heuristics
+    ignore this padding: it is mandated by the mesh, not a property of
+    the matrix structure.
     """
     if fmt not in FORMATS:
         raise ValueError(f"unknown format: {fmt!r}")
@@ -337,7 +347,14 @@ def build_protected(fmt: str, assembled: AssembledMatrix, mode: str,
     rows = assembled.rows.astype(np.int64)
     cols = assembled.cols.astype(np.int64)
     N, nnz = assembled.N, assembled.nnz
-    R = -(-N // _SUBLANE) * _SUBLANE
+    R0 = -(-N // _SUBLANE) * _SUBLANE   # structural (lane) padding only
+    R = R0
+    if row_align:
+        if row_align % _SUBLANE:
+            raise ValueError(
+                f"row_align ({row_align}) must be a multiple of "
+                f"{_SUBLANE}")
+        R = -(-R0 // row_align) * row_align
 
     # CSR row pointer over the canonical (row, col) order.
     counts = np.bincount(rows, minlength=N)
@@ -365,7 +382,9 @@ def build_protected(fmt: str, assembled: AssembledMatrix, mode: str,
         ok = (
             nnz > 0
             and len(uoffs) <= _DIA_MAX_D
-            and len(uoffs) * R <= _DIA_MAX_EXPAND * max(nnz, 1)
+            # Expansion judged against the structural row count R0:
+            # mesh-alignment padding is paid regardless of layout.
+            and len(uoffs) * R0 <= _DIA_MAX_EXPAND * max(nnz, 1)
         )
         if ok:
             # A (group, offset) collision (duplicate entries) cannot be
@@ -413,12 +432,12 @@ def build_protected(fmt: str, assembled: AssembledMatrix, mode: str,
         ell = _scatter_exec(planes, layout, ell_slot, (len(uoffs), R))
         dia_offsets = tuple(int(o) for o in uoffs)
     elif force_exec != "ell" and nnz and (
-            force_exec == "flat" or K * R > _ELL_MAX_EXPAND * nnz):
+            force_exec == "flat" or K * R0 > _ELL_MAX_EXPAND * nnz):
         if split == "auto" and force_exec is None and force_perm is None:
             from .split import try_split
 
             comp = try_split(fmt, assembled, mode, layout, planes, row_ptr,
-                             reorder)
+                             reorder, row_align=row_align)
             if comp is not None:
                 return comp
         # FLAT: 1-D planes in exec-sorted canonical order, padded to a
@@ -451,7 +470,7 @@ def build_protected(fmt: str, assembled: AssembledMatrix, mode: str,
             from .split import try_band_split
 
             comp = try_band_split(fmt, assembled, mode, layout, planes,
-                                  row_ptr, reorder)
+                                  row_ptr, reorder, row_align=row_align)
             if comp is not None:
                 return comp
         exec_kind = "ell"

@@ -146,7 +146,8 @@ class CompositeMatrix:
         )
 
 
-def try_band_split(fmt, assembled, mode, layout, planes, row_ptr, reorder):
+def try_band_split(fmt, assembled, mode, layout, planes, row_ptr, reorder,
+                   row_align=None):
     """Band decomposition A = M + T for matrices whose (post-RCM)
     bandwidth exceeds the banded kernels' window cap: ``main`` = entries
     within a cut bandwidth (rides the compiled banded-ELL/DIA tier),
@@ -206,12 +207,14 @@ def try_band_split(fmt, assembled, mode, layout, planes, row_ptr, reorder):
     from .protected import build_protected
 
     main = build_protected(fmt, a_main, mode, reorder="none",
-                           split="none", force_perm=perm)
+                           split="none", force_perm=perm,
+                           row_align=row_align)
     if main.exec_kind not in ("dia", "ell") or main.band > cut:
         return None
     a_tail = _sub_assembled(assembled, tail_mask)
     tail = build_protected(fmt, a_tail, mode, reorder="none", split="none",
-                           force_perm=perm, force_exec="flat")
+                           force_perm=perm, force_exec="flat",
+                           row_align=row_align)
     if tail.R != main.R:
         return None
 
@@ -239,7 +242,8 @@ def _sub_assembled(a: AssembledMatrix, mask: np.ndarray) -> AssembledMatrix:
     )
 
 
-def try_split(fmt, assembled, mode, layout, planes, row_ptr, reorder):
+def try_split(fmt, assembled, mode, layout, planes, row_ptr, reorder,
+              row_align=None):
     """Attempt the bordered decomposition; None if it doesn't pay off."""
     from ..ecc.codec import ECC_MODES
     from .protected import build_protected
@@ -261,13 +265,14 @@ def try_split(fmt, assembled, mode, layout, planes, row_ptr, reorder):
         return None
 
     a_main = _sub_assembled(assembled, ~tail_mask)
-    main = build_protected(fmt, a_main, mode, reorder=reorder, split="none")
+    main = build_protected(fmt, a_main, mode, reorder=reorder, split="none",
+                           row_align=row_align)
     if main.exec_kind == "flat":
         return None  # the core is not banded either; flat alone is simpler
 
     a_tail = _sub_assembled(assembled, tail_mask)
     tail = build_protected(fmt, a_tail, mode, reorder="none", split="none",
-                           force_perm=main.perm)
+                           force_perm=main.perm, row_align=row_align)
     if tail.R != main.R:
         return None  # should not happen (same N); stay safe
     if tail.exec_kind == "flat":

@@ -360,6 +360,78 @@ def test_shardmap_envelope():
     assert not supports_shardmap(m2, jnp.float32, 8)
 
 
+def test_row_align_build():
+    """row_align pads R to the mesh granularity with zero codewords and
+    never flips the layout choice (heuristics judge the structural R)."""
+    rows, cols, vals, n = spd_tridiagonal(4000)
+    a = assemble(cols, rows, vals, n, 1)
+    m0 = build_protected("csr", a, "secded")
+    m = build_protected("csr", a, "secded", row_align=8192)
+    assert m0.R == 4096 and m.R == 8192
+    assert m.exec_kind == m0.exec_kind
+    assert m.K == m0.K and m.nnz == m0.nnz
+    # Padding rows are empty and checksum to zero.
+    assert int(m.ell_len[m.N:].sum()) == 0
+    assert not m.ell_cksum[:, m0.R // 8:].any()
+    with pytest.raises(ValueError):
+        build_protected("csr", a, "secded", row_align=1000)
+
+
+def test_row_align_unlocks_shardmap_kernel():
+    """An N whose natural R is not 1024*ndev-aligned rides the shard_map
+    kernel tier when built with row_align — and matches the unaligned
+    single-device solve."""
+    import jax.numpy as jnp
+
+    from abft_sparse_cg_tpu.parallel.sharded_kernel import supports_shardmap
+
+    rows, cols, vals, n = spd_tridiagonal(4000)
+    a = assemble(cols, rows, vals, n, 1)
+    assert not supports_shardmap(
+        build_protected("csr", a, "secded"), jnp.float32, 8)
+    m = build_protected("csr", a, "secded", row_align=1024 * 8)
+    assert supports_shardmap(m, jnp.float32, 8)
+    run_sm, run_ref = _shardmap_solvers(m, "secded")
+    b = RNG.random(m.N)
+    r0, r1 = run_ref(m, b), run_sm(m, b)
+    assert int(r1.stats.errcode) == 0
+    assert int(r1.iterations) == int(r0.iterations)
+    np.testing.assert_allclose(np.asarray(r1.x), np.asarray(r0.x),
+                               rtol=2e-5, atol=1e-7)
+
+
+def test_row_align_split_composite():
+    """row_align propagates through the bordered split so GSPMD split
+    sharding (R % 8*ndev) keeps working at any N."""
+    rows, cols, vals, n = spd_tridiagonal(500)
+    rows, cols, vals = list(rows), list(cols), list(vals)
+    rng = np.random.default_rng(3)
+    for c in rng.choice(n, size=120, replace=False):
+        if int(c) != 100:
+            rows.append(max(100, int(c)))
+            cols.append(min(100, int(c)))
+            vals.append(-0.01)
+    rows, cols = np.array(rows), np.array(cols)
+    vals = np.array(vals, dtype=float)
+    deg = np.bincount(rows, minlength=n) + np.bincount(cols, minlength=n)
+    diag = rows == cols
+    vals[diag] = deg.astype(float)[rows[diag]] + 4.0
+    a = assemble(cols, rows, vals, n, 1)
+    m = build_protected("csr", a, "secded", row_align=8 * 8 * 16)
+    if m.exec_kind != "split":
+        pytest.skip("matrix did not split")
+    assert m.R % (8 * 8) == 0 and m.main.R == m.tail.R == m.R
+    b = RNG.random(m.N)
+    res = create("jnp", "secded").solve(m, b, 300, 1e-10, verbose=False,
+                                        dtype="f64", devices=8)
+    single = create("jnp", "secded").solve(m, b, 300, 1e-10, verbose=False,
+                                           dtype="f64")
+    assert not res.failed
+    # Entry-sharded tail sums in a different order than single-device;
+    # both land within the converged residual's accuracy of each other.
+    np.testing.assert_allclose(res.x, single.x, rtol=1e-5, atol=1e-9)
+
+
 def test_shardmap_backend_routing(monkeypatch):
     """`--devices 8` on the pallas target rides the shard_map kernel
     tier (env knob forces interpret mode off-TPU)."""
