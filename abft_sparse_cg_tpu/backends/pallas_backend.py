@@ -28,7 +28,8 @@ class PallasBackend(JnpBackend):
             # no SPMD partitioning rule, so the kernels run per shard
             # under shard_map with an explicit ±band halo exchange
             # (parallel.sharded_kernel) when the layout fits that
-            # envelope; anything else (flat/split layouts, unaligned
+            # envelope — incl. split composites (kernel main part +
+            # GSPMD flat tail); anything else (flat layouts, unaligned
             # shards) rides the GSPMD jnp program, which XLA shards
             # properly.
             from ..parallel.sharded_kernel import (
@@ -49,10 +50,12 @@ class PallasBackend(JnpBackend):
             if (want_sm and variant == "standard" and mesh is not None
                     and r_dev == mat.R
                     and supports_shardmap(mat, dtype, ndev)):
+                sm_tail_plan = (getattr(mat.tail, "dense_plan", None)
+                                if mat.exec_kind == "split" else None)
                 key = ("smsolve", mat.fmt, self.mode, mat.exec_kind,
                        mat.dia_offsets, mat.R, mat.K, mat.N, mat.nnz,
-                       mat.band, mat.perm is not None, str(dtype),
-                       max_itrs, float(conv), ndev)
+                       mat.band, mat.perm is not None, sm_tail_plan,
+                       str(dtype), max_itrs, float(conv), ndev)
                 if key not in _SOLVER_CACHE:
                     spmv = make_shardmap_spmv(mat, mesh, dtype, self.mode)
                     _SOLVER_CACHE[key] = jax.jit(

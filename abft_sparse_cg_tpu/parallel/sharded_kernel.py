@@ -77,11 +77,16 @@ def _halo(mat):
 def supports_shardmap(mat, dtype, ndev: int) -> bool:
     """Envelope: banded layout, f32, shards sublane/lane-aligned at the
     kernels' chunk granularity (local rows a multiple of 1024), and the
-    window/offsets within one neighbor's rows (a two-edge exchange)."""
+    window/offsets within one neighbor's rows (a two-edge exchange).
+    Bordered/band-split composites qualify through their banded main
+    part (the flat tail rides the entry-sharded GSPMD program)."""
     from ..ops.spmv_pallas import _ellb_ok
 
     if ndev < 2 or jnp.dtype(dtype) != jnp.float32:
         return False
+    if mat.exec_kind == "split":
+        return (getattr(mat.tail, "exec_kind", None) == "flat"
+                and supports_shardmap(mat.main, dtype, ndev))
     if mat.exec_kind not in ("dia", "ell"):
         return False
     if mat.R % (1024 * ndev):
@@ -113,6 +118,19 @@ def make_shardmap_spmv(mat, mesh, dtype=jnp.float32, mode: str = None,
     axis = mesh.axis_names[0]
     if not supports_shardmap(mat, dtype, ndev):
         raise ValueError("matrix outside the shard_map kernel envelope")
+    if mat.exec_kind == "split":
+        # Composite: the banded main part runs the per-shard kernels;
+        # the flat tail keeps the entry-sharded GSPMD jnp program (XLA
+        # inserts its scatter-add reduce) — the same pairing
+        # make_pallas_spmv uses single-device, on the sharded operands
+        # parallel.sharded._device_put_sharded lays out.
+        from ..ops.spmv import combine_impls, make_spmv
+
+        return combine_impls(
+            make_shardmap_spmv(mat.main, mesh, dtype, mode, interpret),
+            make_spmv(mat.tail, dtype, mode),
+            mat.main.exec_size,
+        )
     if interpret is None:
         interpret = jax.devices()[0].platform == "cpu"
 

@@ -335,6 +335,38 @@ def test_shardmap_kernel_wideband():
                                rtol=2e-5, atol=1e-7)
 
 
+def test_shardmap_kernel_split_composite():
+    """Bordered composite under shard_map: the banded main part runs the
+    per-shard kernels, the flat tail the entry-sharded GSPMD program;
+    fault correction works across both parts and matches single-device."""
+    import jax.numpy as jnp
+
+    from abft_sparse_cg_tpu.parallel.sharded_kernel import supports_shardmap
+
+    a = _bordered(n=8000)
+    m = build_protected("csr", a, "secded", row_align=1024 * 8)
+    assert m.exec_kind == "split" and m.R == 8192
+    assert supports_shardmap(m, jnp.float32, 8)
+    run_sm, run_ref = _shardmap_solvers(m, "secded")
+    b = RNG.random(m.N)
+    r0, r1 = run_ref(m, b), run_sm(m, b)
+    assert int(r1.stats.errcode) == 0
+    assert int(r1.iterations) == int(r0.iterations)
+    # f32 + the entry-sharded tail's different summation order: a couple
+    # of small-magnitude elements land ~1e-3 relative apart at conv=1e-6.
+    np.testing.assert_allclose(np.asarray(r1.x), np.asarray(r0.x),
+                               rtol=2e-3, atol=5e-6)
+    # A fault in either part is detected by the psum'd signals and
+    # corrected by the (sharded) GSPMD classify.
+    for seed in (4, 11):
+        m2 = inject_bitflips(m, "ANY", 1, np.random.default_rng(seed),
+                             echo=lambda s: None)
+        rf = run_sm(m2, b)
+        assert int(rf.stats.errcode) == 0, seed
+        assert int(rf.stats.corrected_count) == 1, seed
+        np.testing.assert_array_equal(np.asarray(rf.x), np.asarray(r1.x))
+
+
 def test_shardmap_kernel_sed_failstop():
     m = _kernel_mat(mode="sed")
     run_sm, _ = _shardmap_solvers(m, "sed")
