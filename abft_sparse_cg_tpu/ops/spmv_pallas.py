@@ -110,7 +110,11 @@ def _dia_side(mat) -> int:
 
 
 def _ellb_ok(mat) -> bool:
-    if mat.exec_kind != "ell" or mat.K > _ELL_MAX_K:
+    if mat.exec_kind != "ell" or not 2 <= mat.K <= _ELL_MAX_K:
+        # K=1 would emit (1, 128) take_along_axis shuffles, which Mosaic
+        # cannot lower (memory quirks list); such a matrix (one entry
+        # per row yet >128 distinct offsets) is degenerate — the jnp
+        # path carries it.
         return False
     if mat.R % 128 or not _ell_chunk(mat.R):
         return False

@@ -153,6 +153,12 @@ def _plan(mat, mode, precond=False, force_streaming=False,
                   or bool(os.environ.get("ABFT_FUSED_ABS_SCAN")))
         if WROWS > _FUSED_MAX_WROWS:
             return None
+        if mat.K < 2:
+            # The absolute scan's edge bodies (and a (1, 128)-table
+            # shuffle in general) cannot lower in Mosaic (memory quirks
+            # list); such a matrix (one entry per row) is degenerate —
+            # jnp carries it.  Matches ops.spmv_pallas._ellb_ok.
+            return None
         S0 = side // 128
         Hlo = Hhi = -(-S0 // 8) * 8
         D = mat.K

@@ -262,6 +262,33 @@ def test_ellb_wideband_triggers_on_fault(mode):
         assert bool(trig), f"seed {seed}: single-bit fault missed"
 
 
+def test_k1_ell_falls_back_to_jnp():
+    """K=1 ELL (one entry per row, too many distinct offsets for DIA) is
+    outside every kernel tier: a (1, 128)-table lane shuffle cannot
+    lower in Mosaic.  The jnp path carries it correctly."""
+    from abft_sparse_cg_tpu.solver.fused import supports_fused
+
+    n = 2048
+    rng = np.random.default_rng(4)
+    # Value-only entries: one off-diagonal per row at a random offset
+    # would not be SPD; a diagonal matrix with shuffled row labels keeps
+    # K=1 while defeating DIA adoption via force_exec.
+    rows = cols = np.arange(n)
+    vals = rng.random(n) + 1.0
+    a = assemble(cols, rows, vals, n, 1)
+    m = build_protected("csr", a, "secded", force_exec="ell")
+    assert m.exec_kind == "ell" and m.K == 1
+    assert not supports(m, jnp.float32)
+    assert not supports_fused(m, jnp.float32, "secded", 100)
+    impl = make_pallas_spmv(m, jnp.float32, "secded", interpret=True)
+    md = device_matrix(m)
+    x = jnp.asarray(RNG.random(m.R), jnp.float32)
+    w, s = jax.jit(impl.full)(md, x)
+    assert int(s.errcode) == 0
+    np.testing.assert_allclose(np.asarray(w)[: m.N],
+                               vals * np.asarray(x)[: m.N], rtol=1e-6)
+
+
 def test_wide_band_falls_back_to_jnp():
     """Matrices outside the windowed kernel's envelope (band past even
     the wideband tier's 16256 cap — a label shuffle with reordering
