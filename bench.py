@@ -127,12 +127,32 @@ def main():
         f"(reference {BASELINE_MS[worst]:.1f} ms, "
         f"{BASELINE_MS[worst] / times[worst]:.0f}x)")
 
-    print(json.dumps({
+    # Lazy detection schedule (--check-interval 8) on the kernel tier:
+    # words stream every 8th iteration with snapshot rollback — the
+    # BASELINE '<10% secded overhead' configuration.  Same delivered
+    # solution; detection latency is bounded at 8 iterations.
+    lazy8 = None
+    if tier == "pallas" and jax.devices()[0].platform != "cpu":
+        os.environ["ABFT_CHECK_INTERVAL"] = "8"
+        try:
+            lazy8 = bench_mode(mats["secded"], b, "secded", tier)
+            log(f"secded lazy8 overhead vs none: "
+                f"{(lazy8 - times['none']) / times['none'] * 100:+.1f}%")
+        finally:
+            os.environ.pop("ABFT_CHECK_INTERVAL", None)
+
+    out = {
         "metric": f"cg_csr_secded_solve_ms_b10_{tier}",
         "value": round(times["secded"], 3),
         "unit": "ms",
         "vs_baseline": round(BASELINE_MS["secded"] / times["secded"], 2),
-    }))
+        "abft_overhead_pct": round(overhead, 1),
+    }
+    if lazy8 is not None:
+        out["lazy8_ms"] = round(lazy8, 3)
+        out["lazy8_overhead_pct"] = round(
+            (lazy8 - times["none"]) / times["none"] * 100, 1)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
