@@ -50,16 +50,31 @@ class PallasBackend(JnpBackend):
             if (want_sm and variant == "standard" and mesh is not None
                     and r_dev == mat.R
                     and supports_shardmap(mat, dtype, ndev)):
+                ci = max(1, int(os.environ.get("ABFT_CHECK_INTERVAL",
+                                               "1") or 1))
                 sm_tail_plan = (getattr(mat.tail, "dense_plan", None)
                                 if mat.exec_kind == "split" else None)
                 key = ("smsolve", mat.fmt, self.mode, mat.exec_kind,
                        mat.dia_offsets, mat.R, mat.K, mat.N, mat.nnz,
                        mat.band, mat.perm is not None, sm_tail_plan,
-                       str(dtype), max_itrs, float(conv), ndev)
+                       str(dtype), max_itrs, float(conv), ndev, ci)
                 if key not in _SOLVER_CACHE:
                     spmv = make_shardmap_spmv(mat, mesh, dtype, self.mode)
-                    _SOLVER_CACHE[key] = jax.jit(
-                        make_cg_solver(spmv, max_itrs, conv))
+                    if ci > 1 and spmv.classify is not None:
+                        # Lazy --check-interval on the shard_map tier:
+                        # unchecked iterations run the detection-free
+                        # per-shard kernels (solver.cg lazy loop with
+                        # snapshot rollback).
+                        from ..solver.cg import make_lazy_ci_solver
+
+                        product = make_shardmap_spmv(mat, mesh, dtype,
+                                                     self.mode,
+                                                     detect=False)
+                        solver = make_lazy_ci_solver(spmv, product, ci,
+                                                     max_itrs, conv)
+                    else:
+                        solver = make_cg_solver(spmv, max_itrs, conv)
+                    _SOLVER_CACHE[key] = jax.jit(solver)
                 return _SOLVER_CACHE[key]
             return super()._get_solver(mat, dtype, max_itrs, conv, r_dev,
                                        variant)
@@ -122,6 +137,22 @@ class PallasBackend(JnpBackend):
                         if _fp is not None:
                             return _fp(md, b, minv)
                         return _p(md, b, minv)
+                elif (want_fused and ci > 1
+                        and spmv.classify is not None):
+                    # Outside the megakernel envelope, the lazy
+                    # --check-interval schedule still applies at the
+                    # solver level: unchecked iterations run the
+                    # detection-free per-iteration kernel
+                    # (make_pallas_product), with snapshot rollback on
+                    # trigger (solver.cg.make_lazy_ci_continue).
+                    from ..ops.spmv_pallas import make_pallas_product
+                    from ..solver.cg import make_lazy_ci_solver
+
+                    product = make_pallas_product(
+                        mat, dtype, self.mode, interpret=not on_tpu)
+                    if product is not None:
+                        solver = make_lazy_ci_solver(spmv, product, ci,
+                                                     max_itrs, conv)
             _SOLVER_CACHE[key] = jax.jit(solver)
         return _SOLVER_CACHE[key]
 

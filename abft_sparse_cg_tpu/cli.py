@@ -44,7 +44,7 @@ _USAGE_OPTIONS = """Options:
       --solver          S     CG variant: standard | pipelined
       --reps            N     Executions averaged into 'time taken'
                               (default: 20 on TPU, 1 on CPU)
-      --check-interval  K     Lazy ABFT schedule (pallas megakernel):
+      --check-interval  K     Lazy ABFT schedule (pallas kernel tiers):
                               verify every K-th iteration, snapshot-
                               rollback on a trigger (default 1 = live)
   -p  --precond         P     Preconditioner: none | jacobi

@@ -68,7 +68,7 @@ import numpy as np
 from ..ecc import ECC_COL_MASK
 from .spmv import MatrixDevice, SpmvImpl, SpmvStats
 
-__all__ = ["supports", "make_pallas_spmv"]
+__all__ = ["supports", "make_pallas_spmv", "make_pallas_product"]
 
 _CHUNK = 8 * 1024    # DIA: rows per grid step
 _ELL_CHUNK = 4096    # banded ELL: output rows per grid step (amortizes
@@ -166,6 +166,37 @@ def make_pallas_spmv(mat, dtype=jnp.float32, mode: str = None,
     return _wrap_mode(mat, dtype, mode, fast, fast_pw)
 
 
+def make_pallas_product(mat, dtype=jnp.float32, mode: str = None,
+                        interpret: bool = False):
+    """Detection-free kernel product for the lazy ``--check-interval``
+    schedule's UNCHECKED iterations: identical arithmetic to the checked
+    kernels — including the ECC masking the true ``mode`` implies on the
+    gather index — but no word-plane streaming; ``trig`` is constantly
+    False.  Split composites keep the tail's checked jnp impl (its
+    signals are loop-invariant XLA folds over tiny planes, so stripping
+    them buys nothing, and a live tail trigger is just early detection).
+    Returns None when the matrix is outside the kernel envelope — the
+    caller keeps the live schedule then."""
+    mode = mat.mode if mode is None else mode
+    if mat.exec_kind == "split":
+        from .spmv import combine_impls, make_spmv
+
+        mp = make_pallas_product(mat.main, dtype, mode, interpret)
+        if mp is None:
+            return None
+        return combine_impls(mp, make_spmv(mat.tail, dtype, mode),
+                             mat.main.exec_size)
+    if not supports(mat, dtype):
+        return None
+    if mat.exec_kind == "dia":
+        fast, fast_pw = _make_dia_fast(mat, mode, bool(interpret),
+                                       detect=False)
+    else:
+        fast, fast_pw = _make_ellb_fast(mat, mode, bool(interpret),
+                                        detect=False)
+    return SpmvImpl(full=None, fast=fast, classify=None, fast_pw=fast_pw)
+
+
 def _wrap_mode(mat, dtype, mode, fast, fast_pw):
     """Assemble the SpmvImpl around a kernel-tier (fast, fast_pw) pair:
     jnp oracle/classify for the rare paths, mode-specific full()."""
@@ -229,19 +260,25 @@ def stream_words(mode, layout, fmt) -> tuple:
     return ()
 
 
-def _mode_signals(mode, mat):
+def _mode_signals(mode, mat, detect=True):
     # Trigger signals by mode: sec7 has no stored parity bit; sed has no
     # checksum need (parity is the whole check) but uses the same fast
     # kernel with parity-only trigger.  Constraints rides the checksum
     # scan over its index words (lazy schedule; classify re-runs the
     # structural checks).  Mode none reads no codeword planes at all.
+    # ``detect=False`` strips every signal (no word streaming) while the
+    # product arithmetic — incl. the ECC masking the true mode implies —
+    # stays identical: the lazy --check-interval schedule's unchecked-
+    # iteration kernel.
+    if not detect:
+        return False, False, ()
     use_parity = mode in ("sed", "sec8", "secded")
     use_cksum = mode in ("sec7", "secded", "constraints")
     sw = stream_words(mode, mat.layout, mat.fmt)
     return use_parity, use_cksum, sw
 
 
-def _make_dia_fast(mat, mode, interpret, halo=0):
+def _make_dia_fast(mat, mode, interpret, halo=0, detect=True):
     """``halo`` > 0: the returned callables expect an x of length
     R + 2*halo (halo == the 128-rounded band, ``_dia_side``) whose ends
     hold neighbor-shard rows (parallel.sharded_kernel's exchange)
@@ -262,7 +299,7 @@ def _make_dia_fast(mat, mode, interpret, halo=0):
     offsets = mat.dia_offsets
     D = len(offsets)
     R = mat.R
-    use_parity, use_cksum, SW = _mode_signals(mode, mat)
+    use_parity, use_cksum, SW = _mode_signals(mode, mat, detect)
     NW = len(SW)
     W = NW  # streamed word planes (all of them for ECC modes)
     d0 = offsets.index(0) if 0 in offsets else None
@@ -472,7 +509,8 @@ def _make_dia_fast(mat, mode, interpret, halo=0):
 # Banded-ELL windowed-gather kernel
 # --------------------------------------------------------------------------
 
-def _make_ellb_fast(mat, mode, interpret, halo=False, with_base=False):
+def _make_ellb_fast(mat, mode, interpret, halo=False, with_base=False,
+                    detect=True):
     """``halo``: the returned callables expect an x of length
     R + 2*SIDE whose ends hold neighbor-shard rows (zero-filled at the
     global boundary) instead of the call padding with zeros itself.
@@ -486,7 +524,7 @@ def _make_ellb_fast(mat, mode, interpret, halo=False, with_base=False):
     layout = mat.layout
     K = mat.K
     R = mat.R
-    use_parity, use_cksum, SW = _mode_signals(mode, mat)
+    use_parity, use_cksum, SW = _mode_signals(mode, mat, detect)
     NW = len(SW)
     W = NW  # streamed word planes (all of them for ECC modes)
 

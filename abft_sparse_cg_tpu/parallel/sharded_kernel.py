@@ -98,12 +98,18 @@ def supports_shardmap(mat, dtype, ndev: int) -> bool:
 
 
 def make_shardmap_spmv(mat, mesh, dtype=jnp.float32, mode: str = None,
-                       interpret: bool = None) -> SpmvImpl:
+                       interpret: bool = None,
+                       detect: bool = True) -> SpmvImpl:
     """Same contract as ``make_pallas_spmv``, for row-sharded operands
     laid out by ``parallel.sharded._device_put_sharded`` on ``mesh``.
 
     ``interpret``: None = auto (compiled on TPU, interpreter elsewhere —
     the virtual-device CPU mesh the tests and the multichip dryrun use).
+    ``detect=False``: the per-shard kernels skip every detection signal
+    (no word-plane streaming) while keeping the product arithmetic —
+    the lazy --check-interval schedule's unchecked-iteration impl
+    (solver.cg.make_lazy_ci_continue); split tails keep their checked
+    jnp impl either way.
     """
     from jax import lax
 
@@ -127,7 +133,8 @@ def make_shardmap_spmv(mat, mesh, dtype=jnp.float32, mode: str = None,
         from ..ops.spmv import combine_impls, make_spmv
 
         return combine_impls(
-            make_shardmap_spmv(mat.main, mesh, dtype, mode, interpret),
+            make_shardmap_spmv(mat.main, mesh, dtype, mode, interpret,
+                               detect),
             make_spmv(mat.tail, dtype, mode),
             mat.main.exec_size,
         )
@@ -140,10 +147,11 @@ def make_shardmap_spmv(mat, mesh, dtype=jnp.float32, mode: str = None,
     is_dia = mat.exec_kind == "dia"
     if is_dia:
         fast_loc, fast_pw_loc = _make_dia_fast(local, mode, interpret,
-                                               halo=H)
+                                               halo=H, detect=detect)
     else:
         fast_loc, fast_pw_loc = _make_ellb_fast(local, mode, interpret,
-                                                halo=True, with_base=True)
+                                                halo=True, with_base=True,
+                                                detect=detect)
     has_gidx = mat.perm is not None and not is_dia
 
     fwd = [(i, i + 1) for i in range(ndev - 1)]

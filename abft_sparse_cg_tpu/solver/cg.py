@@ -41,7 +41,7 @@ from ..ops.blas1 import calc_p, calc_xr, dot
 from ..ops.spmv import ERR_BREAKDOWN, SpmvImpl, SpmvStats
 
 __all__ = ["CGResult", "CGState", "make_cg_solver", "make_cg_continue",
-           "init_state"]
+           "make_lazy_ci_solver", "init_state"]
 
 _MAX_TRACE = 100_000
 
@@ -198,6 +198,164 @@ def _make_simple_continue(impl, conv_threshold, trace_rr):
         return jax.lax.while_loop(cond, body, state), md
 
     return continue_
+
+
+def _fast_pw_of(im: SpmvImpl):
+    if im.fast_pw is not None:
+        return im.fast_pw
+
+    def f(md, p):
+        w, trig = im.fast(md, p)
+        return w, trig, dot(p, w)
+
+    return f
+
+
+def make_lazy_ci_continue(impl: SpmvImpl, product: SpmvImpl,
+                          check_interval: int, conv_threshold: float,
+                          trace_rr: bool = True):
+    """Lazy ``--check-interval`` schedule for the per-iteration kernel
+    tiers (single-device and shard_map), solver-level: unchecked
+    iterations run ``product`` — the detection-free kernel
+    (ops.spmv_pallas.make_pallas_product / the shard_map equivalent),
+    same arithmetic, no word-plane streaming — and every CI-th
+    iteration runs the checked ``impl``.  A 3-vector verified-state
+    snapshot rides the loop carry; any anomaly (a check trigger, a
+    breakdown, or the one checked pass that closes the tail on every
+    exit) classifies/scrubs and rolls back to the snapshot, re-executing
+    the window — the same delivered-solution contract as the
+    megakernel's in-kernel lazy schedule (PARITY.md "Lazy detection
+    schedule"): no result ever derives from unverified reads, detection
+    latency <= CI iterations + rollback re-execution."""
+    CI = int(check_interval)
+    assert CI > 1 and impl.classify is not None
+    checked = _fast_pw_of(impl)
+    prod = _fast_pw_of(product)
+
+    def continue_(md, state: CGState, upto, minv=None):
+        conv = jnp.asarray(conv_threshold, state.rr.dtype)
+
+        def inner(md, s: CGState, snap):
+            c0 = (s, snap, jnp.bool_(False), jnp.int32(0))
+
+            def cond(c):
+                s, _, trig, err = c
+                return ((s.itr < upto) & (s.rr > conv) & (~trig)
+                        & (err == 0) & (s.stats.errcode == 0))
+
+            def body(c):
+                s, snap, _, _ = c
+                chk = (s.itr % CI) == (CI - 1)
+                # Any returned trigger is genuine: the product impl's
+                # kernels emit a constant False, and a split tail's
+                # live (jnp) signals just mean earlier detection.
+                w, trig, pw = jax.lax.cond(chk, checked, prod, md, s.p)
+                ok = ~trig
+                x1, r1, p1, rr1, rz1, bad = _iterate(
+                    s.x, s.r, s.p, s.rr, s.rz, w, minv, pw)
+                # Breakdown is only meaningful when no fault fired; the
+                # outer pass decides whether a fault explains it.
+                bad = bad & ok
+                err = jnp.where(bad, jnp.int32(ERR_BREAKDOWN),
+                                jnp.int32(0))
+                ok = ok & ~bad
+                x = jnp.where(ok, x1, s.x)
+                r = jnp.where(ok, r1, s.r)
+                p = jnp.where(ok, p1, s.p)
+                rr = jnp.where(ok, rr1, s.rr)
+                rz = jnp.where(ok, rz1, s.rz)
+                trace = s.trace
+                if trace_rr:
+                    trace = trace.at[s.itr].set(
+                        jnp.where(ok, rr, trace[s.itr]))
+                itr = jnp.where(ok, s.itr + 1, s.itr)
+                s1 = CGState(itr, x, r, p, rr, rz, s.stats, trace)
+                # A checked iteration that stood is verified state.
+                snapped = ok & chk
+                snap1 = CGState(
+                    itr=jnp.where(snapped, itr, snap.itr),
+                    x=jnp.where(snapped, x, snap.x),
+                    r=jnp.where(snapped, r, snap.r),
+                    p=jnp.where(snapped, p, snap.p),
+                    rr=jnp.where(snapped, rr, snap.rr),
+                    rz=jnp.where(snapped, rz, snap.rz),
+                    stats=snap.stats, trace=snap.trace)
+                return (s1, snap1, trig, err)
+
+            return jax.lax.while_loop(cond, body, c0)
+
+        def outer_cond(c):
+            done, *_ = c
+            return ~done
+
+        def outer_body(c):
+            _, md, s, snap = c
+            s1, snap1, trig, err = inner(md, s, snap)
+            # Exit-time verification: up to CI-1 tail iterations are
+            # unverified on a clean exit — one checked pass closes the
+            # window (faults are persistent plane corruptions, so
+            # clean-now covers every unchecked iteration since the last
+            # check; PARITY.md).
+            _, ttrig, _ = checked(md, s1.p)
+            trigged = trig | ttrig
+            anomaly = trigged | (err != 0)
+
+            def repair(md):
+                st1, md2 = impl.classify(md)
+                return md2, st1
+
+            def keep(md):
+                return md, SpmvStats.clean()
+
+            md, st1 = jax.lax.cond(anomaly, repair, keep, md)
+            # Retry-from-snapshot predicate (solver.fused
+            # outer_body_lazy): classify handled the anomaly — a
+            # correction, a benign constraints adoption (the refreshed
+            # checksum baseline cannot re-trigger on the same event),
+            # or a breakdown traced to a corrected fault.  An
+            # uncorrectable detection rolls back too (the tail ran on
+            # corrupt planes) and fail-stops; a fault-free breakdown
+            # stands.
+            fixed = ((trigged | (st1.corrected_count > 0))
+                     & (st1.errcode == 0))
+            roll = fixed | (st1.errcode != 0)
+            brk = jnp.where(fixed, jnp.int32(0), err)
+            st = s1.stats.merge_first(st1._replace(
+                errcode=jnp.where(st1.errcode != 0, st1.errcode, brk)))
+            s2 = CGState(
+                itr=jnp.where(roll, snap1.itr, s1.itr),
+                x=jnp.where(roll, snap1.x, s1.x),
+                r=jnp.where(roll, snap1.r, s1.r),
+                p=jnp.where(roll, snap1.p, s1.p),
+                rr=jnp.where(roll, snap1.rr, s1.rr),
+                rz=jnp.where(roll, snap1.rz, s1.rz),
+                stats=st, trace=s1.trace)
+            done = (~fixed) | (st.errcode != 0)
+            return (done, md, s2, snap1)
+
+        # The entry state is verified — it seeds the snapshot.
+        _, md_out, s, _ = jax.lax.while_loop(
+            outer_cond, outer_body, (jnp.bool_(False), md, state, state))
+        return s, md_out
+
+    return continue_
+
+
+def make_lazy_ci_solver(impl: SpmvImpl, product: SpmvImpl,
+                        check_interval: int, max_itrs: int,
+                        conv_threshold: float, trace_rr: bool = True):
+    """``solve(md, b, minv=None) -> CGResult`` on the solver-level lazy
+    check-interval schedule (see make_lazy_ci_continue)."""
+    cont = make_lazy_ci_continue(impl, product, check_interval,
+                                 conv_threshold, trace_rr)
+
+    def solve(md, b, minv=None):
+        s, md_out = cont(md, init_state(b, max_itrs, trace_rr, minv),
+                         jnp.int32(max_itrs), minv)
+        return CGResult(x=s.x, iterations=s.itr, rr=s.rr, stats=s.stats,
+                        rr_trace=s.trace, md=md_out)
+
+    return solve
 
 
 def _make_lazy_continue(impl, conv_threshold, trace_rr):

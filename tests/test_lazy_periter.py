@@ -1,0 +1,136 @@
+"""Solver-level lazy --check-interval schedule on the per-iteration
+kernel tiers (single-device and shard_map), interpret mode.
+
+The megakernel has its own in-kernel lazy schedule (tests/test_fused.py
+test_lazy_*); this file covers the tiers OUTSIDE its envelope: unchecked
+iterations run the detection-free product kernel
+(ops.spmv_pallas.make_pallas_product), checks every CI-th iteration,
+snapshot rollback on trigger (solver.cg.make_lazy_ci_continue).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from abft_sparse_cg_tpu.backends import create
+from abft_sparse_cg_tpu.formats import assemble, build_protected
+from abft_sparse_cg_tpu.inject import inject_bitflips
+from abft_sparse_cg_tpu.ops.spmv import make_matrix_device
+from abft_sparse_cg_tpu.ops.spmv_pallas import (
+    make_pallas_product,
+    make_pallas_spmv,
+)
+from abft_sparse_cg_tpu.solver.cg import make_cg_solver, make_lazy_ci_solver
+from abft_sparse_cg_tpu.utils.matgen import spd_tridiagonal
+
+RNG = np.random.default_rng(17)
+
+
+def _mat(mode="secded", force=None, n=512, blocks=2):
+    rows, cols, vals, n = spd_tridiagonal(n)
+    a = assemble(cols, rows, vals, n, blocks)
+    return build_protected("csr", a, mode, force_exec=force)
+
+
+def _solvers(m, mode, ci, max_itrs=200, conv=1e-6):
+    impl = make_pallas_spmv(m, jnp.float32, mode, interpret=True)
+    product = make_pallas_product(m, jnp.float32, mode, interpret=True)
+    assert product is not None
+    lazy = jax.jit(make_lazy_ci_solver(impl, product, ci, max_itrs, conv))
+    live = jax.jit(make_cg_solver(impl, max_itrs, conv))
+
+    def run(solver, mat, b):
+        md = make_matrix_device(mat, jnp.float32)
+        bpad = np.zeros(mat.R)
+        bpad[: mat.N] = mat.to_exec_order(b)
+        return solver(md, jnp.asarray(bpad, jnp.float32))
+
+    return lambda mat, b: run(lazy, mat, b), lambda mat, b: run(live, mat, b)
+
+
+@pytest.mark.parametrize("config,mode,ci", [
+    ("dia", "secded", 4), ("dia", "sec8", 3), ("ell", "secded", 4),
+    ("dia", "constraints", 5),
+])
+def test_lazy_periter_clean_matches_live(config, mode, ci):
+    """Clean lazy solves are bit-exact vs the live schedule: the product
+    kernel computes the identical arithmetic, only detection differs."""
+    m = _mat(mode, force=None if config == "dia" else "ell",
+             n=1024 if config == "ell" else 512)
+    assert m.exec_kind == config
+    run_lazy, run_live = _solvers(m, mode, ci)
+    b = RNG.random(m.N)
+    r0, r1 = run_live(m, b), run_lazy(m, b)
+    assert int(r1.stats.errcode) == 0
+    assert int(r1.iterations) == int(r0.iterations)
+    np.testing.assert_array_equal(np.asarray(r1.x), np.asarray(r0.x))
+
+
+@pytest.mark.parametrize("config", ["dia", "ell"])
+def test_lazy_periter_rollback_corrects(config):
+    """An injected fault triggers at the next check (or the exit pass),
+    classify corrects it, and the rolled-back re-execution delivers the
+    clean solution bit-for-bit."""
+    m = _mat("secded", force=None if config == "dia" else "ell",
+             n=1024 if config == "ell" else 512)
+    run_lazy, _ = _solvers(m, "secded", 4)
+    b = RNG.random(m.N)
+    clean = run_lazy(m, b)
+    for seed in (3, 5, 9):
+        m2 = inject_bitflips(m, "ANY", 1, np.random.default_rng(seed),
+                             echo=lambda s: None)
+        r = run_lazy(m2, b)
+        assert int(r.stats.errcode) == 0, seed
+        assert int(r.stats.corrected_count) == 1, seed
+        assert int(r.iterations) == int(clean.iterations), seed
+        np.testing.assert_array_equal(np.asarray(r.x),
+                                      np.asarray(clean.x))
+
+
+def test_lazy_periter_sed_failstop_rolls_back():
+    """Uncorrectable detection (sed) fail-stops and reports the
+    rolled-back verified state, not the contaminated tail."""
+    m = _mat("sed")
+    run_lazy, _ = _solvers(m, "sed", 4)
+    b = RNG.random(m.N)
+    m2 = inject_bitflips(m, "ANY", 1, np.random.default_rng(6),
+                         echo=lambda s: None)
+    r = run_lazy(m2, b)
+    assert int(r.stats.errcode) == 1  # ERR_SED
+    # Pre-solve fault: nothing was ever verified, so the rolled-back
+    # state is the entry state.
+    assert int(r.iterations) == 0
+
+
+def test_lazy_periter_shardmap_backend():
+    """--check-interval > 1 with --devices N rides the lazy schedule on
+    the shard_map kernel tier (env knobs force interpret off-TPU)."""
+    import os
+
+    rows, cols, vals, n = spd_tridiagonal(8192)
+    a = assemble(cols, rows, vals, n, 1)
+    m = build_protected("csr", a, "secded")
+    b = RNG.random(m.N)
+    ref = create("jnp", "secded").solve(m, b, 200, 1e-6, verbose=False,
+                                        dtype="f32")
+    os.environ["ABFT_SM_INTERPRET"] = "1"
+    os.environ["ABFT_CHECK_INTERVAL"] = "4"
+    try:
+        res = create("pallas", "secded").solve(m, b, 200, 1e-6,
+                                               verbose=False, dtype="f32",
+                                               devices=8)
+        m2 = inject_bitflips(m, "ANY", 1, np.random.default_rng(4),
+                             echo=lambda s: None)
+        rf = create("pallas", "secded").solve(m2, b, 200, 1e-6,
+                                              verbose=False, dtype="f32",
+                                              devices=8)
+    finally:
+        os.environ.pop("ABFT_SM_INTERPRET", None)
+        os.environ.pop("ABFT_CHECK_INTERVAL", None)
+    assert not res.failed
+    assert res.iterations == ref.iterations
+    np.testing.assert_allclose(res.x, ref.x, rtol=2e-5, atol=1e-7)
+    assert not rf.failed and rf.corrected_count == 1
+    np.testing.assert_array_equal(rf.x, res.x)
