@@ -89,6 +89,72 @@ def test_lazy_periter_rollback_corrects(config):
                                       np.asarray(clean.x))
 
 
+def test_lazy_periter_wideband():
+    """The wideband (absolute-scan) per-iteration kernel has a product
+    variant too: lazy clean == live bit-exact, fault rolled back."""
+    rng = np.random.default_rng(2)
+    n, bw = 4096, 2200
+    rows, cols = [np.arange(n)], [np.arange(n)]
+    for _ in range(3):
+        d = rng.integers(1, bw, n)
+        i = np.arange(n)
+        keep = i + d < n
+        rows.append((i + d)[keep])
+        cols.append(i[keep])
+    rows, cols = np.concatenate(rows), np.concatenate(cols)
+    vals = np.where(rows == cols, 30.0, -1.0)
+    a = assemble(cols, rows, vals, n, 1)
+    m = build_protected("csr", a, "secded", reorder="none")
+    assert m.exec_kind == "ell" and m.band > 1920
+    run_lazy, run_live = _solvers(m, "secded", 4)
+    b = RNG.random(m.N)
+    r0, r1 = run_live(m, b), run_lazy(m, b)
+    assert int(r1.stats.errcode) == 0
+    np.testing.assert_array_equal(np.asarray(r1.x), np.asarray(r0.x))
+    m2 = inject_bitflips(m, "ANY", 1, np.random.default_rng(8),
+                         echo=lambda s: None)
+    rf = run_lazy(m2, b)
+    assert int(rf.stats.errcode) == 0
+    assert int(rf.stats.corrected_count) == 1
+    np.testing.assert_array_equal(np.asarray(rf.x), np.asarray(r1.x))
+
+
+def test_lazy_periter_split_composite():
+    """Split composites: the product keeps the tail's live jnp signals
+    (early detection is fine); clean lazy == live bit-exact and faults
+    in either part are rolled back and corrected."""
+    rows, cols, vals, n = spd_tridiagonal(2000)
+    rows, cols, vals = list(rows), list(cols), list(vals)
+    rng = np.random.default_rng(3)
+    for r in (100, 999):
+        for c in rng.choice(n, size=200, replace=False):
+            hi, lo = max(r, int(c)), min(r, int(c))
+            if hi != lo:
+                rows.append(hi)
+                cols.append(lo)
+                vals.append(-0.01)
+    rows, cols = np.array(rows), np.array(cols)
+    vals = np.array(vals, dtype=float)
+    deg = np.bincount(rows, minlength=n) + np.bincount(cols, minlength=n)
+    diag = rows == cols
+    vals[diag] = deg.astype(float)[rows[diag]] + 4.0
+    a = assemble(cols, rows, vals, n, 1)
+    m = build_protected("csr", a, "secded")
+    assert m.exec_kind == "split"
+    run_lazy, run_live = _solvers(m, "secded", 4)
+    b = RNG.random(m.N)
+    r0, r1 = run_live(m, b), run_lazy(m, b)
+    assert int(r1.stats.errcode) == 0
+    np.testing.assert_array_equal(np.asarray(r1.x), np.asarray(r0.x))
+    for seed in (4, 12):
+        m2 = inject_bitflips(m, "ANY", 1, np.random.default_rng(seed),
+                             echo=lambda s: None)
+        rf = run_lazy(m2, b)
+        assert int(rf.stats.errcode) == 0, seed
+        assert int(rf.stats.corrected_count) == 1, seed
+        np.testing.assert_array_equal(np.asarray(rf.x), np.asarray(r1.x))
+
+
 def test_lazy_periter_sed_failstop_rolls_back():
     """Uncorrectable detection (sed) fail-stops and reports the
     rolled-back verified state, not the contaminated tail."""
