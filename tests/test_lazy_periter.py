@@ -28,10 +28,10 @@ from abft_sparse_cg_tpu.utils.matgen import spd_tridiagonal
 RNG = np.random.default_rng(17)
 
 
-def _mat(mode="secded", force=None, n=512, blocks=2):
+def _mat(mode="secded", force=None, n=512, blocks=2, fmt="csr"):
     rows, cols, vals, n = spd_tridiagonal(n)
     a = assemble(cols, rows, vals, n, blocks)
-    return build_protected("csr", a, mode, force_exec=force)
+    return build_protected(fmt, a, mode, force_exec=force)
 
 
 def _solvers(m, mode, ci, max_itrs=200, conv=1e-6):
@@ -50,15 +50,17 @@ def _solvers(m, mode, ci, max_itrs=200, conv=1e-6):
     return lambda mat, b: run(lazy, mat, b), lambda mat, b: run(live, mat, b)
 
 
-@pytest.mark.parametrize("config,mode,ci", [
-    ("dia", "secded", 4), ("dia", "sec8", 3), ("ell", "secded", 4),
-    ("dia", "constraints", 5),
+@pytest.mark.parametrize("config,mode,ci,fmt", [
+    ("dia", "secded", 4, "csr"), ("dia", "sec8", 3, "csr"),
+    ("ell", "secded", 4, "csr"), ("dia", "constraints", 5, "csr"),
+    ("dia", "secded", 4, "coo"), ("ell", "secded", 4, "coo"),
 ])
-def test_lazy_periter_clean_matches_live(config, mode, ci):
+def test_lazy_periter_clean_matches_live(config, mode, ci, fmt):
     """Clean lazy solves are bit-exact vs the live schedule: the product
-    kernel computes the identical arithmetic, only detection differs."""
+    kernel computes the identical arithmetic, only detection differs.
+    Covers both codeword layouts (CSR 96-bit: 3 words; COO 128-bit: 4)."""
     m = _mat(mode, force=None if config == "dia" else "ell",
-             n=1024 if config == "ell" else 512)
+             n=1024 if config == "ell" else 512, fmt=fmt)
     assert m.exec_kind == config
     run_lazy, run_live = _solvers(m, mode, ci)
     b = RNG.random(m.N)
