@@ -172,6 +172,46 @@ def test_lazy_periter_sed_failstop_rolls_back():
     assert int(r.iterations) == 0
 
 
+def test_lazy_periter_checkpointed_solve(tmp_path):
+    """make_lazy_ci_continue has the make_cg_continue contract, so it
+    plugs straight into CheckpointedSolve: segment boundaries land
+    mid-CI-window, each segment's entry state is verified (the previous
+    segment's exit pass), and a fault injected before a later segment
+    is rolled back within it."""
+    from abft_sparse_cg_tpu.solver.cg import make_lazy_ci_continue
+    from abft_sparse_cg_tpu.solver.checkpoint import CheckpointedSolve
+
+    m = _mat("secded")
+    impl = make_pallas_spmv(m, jnp.float32, "secded", interpret=True)
+    product = make_pallas_product(m, jnp.float32, "secded",
+                                  interpret=True)
+    cont = make_lazy_ci_continue(impl, product, 4, 1e-6)
+    md = make_matrix_device(m, jnp.float32)
+    b = np.zeros(m.R)
+    b[: m.N] = RNG.random(m.N)
+    b = jnp.asarray(b, jnp.float32)
+
+    runner = CheckpointedSolve(impl, conv_threshold=1e-6, every=3,
+                               path=str(tmp_path / "ck.npz"),
+                               continue_fn=cont)
+    seg = runner.run(md, b, max_itrs=200)
+    # Reference: the live schedule on the SAME kernels (the jnp impl
+    # sums in a different order — not bit-comparable in f32).
+    ref = jax.jit(make_cg_solver(impl, 200, 1e-6))(md, b)
+    assert int(seg.iterations) == int(ref.iterations)
+    np.testing.assert_array_equal(np.asarray(seg.x), np.asarray(ref.x))
+
+    m2 = inject_bitflips(m, "ANY", 1, np.random.default_rng(5),
+                         echo=lambda s: None)
+    md2 = make_matrix_device(m2, jnp.float32)
+    seg2 = CheckpointedSolve(impl, conv_threshold=1e-6, every=3,
+                             path=str(tmp_path / "ck2.npz"),
+                             continue_fn=cont).run(md2, b, max_itrs=200)
+    assert int(seg2.stats.errcode) == 0
+    assert int(seg2.stats.corrected_count) == 1
+    np.testing.assert_array_equal(np.asarray(seg2.x), np.asarray(seg.x))
+
+
 def test_lazy_periter_shardmap_backend():
     """--check-interval > 1 with --devices N rides the lazy schedule on
     the shard_map kernel tier (env knobs force interpret off-TPU)."""
