@@ -89,11 +89,21 @@ class PallasBackend(JnpBackend):
         # Lazy detection schedule (solver.fused plan docstring): stream
         # the word planes every CI-th iteration, snapshot-rollback on a
         # trigger.  CLI --check-interval sets the env var.
-        ci = max(1, int(os.environ.get("ABFT_CHECK_INTERVAL", "1") or 1))
+        ci_raw = os.environ.get("ABFT_CHECK_INTERVAL", "1") or "1"
+        try:
+            ci = max(1, int(ci_raw))
+        except ValueError:
+            raise ValueError(
+                f"ABFT_CHECK_INTERVAL must be an integer, got {ci_raw!r}")
+        # The A/B + interpret knobs change which kernel _plan builds, so
+        # they are part of the key — flipping them in-process must not
+        # return a solver compiled under the old setting.
+        knobs = (bool(os.environ.get("ABFT_FUSED_ABS_SCAN")),
+                 bool(os.environ.get("ABFT_FUSED_INTERPRET")))
         key = ("psolve", variant, mat.fmt, self.mode, mat.exec_kind,
                mat.dia_offsets, mat.R, mat.K, mat.N, mat.nnz, mat.band,
                mat.perm is not None, tail_plan, str(dtype), max_itrs,
-               float(conv), ci)
+               float(conv), ci, knobs)
         if key not in _SOLVER_CACHE:
             spmv = make_pallas_spmv(mat, dtype, self.mode)
             if variant == "pipelined":

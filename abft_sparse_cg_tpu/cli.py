@@ -205,7 +205,7 @@ def parse_arguments(argv, fmt):
             if i >= n or (v := _parse_int(argv[i])) < 1:
                 print("Invalid check interval")
                 raise SystemExit(1)
-            os.environ["ABFT_CHECK_INTERVAL"] = str(v)
+            params["check_interval"] = v
         elif a in ("--precond", "-p"):
             i += 1
             if i >= n or argv[i] not in ("none", "jacobi"):
@@ -227,7 +227,25 @@ def parse_arguments(argv, fmt):
 def main(argv=None, fmt="csr"):
     argv = sys.argv[1:] if argv is None else argv
     params = parse_arguments(argv, fmt)
+    ci = params.get("check_interval")
+    if ci is None:
+        return _main(params, fmt)
+    # The backends read the lazy schedule from ABFT_CHECK_INTERVAL (it
+    # also serves scripts that never touch the CLI); scope the flag's
+    # effect to this invocation so a later in-process main() without
+    # --check-interval is not silently lazy.
+    prev = os.environ.get("ABFT_CHECK_INTERVAL")
+    os.environ["ABFT_CHECK_INTERVAL"] = str(ci)
+    try:
+        return _main(params, fmt)
+    finally:
+        if prev is None:
+            os.environ.pop("ABFT_CHECK_INTERVAL", None)
+        else:
+            os.environ["ABFT_CHECK_INTERVAL"] = prev
 
+
+def _main(params, fmt):
     from .utils.platform import apply_platform_env
 
     apply_platform_env()

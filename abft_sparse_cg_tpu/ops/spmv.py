@@ -449,12 +449,13 @@ def combine_impls(impl_a: SpmvImpl, impl_b: SpmvImpl,
                                      st.first_cor_slot),
         )
 
-    def full(md, x):
-        wa, sa = impl_a.full(md[0], x)
-        wb, sb = impl_b.full(md[1], x)
-        return wa + wb, sa.merge_first(shift(sb))
+    full = fast = fast_pw = classify = None
+    if impl_a.full is not None and impl_b.full is not None:
+        def full(md, x):
+            wa, sa = impl_a.full(md[0], x)
+            wb, sb = impl_b.full(md[1], x)
+            return wa + wb, sa.merge_first(shift(sb))
 
-    fast = fast_pw = classify = None
     if impl_a.fast is not None and impl_b.fast is not None:
         def fast(md, x):
             wa, ta = impl_a.fast(md[0], x)

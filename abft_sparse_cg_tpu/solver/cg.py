@@ -211,6 +211,56 @@ def _fast_pw_of(im: SpmvImpl):
     return f
 
 
+def _lazy_exit_resolve(md, s1, snap, trig, err, verify, classify):
+    """Shared trigger/rollback resolution for the lazy ``--check-interval``
+    schedules (this solver-level tier AND solver.fused's outer_body_lazy
+    — keep the predicate in ONE place; it decides delivered-solution
+    guarantees).
+
+    Exit-time verification: on a clean exit, up to CI-1 tail iterations
+    are unverified — one detection pass (``verify(md, p) -> bool``,
+    skipped when the window already triggered) closes the window.
+    Faults are persistent plane corruptions, so clean-now covers every
+    unchecked iteration since the last check (PARITY.md).
+
+    Retry-from-snapshot predicate: classify handled the anomaly — a
+    correction, a benign constraints adoption (the refreshed checksum
+    baseline cannot re-trigger on the same event), or a breakdown
+    traced to a corrected fault.  An uncorrectable detection rolls back
+    too (the tail iterations ran on corrupt planes) and fail-stops; a
+    fault-free breakdown stands.
+    """
+    ttrig = jax.lax.cond(trig, lambda md, p: jnp.bool_(True), verify,
+                         md, s1.p)
+    trigged = trig | ttrig
+    anomaly = trigged | (err != 0)
+
+    def repair(md):
+        st1, md2 = classify(md)
+        return md2, st1
+
+    def keep(md):
+        return md, SpmvStats.clean()
+
+    md, st1 = jax.lax.cond(anomaly, repair, keep, md)
+    fixed = ((trigged | (st1.corrected_count > 0))
+             & (st1.errcode == 0))
+    roll = fixed | (st1.errcode != 0)
+    brk = jnp.where(fixed, jnp.int32(0), err)
+    st = s1.stats.merge_first(st1._replace(
+        errcode=jnp.where(st1.errcode != 0, st1.errcode, brk)))
+    s2 = CGState(
+        itr=jnp.where(roll, snap.itr, s1.itr),
+        x=jnp.where(roll, snap.x, s1.x),
+        r=jnp.where(roll, snap.r, s1.r),
+        p=jnp.where(roll, snap.p, s1.p),
+        rr=jnp.where(roll, snap.rr, s1.rr),
+        rz=jnp.where(roll, snap.rz, s1.rz),
+        stats=st, trace=s1.trace)
+    done = (~fixed) | (st.errcode != 0)
+    return done, md, s2
+
+
 def make_lazy_ci_continue(impl: SpmvImpl, product: SpmvImpl,
                           check_interval: int, conv_threshold: float,
                           trace_rr: bool = True):
@@ -291,46 +341,9 @@ def make_lazy_ci_continue(impl: SpmvImpl, product: SpmvImpl,
         def outer_body(c):
             _, md, s, snap = c
             s1, snap1, trig, err = inner(md, s, snap)
-            # Exit-time verification: up to CI-1 tail iterations are
-            # unverified on a clean exit — one checked pass closes the
-            # window (faults are persistent plane corruptions, so
-            # clean-now covers every unchecked iteration since the last
-            # check; PARITY.md).
-            _, ttrig, _ = checked(md, s1.p)
-            trigged = trig | ttrig
-            anomaly = trigged | (err != 0)
-
-            def repair(md):
-                st1, md2 = impl.classify(md)
-                return md2, st1
-
-            def keep(md):
-                return md, SpmvStats.clean()
-
-            md, st1 = jax.lax.cond(anomaly, repair, keep, md)
-            # Retry-from-snapshot predicate (solver.fused
-            # outer_body_lazy): classify handled the anomaly — a
-            # correction, a benign constraints adoption (the refreshed
-            # checksum baseline cannot re-trigger on the same event),
-            # or a breakdown traced to a corrected fault.  An
-            # uncorrectable detection rolls back too (the tail ran on
-            # corrupt planes) and fail-stops; a fault-free breakdown
-            # stands.
-            fixed = ((trigged | (st1.corrected_count > 0))
-                     & (st1.errcode == 0))
-            roll = fixed | (st1.errcode != 0)
-            brk = jnp.where(fixed, jnp.int32(0), err)
-            st = s1.stats.merge_first(st1._replace(
-                errcode=jnp.where(st1.errcode != 0, st1.errcode, brk)))
-            s2 = CGState(
-                itr=jnp.where(roll, snap1.itr, s1.itr),
-                x=jnp.where(roll, snap1.x, s1.x),
-                r=jnp.where(roll, snap1.r, s1.r),
-                p=jnp.where(roll, snap1.p, s1.p),
-                rr=jnp.where(roll, snap1.rr, s1.rr),
-                rz=jnp.where(roll, snap1.rz, s1.rz),
-                stats=st, trace=s1.trace)
-            done = (~fixed) | (st.errcode != 0)
+            done, md, s2 = _lazy_exit_resolve(
+                md, s1, snap1, trig, err,
+                lambda md, p: checked(md, p)[1], impl.classify)
             return (done, md, s2, snap1)
 
         # The entry state is verified — it seeds the snapshot.

@@ -62,7 +62,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.spmv import ERR_BREAKDOWN, SpmvStats
-from .cg import CGResult, CGState, init_state, _MAX_TRACE
+from .cg import (CGResult, CGState, init_state, _MAX_TRACE,
+                 _lazy_exit_resolve)
 
 __all__ = ["supports_fused", "make_fused_continue", "make_fused_solver"]
 
@@ -1678,49 +1679,15 @@ def make_fused_continue(mat, mode, conv_threshold, trace_rr=True,
             return (done, md, s)
 
         def outer_body_lazy(c):
+            # Trigger/rollback resolution shared with the solver-level
+            # lazy tier (cg._lazy_exit_resolve — the predicate lives in
+            # ONE place).
             _, md, s = c
             s1, snap, trig, err = run_fast(md, s)
-            # Exit-time verification: on a clean exit, up to CI-1 tail
-            # iterations are unverified — one jnp detection pass (once
-            # per clean solve) closes the window.  Faults are
-            # persistent plane corruptions, so clean-now covers every
-            # unchecked iteration since the last check (PARITY.md).
-            _, ttrig = jnp_impl.fast(md, s1.p)
-            trigged = trig | ttrig
-            anomaly = trigged | (err != 0)
-
-            def repair(md):
-                st1, md2 = jnp_impl.classify(md)
-                return md2, st1
-
-            def keep(md):
-                return md, SpmvStats.clean()
-
-            md, st1 = jax.lax.cond(anomaly, repair, keep, md)
-            # Retry from the last verified snapshot when classify
-            # handled the anomaly: any detection trigger it did not
-            # fail-stop (a correction, or a benign constraints adoption
-            # — classify always refreshes the checksum baseline, so the
-            # retry cannot re-trigger on the same event), or a
-            # breakdown it traced to a corrected fault.  An
-            # uncorrectable detection (classify set errcode) rolls back
-            # too — the tail iterations ran on corrupt planes — and
-            # fail-stops; a fault-free breakdown stands.
-            fixed = ((trigged | (st1.corrected_count > 0))
-                     & (st1.errcode == 0))
-            roll = fixed | (st1.errcode != 0)
-            brk = jnp.where(fixed, jnp.int32(0), err)
-            st = s1.stats.merge_first(st1._replace(
-                errcode=jnp.where(st1.errcode != 0, st1.errcode, brk)))
-            s2 = CGState(
-                itr=jnp.where(roll, snap.itr, s1.itr),
-                x=jnp.where(roll, snap.x, s1.x),
-                r=jnp.where(roll, snap.r, s1.r),
-                p=jnp.where(roll, snap.p, s1.p),
-                rr=jnp.where(roll, snap.rr, s1.rr),
-                rz=jnp.where(roll, snap.rz, s1.rz),
-                stats=st, trace=s1.trace)
-            done = (~fixed) | (st.errcode != 0)
+            done, md, s2 = _lazy_exit_resolve(
+                md, s1, snap, trig, err,
+                lambda md, p: jnp_impl.fast(md, p)[1],
+                jnp_impl.classify)
             return (done, md, s2)
 
         _, md_out, s = jax.lax.while_loop(

@@ -13,8 +13,8 @@ import numpy as np
 
 from ..formats.mmio import write_coordinate
 
-__all__ = ["spd_tridiagonal", "spd_laplacian_2d", "shuffle_labels",
-           "write_mm_triangle"]
+__all__ = ["spd_tridiagonal", "spd_laplacian_2d", "spd_wideband",
+           "shuffle_labels", "write_mm_triangle"]
 
 
 def shuffle_labels(rows, cols, vals, n, seed=0):
@@ -70,6 +70,29 @@ def spd_laplacian_2d(side: int):
     vals.append(np.full(north.sum(), -1.0))
 
     return np.concatenate(rows), np.concatenate(cols), np.concatenate(vals), n
+
+
+def spd_wideband(n: int, band: int, k: int = 3, seed: int = 2):
+    """Uniformly wide band: identity-ish diagonal (30.0) plus ``k``
+    random in-band sub-diagonal neighbors per row at distances in
+    [1, band) — diagonally dominant after mirroring, so SPD.  At
+    production scale RCM cannot reband this family (measured: n=32768
+    band=2800 -> RCM band 2556); it exercises the wideband
+    (absolute-scan) kernel tiers.  Returns the lower triangle as
+    0-based triplets (rows, cols, vals, n)."""
+    rng = np.random.default_rng(seed)
+    rows = [np.arange(n)]
+    cols = [np.arange(n)]
+    i = np.arange(n)
+    for _ in range(k):
+        d = rng.integers(1, band, n)
+        keep = i + d < n
+        rows.append((i + d)[keep])
+        cols.append(i[keep])
+    rows = np.concatenate(rows)
+    cols = np.concatenate(cols)
+    vals = np.where(rows == cols, 30.0, -1.0)
+    return rows, cols, vals, n
 
 
 def write_mm_triangle(path: str, rows, cols, vals, n: int):

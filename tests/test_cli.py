@@ -190,3 +190,24 @@ def test_check_interval_megakernel_wiring():
     assert p.returncode == 0, p.stdout + p.stderr
     assert "corrected bit" in p.stdout
     assert "time taken" in p.stdout
+
+
+@pytest.mark.parametrize("preset", [None, "9"])
+def test_check_interval_scoped_to_invocation(monkeypatch, capsys, preset):
+    """--check-interval's effect is scoped to the invocation: cli.main
+    communicates it to the backends via ABFT_CHECK_INTERVAL but restores
+    the prior environment on exit (including the SystemExit path), so a
+    later in-process main() without the flag is not silently lazy."""
+    from abft_sparse_cg_tpu import cli
+
+    if preset is None:
+        monkeypatch.delenv("ABFT_CHECK_INTERVAL", raising=False)
+    else:
+        monkeypatch.setenv("ABFT_CHECK_INTERVAL", preset)
+    with pytest.raises(SystemExit) as ex:
+        cli.main([*BASE, "-t", "jnp", "-m", "secded",
+                  "--check-interval", "4"], fmt="csr")
+    assert ex.value.code == 0
+    assert os.environ.get("ABFT_CHECK_INTERVAL") == preset
+    out = capsys.readouterr().out
+    assert "time taken" in out

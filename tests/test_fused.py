@@ -400,22 +400,12 @@ def test_fused_constraints_adopts_benign_change():
 
 
 def wideband_matrix(mode, n=4096, b=2500, k=3, seed=2, fmt="csr"):
-    """Uniformly wide band (random in-band neighbors).  At production
-    scale RCM cannot reband this family (measured: n=32768 b=2800 ->
-    RCM band 2556); at test scale it can, so the build pins the
-    natural order — the rolled tier only cares that band > 1920."""
-    rng = np.random.default_rng(seed)
-    rows = [np.arange(n)]
-    cols = [np.arange(n)]
-    for _ in range(k):
-        d = rng.integers(1, b, n)
-        i = np.arange(n)
-        keep = i + d < n
-        rows.append((i + d)[keep])
-        cols.append(i[keep])
-    rows = np.concatenate(rows)
-    cols = np.concatenate(cols)
-    vals = np.where(rows == cols, 30.0, -1.0)
+    """Uniformly wide band (utils.matgen.spd_wideband).  At test scale
+    RCM could reband it, so the build pins the natural order — the
+    rolled tier only cares that band > 1920."""
+    from abft_sparse_cg_tpu.utils.matgen import spd_wideband
+
+    rows, cols, vals, n = spd_wideband(n, b, k, seed)
     a = assemble(cols, rows, vals, n, 1)
     m = build_protected(fmt, a, mode, reorder="none")
     assert m.exec_kind == "ell" and m.R % 1024 == 0

@@ -94,17 +94,9 @@ def test_lazy_periter_rollback_corrects(config):
 def test_lazy_periter_wideband():
     """The wideband (absolute-scan) per-iteration kernel has a product
     variant too: lazy clean == live bit-exact, fault rolled back."""
-    rng = np.random.default_rng(2)
-    n, bw = 4096, 2200
-    rows, cols = [np.arange(n)], [np.arange(n)]
-    for _ in range(3):
-        d = rng.integers(1, bw, n)
-        i = np.arange(n)
-        keep = i + d < n
-        rows.append((i + d)[keep])
-        cols.append(i[keep])
-    rows, cols = np.concatenate(rows), np.concatenate(cols)
-    vals = np.where(rows == cols, 30.0, -1.0)
+    from abft_sparse_cg_tpu.utils.matgen import spd_wideband
+
+    rows, cols, vals, n = spd_wideband(4096, 2200)
     a = assemble(cols, rows, vals, n, 1)
     m = build_protected("csr", a, "secded", reorder="none")
     assert m.exec_kind == "ell" and m.band > 1920

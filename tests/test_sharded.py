@@ -311,17 +311,9 @@ def test_shardmap_kernel_wideband():
         _ell_window,
     )
 
-    rng = np.random.default_rng(2)
-    n, b = 24576, 2500
-    rows, cols = [np.arange(n)], [np.arange(n)]
-    for _ in range(3):
-        d = rng.integers(1, b, n)
-        i = np.arange(n)
-        keep = i + d < n
-        rows.append((i + d)[keep])
-        cols.append(i[keep])
-    rows, cols = np.concatenate(rows), np.concatenate(cols)
-    vals = np.where(rows == cols, 30.0, -1.0)
+    from abft_sparse_cg_tpu.utils.matgen import spd_wideband
+
+    rows, cols, vals, n = spd_wideband(24576, 2500)
     a = assemble(cols, rows, vals, n, 1)
     m = build_protected("csr", a, "secded", reorder="none")
     assert m.exec_kind == "ell" and m.band > 1920
