@@ -16,6 +16,29 @@ from .jnp_backend import JnpBackend, _SOLVER_CACHE
 __all__ = ["PallasBackend"]
 
 
+def _check_interval(variant="standard"):
+    """The lazy detection schedule's interval from ABFT_CHECK_INTERVAL
+    (the CLI's --check-interval sets it for the invocation), validated.
+    The pipelined solver has no lazy variant — its recurrences carry
+    extra vectors a rollback would have to re-seed — so it warns and
+    runs the live schedule."""
+    import os
+    import sys
+
+    raw = os.environ.get("ABFT_CHECK_INTERVAL", "1") or "1"
+    try:
+        ci = max(1, int(raw))
+    except ValueError:
+        raise ValueError(
+            f"ABFT_CHECK_INTERVAL must be an integer, got {raw!r}")
+    if ci > 1 and variant == "pipelined":
+        print("warning: --check-interval has no pipelined-solver "
+              "variant; running the live detection schedule",
+              file=sys.stderr)
+        return 1
+    return ci
+
+
 class PallasBackend(JnpBackend):
     target = "pallas"
 
@@ -50,8 +73,7 @@ class PallasBackend(JnpBackend):
             if (want_sm and variant == "standard" and mesh is not None
                     and r_dev == mat.R
                     and supports_shardmap(mat, dtype, ndev)):
-                ci = max(1, int(os.environ.get("ABFT_CHECK_INTERVAL",
-                                               "1") or 1))
+                ci = _check_interval(variant)
                 sm_tail_plan = (getattr(mat.tail, "dense_plan", None)
                                 if mat.exec_kind == "split" else None)
                 key = ("smsolve", mat.fmt, self.mode, mat.exec_kind,
@@ -89,12 +111,7 @@ class PallasBackend(JnpBackend):
         # Lazy detection schedule (solver.fused plan docstring): stream
         # the word planes every CI-th iteration, snapshot-rollback on a
         # trigger.  CLI --check-interval sets the env var.
-        ci_raw = os.environ.get("ABFT_CHECK_INTERVAL", "1") or "1"
-        try:
-            ci = max(1, int(ci_raw))
-        except ValueError:
-            raise ValueError(
-                f"ABFT_CHECK_INTERVAL must be an integer, got {ci_raw!r}")
+        ci = _check_interval(variant)
         # The A/B + interpret knobs change which kernel _plan builds, so
         # they are part of the key — flipping them in-process must not
         # return a solver compiled under the old setting.

@@ -276,8 +276,12 @@ def _scatter_exec(planes, layout, slot, shape):
 
 # A reordering is adopted for the banded-ELL kernel when it brings the
 # exec-space bandwidth under this bound (rows + halo must fit a VMEM
-# window) — or when it makes the matrix DIA-eligible outright.
-_BAND_KERNEL_MAX = 16384
+# window) — or when it makes the matrix DIA-eligible outright.  The
+# bound is the wideband tiers' acceptance cap: window rows
+# 2*ceil(band/128)+1 <= 255 (ops.spmv_pallas._ELL_WIDE_MAX_WROWS /
+# solver.fused._FUSED_MAX_WROWS) <=> band <= 16256 — adopting a wider
+# band would drop the solve to the serialized XLA gather anyway.
+_BAND_KERNEL_MAX = 16256
 
 # Past this exec-space bandwidth the banded-ELL kernels' shuffle window
 # (ops.spmv_pallas._ELL_MAX_WROWS) no longer covers the matrix; the

@@ -60,20 +60,12 @@ def build(fmt, mode, layout, blocks):
         return m
     if layout == "wideband":
         # Uniformly wide band (post-RCM band > the banded kernels' 1920
-        # cap) -> the rolled window-scan megakernel keeps it whole.
-        n = 81920
-        rng = np.random.default_rng(2)
-        rows = [np.arange(n)]
-        cols = [np.arange(n)]
-        for _ in range(3):
-            d = rng.integers(1, 2500, n)
-            i = np.arange(n)
-            keep = i + d < n
-            rows.append((i + d)[keep])
-            cols.append(i[keep])
-        rows = np.concatenate(rows)
-        cols = np.concatenate(cols)
-        vals = np.where(rows == cols, 30.0, -1.0)
+        # cap) -> the wideband absolute-scan kernel tiers.  Same
+        # generator as the tests / smoke / multichip dryrun so rows
+        # stay comparable.
+        from abft_sparse_cg_tpu.utils.matgen import spd_wideband
+
+        rows, cols, vals, n = spd_wideband(81920, 2500)
         a = assemble(cols, rows, vals, n, blocks)
         m = build_protected(fmt, a, mode, reorder="none")
         assert m.exec_kind == "ell" and m.band > 1920, (m.exec_kind, m.band)

@@ -65,19 +65,12 @@ def main():
         return assemble(cols, rows, vals, n, 2)
 
     def wideband_assembled(n=8192, b=2500, k=3):
-        """Uniformly wide band -> the megakernel's rolled window scan."""
-        rng = np.random.default_rng(2)
-        rows = [np.arange(n)]
-        cols = [np.arange(n)]
-        for _ in range(k):
-            d = rng.integers(1, b, n)
-            i = np.arange(n)
-            keep = i + d < n
-            rows.append((i + d)[keep])
-            cols.append(i[keep])
-        rows = np.concatenate(rows)
-        cols = np.concatenate(cols)
-        vals = np.where(rows == cols, 30.0, -1.0)
+        """Uniformly wide band -> the wideband absolute-scan kernels.
+        utils.matgen.spd_wideband is the one generator (tests, bench,
+        dryrun) so hardware smoke == tested configuration."""
+        from abft_sparse_cg_tpu.utils.matgen import spd_wideband
+
+        rows, cols, vals, n = spd_wideband(n, b, k)
         return assemble(cols, rows, vals, n, 1)
 
     def bandsplit_assembled(n=32768, every=8):

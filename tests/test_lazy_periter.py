@@ -234,3 +234,38 @@ def test_lazy_periter_shardmap_backend():
     np.testing.assert_allclose(res.x, ref.x, rtol=2e-5, atol=1e-7)
     assert not rf.failed and rf.corrected_count == 1
     np.testing.assert_array_equal(rf.x, res.x)
+
+
+def test_lazy_ci_pipelined_warns_and_runs_live(monkeypatch, capsys):
+    """--check-interval > 1 with the pipelined solver has no lazy
+    variant (its recurrences carry extra vectors a rollback would have
+    to re-seed): the pallas backend warns on stderr and runs the live
+    schedule, matching the CI=1 pipelined solve exactly."""
+    m = _mat("secded", n=256, blocks=2)
+    b = RNG.random(m.N)
+    live = create("pallas", "secded").solve(
+        m, b, 200, 1e-6, verbose=False, dtype="f32", solver="pipelined")
+    monkeypatch.setenv("ABFT_CHECK_INTERVAL", "4")
+    res = create("pallas", "secded").solve(
+        m, b, 200, 1e-6, verbose=False, dtype="f32", solver="pipelined")
+    err = capsys.readouterr().err
+    assert "no pipelined-solver variant" in err
+    assert not res.failed and res.iterations == live.iterations
+    np.testing.assert_array_equal(np.asarray(res.x), np.asarray(live.x))
+
+
+def test_check_interval_env_validation():
+    """A non-integer ABFT_CHECK_INTERVAL is a clean ValueError, not an
+    obscure int() traceback buried in solver construction."""
+    import os
+
+    from abft_sparse_cg_tpu.backends.pallas_backend import _check_interval
+
+    os.environ["ABFT_CHECK_INTERVAL"] = "fast"
+    try:
+        with pytest.raises(ValueError, match="ABFT_CHECK_INTERVAL"):
+            _check_interval()
+    finally:
+        os.environ.pop("ABFT_CHECK_INTERVAL", None)
+    assert _check_interval() == 1
+    assert _check_interval("pipelined") == 1

@@ -168,3 +168,21 @@ def test_permuted_correction_recovers_exact_solution():
     res = backend.solve(m2, b, 500, 1e-10, verbose=False, dtype="f64")
     assert not res.failed and res.corrected_count == 1
     np.testing.assert_allclose(res.x, clean.x, rtol=1e-12)
+
+
+def test_rcm_adoption_bound_matches_wideband_kernel_cap():
+    """formats.protected._BAND_KERNEL_MAX (the RCM adoption bound) must
+    equal the wideband kernels' acceptance cap: window rows
+    2*(side/128)+1 <= _ELL_WIDE_MAX_WROWS.  A looser bound would adopt
+    a reordering 'for the kernel tier' that every kernel then declines,
+    silently riding the serialized XLA gather."""
+    from abft_sparse_cg_tpu.formats.protected import _BAND_KERNEL_MAX
+    from abft_sparse_cg_tpu.ops.spmv_pallas import _ELL_WIDE_MAX_WROWS
+    from abft_sparse_cg_tpu.solver.fused import _FUSED_MAX_WROWS
+
+    side = -(-_BAND_KERNEL_MAX // 128) * 128
+    assert 2 * (side // 128) + 1 <= min(_ELL_WIDE_MAX_WROWS,
+                                        _FUSED_MAX_WROWS)
+    # ...and the bound is tight: one more 128-block is over the cap.
+    assert 2 * (side // 128 + 1) + 1 > max(_ELL_WIDE_MAX_WROWS,
+                                           _FUSED_MAX_WROWS)
