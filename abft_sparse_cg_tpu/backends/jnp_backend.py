@@ -63,6 +63,20 @@ class JnpBackend(Backend):
             _SOLVER_CACHE[key] = jax.jit(solver)
         return _SOLVER_CACHE[key]
 
+    def _checkpoint_continue(self, mat, dtype, max_itrs, conv, variant,
+                             mesh, precond=False):
+        """Segment function for ``--checkpoint``: make_cg_continue over
+        this target's SpMV.  The jnp program is the same single-device
+        code on a mesh (GSPMD shards it from the operands), so no
+        sharded variant is needed here."""
+        if variant != "standard":
+            raise ValueError(
+                "--checkpoint requires --solver standard (the pipelined "
+                "recurrence carries state a snapshot cannot re-seed)")
+        from ..solver.cg import make_cg_continue
+
+        return make_cg_continue(make_spmv(mat, dtype, self.mode), conv)
+
     def _get_spmv(self, mat, dtype):
         import jax
 
@@ -80,11 +94,19 @@ class JnpBackend(Backend):
     def solve(self, mat, b, max_itrs, conv_threshold, verbose=True,
               dtype="auto", precond="none", devices: int = 0,
               solver: str = "standard", want_scrubbed="auto",
-              reps: int = 0) -> HostResult:
+              reps: int = 0, checkpoint: str = None,
+              checkpoint_every: int = 100,
+              resume: bool = False) -> HostResult:
         """``reps``: executions averaged into `time taken` (0 = auto:
         20 on accelerators — through the remote tunnel only host
         transfers sync, so a single dispatch can't be timed — 1 on
-        CPU).  Surfaced as --reps on the CLI; see BENCH_NOTES.md."""
+        CPU).  Surfaced as --reps on the CLI; see BENCH_NOTES.md.
+
+        ``checkpoint``: snapshot path enabling the segmented solve
+        (solver.checkpoint.CheckpointedSolve) — CG state is written to
+        host .npz every ``checkpoint_every`` iterations; ``resume``
+        restarts from the snapshot if present.  The run executes once
+        (no reps averaging: each segment already syncs to the host)."""
         import jax
         import jax.numpy as jnp
 
@@ -132,30 +154,60 @@ class JnpBackend(Backend):
                 mpad[: mat.N] = mat.to_exec_order(minv_host)
                 minv = jnp.asarray(mpad, dtype=dt)
 
-        solve_fn = self._get_solver(mat, dt, max_itrs, conv_threshold,
-                                    r_dev=r_dev, variant=solver, mesh=mesh)
-
         from ..utils.platform import warm_device
 
-        warm_device()  # absorb one-time device init before timing
+        if checkpoint:
+            from ..solver.checkpoint import CheckpointedSolve
 
-        t0 = time.perf_counter()
-        compiled = solve_fn.lower(md, bdev, minv).compile()
-        # First execution also uploads/initializes the executable on the
-        # device — run it once untimed so `time taken` is steady-state
-        # (the reference's benchmark averages warm runs too).
-        _ = float(compiled(md, bdev, minv).rr)
-        t1 = time.perf_counter()
-        # Through the remote-device tunnel a synchronization costs ~28 ms
-        # regardless of the solve; dispatch a few executions and sync once
-        # so `time taken` reports the per-solve mean, not the sync RTT.
-        if not reps:
-            reps = 1 if jax.devices()[0].platform == "cpu" else 20
-        res = compiled(md, bdev, minv)
-        for _i in range(reps - 1):
+            cont = self._checkpoint_continue(mat, dt, max_itrs,
+                                             conv_threshold, solver, mesh,
+                                             precond=minv is not None)
+            state_put = None
+            if mesh is not None:
+                # Snapshots are host .npz — a resumed segment must get
+                # its vectors back on the row sharding.
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                sh = NamedSharding(mesh, P(mesh.axis_names[0]))
+                state_put = lambda v: jax.device_put(v, sh)  # noqa: E731
+            runner = CheckpointedSolve(None, conv_threshold,
+                                       every=checkpoint_every,
+                                       path=checkpoint, continue_fn=cont,
+                                       state_put=state_put)
+            warm_device()
+            t0 = time.perf_counter()
+            runner.warm(md, bdev, max_itrs, minv)
+            t1 = time.perf_counter()
+            res = runner.run(md, bdev, max_itrs, resume=resume, minv=minv)
+            _ = float(res.rr)
+            t2 = time.perf_counter()
+            reps = 1  # each segment host-syncs; no reps averaging
+        else:
+            solve_fn = self._get_solver(mat, dt, max_itrs, conv_threshold,
+                                        r_dev=r_dev, variant=solver,
+                                        mesh=mesh)
+
+            warm_device()  # absorb one-time device init before timing
+
+            t0 = time.perf_counter()
+            compiled = solve_fn.lower(md, bdev, minv).compile()
+            # First execution also uploads/initializes the executable on
+            # the device — run it once untimed so `time taken` is
+            # steady-state (the reference's benchmark averages warm runs
+            # too).
+            _ = float(compiled(md, bdev, minv).rr)
+            t1 = time.perf_counter()
+            # Through the remote-device tunnel a synchronization costs
+            # ~28 ms regardless of the solve; dispatch a few executions
+            # and sync once so `time taken` reports the per-solve mean,
+            # not the sync RTT.
+            if not reps:
+                reps = 1 if jax.devices()[0].platform == "cpu" else 20
             res = compiled(md, bdev, minv)
-        _ = float(res.rr)  # scalar transfer = true sync
-        t2 = time.perf_counter()
+            for _i in range(reps - 1):
+                res = compiled(md, bdev, minv)
+            _ = float(res.rr)  # scalar transfer = true sync
+            t2 = time.perf_counter()
         x_host = mat.from_exec_order(
             np.asarray(res.x)[: mat.N]  # bulk transfer, not timed
         )

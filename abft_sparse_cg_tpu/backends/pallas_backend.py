@@ -183,6 +183,62 @@ class PallasBackend(JnpBackend):
             _SOLVER_CACHE[key] = jax.jit(solver)
         return _SOLVER_CACHE[key]
 
+    def _checkpoint_continue(self, mat, dtype, max_itrs, conv, variant,
+                             mesh, precond=False):
+        """Segment function for ``--checkpoint`` on the pallas target —
+        the same tier routing as _get_solver: megakernel continue when
+        the matrix fits its envelope, the lazy --check-interval loop
+        when K > 1, per-iteration kernels otherwise; per-shard shard_map
+        kernels on a mesh (GSPMD jnp past that envelope)."""
+        import os
+
+        import jax
+
+        if variant != "standard":
+            return super()._checkpoint_continue(mat, dtype, max_itrs,
+                                                conv, variant, mesh,
+                                                precond)
+        from ..solver.cg import make_cg_continue, make_lazy_ci_continue
+
+        on_tpu = jax.devices()[0].platform != "cpu"
+        ci = _check_interval(variant)
+        if mesh is not None:
+            from ..parallel.sharded_kernel import (
+                make_shardmap_spmv,
+                supports_shardmap,
+            )
+
+            want_sm = on_tpu or bool(os.environ.get("ABFT_SM_INTERPRET"))
+            ndev = mesh.devices.size
+            if want_sm and supports_shardmap(mat, dtype, ndev):
+                spmv = make_shardmap_spmv(mat, mesh, dtype, self.mode)
+                if ci > 1 and spmv.classify is not None:
+                    product = make_shardmap_spmv(mat, mesh, dtype,
+                                                 self.mode, detect=False)
+                    return make_lazy_ci_continue(spmv, product, ci, conv)
+                return make_cg_continue(spmv, conv)
+            return super()._checkpoint_continue(mat, dtype, max_itrs,
+                                                conv, variant, mesh,
+                                                precond)
+        from ..solver.fused import make_fused_continue, supports_fused
+
+        want_fused = on_tpu or bool(os.environ.get("ABFT_FUSED_INTERPRET"))
+        if want_fused and supports_fused(mat, dtype, self.mode, max_itrs,
+                                         precond=precond,
+                                         check_interval=ci):
+            return make_fused_continue(mat, self.mode, conv,
+                                       precond=precond, check_interval=ci,
+                                       interpret=not on_tpu)
+        spmv = make_pallas_spmv(mat, dtype, self.mode)
+        if want_fused and ci > 1 and spmv.classify is not None:
+            from ..ops.spmv_pallas import make_pallas_product
+
+            product = make_pallas_product(mat, dtype, self.mode,
+                                          interpret=not on_tpu)
+            if product is not None:
+                return make_lazy_ci_continue(spmv, product, ci, conv)
+        return make_cg_continue(spmv, conv)
+
     def _get_spmv(self, mat, dtype):
         import jax
 

@@ -47,6 +47,10 @@ _USAGE_OPTIONS = """Options:
       --check-interval  K     Lazy ABFT schedule (pallas kernel tiers):
                               verify every K-th iteration, snapshot-
                               rollback on a trigger (default 1 = live)
+      --checkpoint      PATH  Segment the solve and snapshot CG state
+                              to PATH (.npz) between segments
+      --checkpoint-every N    Iterations per segment (default: 100)
+      --resume                Resume from --checkpoint PATH if present
   -p  --precond         P     Preconditioner: none | jacobi
 
   The -l|--list argument will provide a list of tuples that describe
@@ -99,6 +103,9 @@ def parse_arguments(argv, fmt):
         "devices": 0,
         "solver": "standard",
         "reps": 0,
+        "checkpoint": None,
+        "checkpoint_every": 100,
+        "resume": False,
     }
     i = 0
     n = len(argv)
@@ -200,6 +207,20 @@ def parse_arguments(argv, fmt):
                 print("Invalid rep count")
                 raise SystemExit(1)
             params["reps"] = v
+        elif a == "--checkpoint":
+            i += 1
+            if i >= n:
+                print("Checkpoint path required")
+                raise SystemExit(1)
+            params["checkpoint"] = argv[i]
+        elif a == "--checkpoint-every":
+            i += 1
+            if i >= n or (v := _parse_int(argv[i])) < 1:
+                print("Invalid checkpoint interval")
+                raise SystemExit(1)
+            params["checkpoint_every"] = v
+        elif a == "--resume":
+            params["resume"] = True
         elif a == "--check-interval":
             i += 1
             if i >= n or (v := _parse_int(argv[i])) < 1:
@@ -225,6 +246,13 @@ def parse_arguments(argv, fmt):
 
 
 def main(argv=None, fmt="csr"):
+    # Die silently when a downstream pipe closes (`--list | head`), like
+    # the reference binary; only for real CLI entry, not library use.
+    if argv is None:
+        import signal
+
+        if hasattr(signal, "SIGPIPE"):
+            signal.signal(signal.SIGPIPE, signal.SIG_DFL)
     argv = sys.argv[1:] if argv is None else argv
     params = parse_arguments(argv, fmt)
     ci = params.get("check_interval")
@@ -283,6 +311,12 @@ def _main(params, fmt):
             ra = (1024 if params["target"] == "pallas" else 8) \
                 * params["devices"]
             ra = math.lcm(ra, 128)  # R is always lane-padded to 128
+        elif params["target"] == "pallas":
+            # The whole-solve megakernel's chunk grid needs R % 1024 == 0
+            # (solver.fused._plan); an arbitrary-N matrix would otherwise
+            # silently lose the fused tier to the per-iteration kernels.
+            # Up to 1023 zero-codeword rows is far cheaper than that.
+            ra = 1024
         mat = build_protected(params["fmt"], assembled, params["mode"],
                               row_align=ra)
     except ValueError as e:
@@ -322,18 +356,29 @@ def _main(params, fmt):
     else:
         profile_cm = contextlib.nullcontext()
 
+    # --checkpoint only reaches backends that implement the segmented
+    # runner (jnp/pallas); keeping it out of the kwargs otherwise gives
+    # the clean unsupported-option error below for cpu/native.
+    extra = {}
+    if params["checkpoint"]:
+        extra = dict(checkpoint=params["checkpoint"],
+                     checkpoint_every=params["checkpoint_every"],
+                     resume=params["resume"])
+
     with profile_cm:
         try:
             res = backend.solve(
                 mat, b, params["max_itrs"], params["conv_threshold"],
                 verbose=not params["quiet"], dtype=params["dtype"],
                 precond=params["precond"], devices=params["devices"],
-                solver=params["solver"], reps=params["reps"],
+                solver=params["solver"], reps=params["reps"], **extra,
             )
         except (TypeError, ValueError) as e:
-            if params["devices"] or params["solver"] != "standard":
-                # Targets without a sharded path (cpu/native) or meshes
-                # bigger than the host: fail loudly, reference-style.
+            if (params["devices"] or params["solver"] != "standard"
+                    or params["checkpoint"]):
+                # Targets without a sharded/segmented path (cpu/native)
+                # or meshes bigger than the host: fail loudly,
+                # reference-style.
                 print(f"options unsupported for target "
                       f"'{params['target']}': {e}")
                 raise SystemExit(1)

@@ -41,9 +41,14 @@ from ..ops.blas1 import calc_p, calc_xr, dot
 from ..ops.spmv import ERR_BREAKDOWN, SpmvImpl, SpmvStats
 
 __all__ = ["CGResult", "CGState", "make_cg_solver", "make_cg_continue",
-           "make_lazy_ci_solver", "init_state"]
+           "make_lazy_ci_solver", "init_state", "trace_length"]
 
 _MAX_TRACE = 100_000
+
+
+def trace_length(max_itrs: int, trace_rr: bool = True) -> int:
+    """Length of the rr trace carried in CGState for a run bound."""
+    return min(max_itrs, _MAX_TRACE) if trace_rr else 1
 
 
 class CGResult(NamedTuple):
@@ -104,7 +109,7 @@ def init_state(b, max_itrs: int, trace_rr: bool = True,
     """Fresh solver state for right-hand side ``b`` (x0 = 0, r = b;
     p = M^-1 r, which is r itself unpreconditioned; reference
     cg.cpp:85-88)."""
-    trace_len = min(max_itrs, _MAX_TRACE) if trace_rr else 1
+    trace_len = trace_length(max_itrs, trace_rr)
     rr = dot(b, b)
     if minv is None:
         p0, rz = b, rr

@@ -21,7 +21,13 @@ import os
 import numpy as np
 
 from ..ops.spmv import SpmvStats
-from .cg import CGResult, CGState, init_state, make_cg_continue
+from .cg import (
+    CGResult,
+    CGState,
+    init_state,
+    make_cg_continue,
+    trace_length,
+)
 
 __all__ = ["save_state", "load_state", "CheckpointedSolve"]
 
@@ -62,20 +68,40 @@ class CheckpointedSolve:
     """Drive a solve in segments, snapshotting state between them."""
 
     def __init__(self, impl, conv_threshold: float, every: int,
-                 path: str, trace_rr: bool = True, continue_fn=None):
+                 path: str, trace_rr: bool = True, continue_fn=None,
+                 state_put=None):
         """``continue_fn`` overrides the solver loop: any callable with
         the ``make_cg_continue`` contract ``(md, state, upto, minv) ->
         (state, md)`` — e.g. ``solver.fused.make_fused_continue`` to
         checkpoint the whole-solve megakernel (``impl`` may be None
-        then)."""
+        then), or ``solver.cg.make_cg_continue`` over a
+        ``parallel.sharded_kernel.make_shardmap_spmv`` impl to
+        checkpoint a mesh-sharded solve.
+
+        ``state_put``: optional per-vector placement hook applied to
+        the (x, r, p) vectors of a *resumed* state — a checkpoint is
+        host .npz, so a mesh-sharded solve passes the row sharding here
+        (e.g. ``lambda v: jax.device_put(v, row1d)``) to re-establish
+        shard placement instead of starting the segment replicated.
+        Fresh runs never need it: ``init_state`` derives placement from
+        ``b``."""
         import jax
 
         self.every = int(every)
         self.path = path
         self.trace_rr = trace_rr
+        self.state_put = state_put
         if continue_fn is None:
             continue_fn = make_cg_continue(impl, conv_threshold, trace_rr)
         self._cont = jax.jit(continue_fn)
+
+    def warm(self, md, b, max_itrs: int, minv=None):
+        """Compile the segment function ahead of ``run`` (so callers can
+        report compile time separately from solve time)."""
+        import jax.numpy as jnp
+
+        state = init_state(b, max_itrs, self.trace_rr, minv)
+        self._cont.lower(md, state, jnp.int32(0), minv).compile()
 
     def run(self, md, b, max_itrs: int, resume: bool = False,
             minv=None) -> CGResult:
@@ -83,6 +109,22 @@ class CheckpointedSolve:
 
         if resume and os.path.exists(self.path):
             state = load_state(self.path, dtype=b.dtype)
+            # The snapshot's rr trace is sized for the run that wrote it;
+            # resuming with a larger max_itrs must grow it (a short trace
+            # would clamp later .at[itr].set writes onto its last entry)
+            # and a smaller one keeps the compiled shape consistent.
+            tlen = trace_length(max_itrs, self.trace_rr)
+            cur = state.trace.shape[0]
+            if cur < tlen:
+                pad = jnp.full((tlen - cur,), jnp.nan, state.trace.dtype)
+                state = state._replace(
+                    trace=jnp.concatenate([state.trace, pad]))
+            elif cur > tlen:
+                state = state._replace(trace=state.trace[:tlen])
+            if self.state_put is not None:
+                state = state._replace(x=self.state_put(state.x),
+                                       r=self.state_put(state.r),
+                                       p=self.state_put(state.p))
         else:
             state = init_state(b, max_itrs, self.trace_rr, minv)
 

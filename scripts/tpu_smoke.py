@@ -73,6 +73,57 @@ def main():
         rows, cols, vals, n = spd_wideband(n, b, k)
         return assemble(cols, rows, vals, n, 1)
 
+    def poisson3d_assembled(n=32):
+        """7-point 3-D stencil: offsets +-1, +-n, +-n^2 — tiny D, huge
+        band; the DIA tier has no offset-magnitude cap.  n^3 = 32768 is
+        1024-divisible, so the megakernel plan applies as-is."""
+        rows, cols, vals = [], [], []
+
+        def idx(i, j, k):
+            return (i * n + j) * n + k
+
+        for i in range(n):
+            for j in range(n):
+                for k in range(n):
+                    r = idx(i, j, k)
+                    rows.append(r), cols.append(r), vals.append(6.5)
+                    for di, dj, dk in ((1, 0, 0), (0, 1, 0), (0, 0, 1)):
+                        if i + di < n and j + dj < n and k + dk < n:
+                            rows.append(idx(i + di, j + dj, k + dk))
+                            cols.append(r)
+                            vals.append(-1.0)
+        return assemble(np.array(cols), np.array(rows),
+                        np.array(vals, float), n ** 3, 1)
+
+    def fatsplit_assembled(n=65536, band=20000):
+        """Uniform couplings within +-20000: band > 16256 in any
+        ordering, no thin cut — the FAT-tail band split (banded kernel
+        main + a ~50%-of-entries flat tail), the routing that replaced
+        the whole-matrix XLA-gather fallback."""
+        from abft_sparse_cg_tpu.utils.matgen import spd_wideband
+
+        rows, cols, vals, n = spd_wideband(n, band, k=2)
+        r2 = list(rows) + list(range(1, n))
+        c2 = list(cols) + list(range(n - 1))
+        v2 = list(vals) + [-0.5] * (n - 1)
+        return assemble(np.array(c2), np.array(r2),
+                        np.array(v2, float), n, 1)
+
+    def bigoffset_assembled(n=131072, far=100000):
+        """Chain + sparse +-far couplings: DIA whose halo (~782 rows)
+        exceeds one chunk (ROWS=512) — the big-offset megakernel mode
+        (periodic-wrap shape).  Run with ABFT_FUSED_BIG_OFFSET=1; the
+        per-iteration DIA kernel carries it otherwise."""
+        rows = list(range(n)) + list(range(1, n))
+        cols = list(range(n)) + list(range(n - 1))
+        vals = [6.0] * n + [-1.0] * (n - 1)
+        for i in range(0, n - far, 16):
+            rows.append(i + far)
+            cols.append(i)
+            vals.append(-0.5)
+        return assemble(np.array(cols), np.array(rows),
+                        np.array(vals, float), n, 1)
+
     def bandsplit_assembled(n=32768, every=8):
         """Banded core + random matching -> band-split composite."""
         rows = list(range(n)) + list(range(1, n))
@@ -119,6 +170,9 @@ def main():
         ("split", None, None),
         ("wideband", None, None),
         ("bandsplit", None, None),
+        ("poisson3d", None, None),
+        ("fatsplit", None, None),
+        ("bigoffset", None, None),
     ]
     only = set(sys.argv[1:])  # optional config-name filter
     for name, shuffle, force in configs:
@@ -130,22 +184,50 @@ def main():
             a = wideband_assembled()
         elif name == "bandsplit":
             a = bandsplit_assembled()
+        elif name == "poisson3d":
+            a = poisson3d_assembled()
+        elif name == "fatsplit":
+            a = fatsplit_assembled()
+        elif name == "bigoffset":
+            a = bigoffset_assembled()
         else:
             tri = spd_tridiagonal(4096)
             if shuffle:
                 tri = shuffle_labels(*tri, seed=3)
             a = assemble(tri[1], tri[0], tri[2], tri[3], 2)
 
-        kw = dict(reorder="none") if name == "wideband" else {}
+        kw = (dict(reorder="none") if name in ("wideband", "fatsplit")
+              else {})
         m = build_protected("csr", a, "secded", force_exec=force, **kw)
         if name in ("split", "bandsplit"):
             assert m.exec_kind == "split", m.exec_kind
+        elif name == "fatsplit":
+            # Fat-tail band split: band > 16256 with no thin cut — the
+            # kernel-main + flat-tail routing that replaced the
+            # whole-matrix XLA-gather fallback.
+            assert m.exec_kind == "split", m.exec_kind
+            assert m.tail.nnz > 0.10 * m.nnz, m.tail.nnz / m.nnz
         elif name == "wideband":
             assert m.exec_kind == "ell" and m.band > 1920, \
                 (m.exec_kind, m.band)
+        elif name == "poisson3d":
+            # 3-D stencil: DIA with offsets +-1, +-32, +-1024 — the
+            # no-offset-cap stencil tier, megakernel-eligible.
+            assert m.exec_kind == "dia" and max(m.dia_offsets) == 1024, \
+                (m.exec_kind, m.dia_offsets)
+        elif name == "bigoffset":
+            assert m.exec_kind == "dia" and max(m.dia_offsets) == 100000
+            if os.environ.get("ABFT_FUSED_BIG_OFFSET"):
+                from abft_sparse_cg_tpu.solver.fused import (
+                    _plan,
+                    supports_fused,
+                )
+
+                assert supports_fused(m, jnp.float32, "secded", 500)
+                assert _plan(m, "secded")["big"], "big-offset plan"
         assert m.exec_kind == "split" or name == "wideband" \
             or supports(m, jnp.float32), name
-        if name in ("dia", "ellb", "ellb-perm", "wideband"):
+        if name in ("dia", "ellb", "ellb-perm", "wideband", "poisson3d"):
             # These configs ride the whole-solve fused megakernel
             # (solver.fused) on hardware — this smoke is its rot check.
             from abft_sparse_cg_tpu.solver.fused import supports_fused
@@ -237,6 +319,27 @@ def main():
             print(f"dia+lazy8: clean bit-exact + rollback-corrected OK "
                   f"(solve {rl.solve_seconds * 1e3:.2f} ms vs live "
                   f"{clean.solve_seconds * 1e3:.2f})", flush=True)
+
+            # Segmented --checkpoint on the megakernel continue: a
+            # truncated run snapshots, resume (with a regrown trace)
+            # lands on the straight solve bit-exactly, on hardware.
+            import tempfile
+
+            ckpath = os.path.join(tempfile.mkdtemp(), "ck.npz")
+            rc1 = backend.solve(m, b, 4, 1e-6, verbose=False,
+                                dtype="f32", checkpoint=ckpath,
+                                checkpoint_every=2)
+            assert rc1.iterations == 4, "ckpt partial"
+            rc2 = backend.solve(m, b, 500, 1e-6, verbose=False,
+                                dtype="f32", checkpoint=ckpath,
+                                resume=True)
+            assert not rc2.failed, "ckpt resume"
+            assert rc2.iterations == clean.iterations, \
+                ("ckpt iters", rc2.iterations, clean.iterations)
+            np.testing.assert_array_equal(rc2.x, clean.x,
+                                          err_msg="ckpt x")
+            print("dia+checkpoint: truncated + resumed bit-exact OK",
+                  flush=True)
 
     print("TPU SMOKE OK", flush=True)
 

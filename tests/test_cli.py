@@ -211,3 +211,57 @@ def test_check_interval_scoped_to_invocation(monkeypatch, capsys, preset):
     assert os.environ.get("ABFT_CHECK_INTERVAL") == preset
     out = capsys.readouterr().out
     assert "time taken" in out
+
+
+def test_checkpoint_flags_segment_and_resume(tmp_path):
+    """--checkpoint PATH snapshots between segments; a run truncated by
+    -i then re-invoked with --resume completes from the snapshot and
+    matches the straight run's iteration count."""
+    ck = str(tmp_path / "ck.npz")
+    straight = run_cg("csr", *BASE, "-t", "jnp", "-m", "secded", "--quiet")
+    want = re.search(r"ran for (\d+) iterations", straight.stdout).group(1)
+
+    p1 = run_cg("csr", *BASE, "-t", "jnp", "-m", "secded", "--quiet",
+                "-i", "4", "--checkpoint", ck, "--checkpoint-every", "2")
+    assert p1.returncode == 0, p1.stdout + p1.stderr
+    assert "ran for 4 iterations" in p1.stdout
+    assert os.path.exists(ck)
+
+    p2 = run_cg("csr", *BASE, "-t", "jnp", "-m", "secded",
+                "--checkpoint", ck, "--resume")
+    assert p2.returncode == 0, p2.stdout + p2.stderr
+    assert f"ran for {want} iterations" in p2.stdout
+    assert "total error" in p2.stdout
+    # The snapshot's rr trace was sized for the truncated run; the
+    # resumed run must regrow it — every iteration's residual line
+    # prints, none are reported untraced.
+    assert len(re.findall(r"^iteration ", p2.stdout, re.M)) == int(want)
+    assert "untraced" not in p2.stdout
+
+
+def test_checkpoint_megakernel_corrects_fault(tmp_path):
+    """--checkpoint on the pallas target drives make_fused_continue
+    (interpret mode off-TPU): the segmented megakernel solve corrects an
+    injected fault and exits 0."""
+    ck = str(tmp_path / "ck.npz")
+    exe = os.path.join(REPO, "bin", "cg-csr")
+    env = dict(ENV, ABFT_FUSED_INTERPRET="1")
+    p = subprocess.run(
+        [sys.executable, exe, "-f", MTX, "-b", "8", "--seed", "7",
+         "--dtype", "f32", "-t", "pallas", "-m", "secded", "-x",
+         "--checkpoint", ck, "--checkpoint-every", "5"],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert p.returncode == 0, p.stdout + p.stderr
+    assert "corrected bit" in p.stdout
+    assert os.path.exists(ck)
+
+
+def test_checkpoint_unsupported_target_fails_cleanly(tmp_path):
+    """cpu/native has no segmented runner: a clean one-line error, not a
+    traceback (reference-style loud failure for unsupported options)."""
+    p = run_cg("csr", *BASE, "-t", "cpu", "-m", "none",
+               "--checkpoint", str(tmp_path / "ck.npz"))
+    assert p.returncode == 1
+    assert "options unsupported for target 'cpu'" in p.stdout
+    assert "Traceback" not in p.stderr
