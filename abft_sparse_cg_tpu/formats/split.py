@@ -45,6 +45,12 @@ _ROLLED_MAX_BAND = 16256     # the megakernel's rolled window scan cap
 #                              matrix banded under this can stay WHOLE
 #                              on the wide-band kernel tier
 _BAND_TAIL_MAX_FRAC = 0.10   # give up when the out-of-band tail is fat
+# ... unless NO cut can keep a whole-matrix kernel (band past
+# _ROLLED_MAX_BAND): the alternative is then the serialized XLA gather
+# over every entry (measured ~20-44x slower than the kernels at bench
+# scale, BENCH_NOTES.md), so a fat tail still wins as long as the
+# banded main carries most entries.
+_BAND_TAIL_FALLBACK_FRAC = 0.50
 # Per-entry per-iteration cost model for picking the cut, in rough VPU
 # nanoseconds (measured: shuffle-gather ~4 ops per entry per window row;
 # the flat tail's XLA gather+scatter serialize at ~7 ns each).
@@ -172,8 +178,7 @@ def try_band_split(fmt, assembled, mode, layout, planes, row_ptr, reorder,
         from .reorder import inverse_permutation, rcm_permutation
 
         cand_perms.append(rcm_permutation(rows, cols, N))
-    best = None
-    whole_cost = None   # best un-split option (rolled wide-band tier)
+    pcands = []
     for perm in cand_perms:
         if perm is None:
             er, ec = rows, cols
@@ -181,14 +186,34 @@ def try_band_split(fmt, assembled, mode, layout, planes, row_ptr, reorder,
             pos = inverse_permutation(perm)
             er, ec = pos[rows], pos[cols]
         off = np.abs(er - ec)
-        band = int(off.max()) if nnz else 0
+        pcands.append((perm, off, int(off.max()) if nnz else 0))
+
+    # When some ordering keeps the WHOLE matrix on the wide-band kernel
+    # tier, splits compete against it conservatively (thin tails, cuts
+    # within the unrolled-shuffle range).  When NO ordering does, the
+    # un-split alternative is the serialized XLA gather over every
+    # entry (measured ~20-44x slower than the kernels, BENCH_NOTES.md)
+    # — so the cut search widens to the wideband-scan cap and accepts
+    # fat tails: a banded main carrying half the entries still wins.
+    kernel_whole = any(band <= _ROLLED_MAX_BAND for _, _, band in pcands)
+    if kernel_whole:
+        cuts = list(range(256, _BAND_CUT_MAX + 1, 256))
+        tail_cap = _BAND_TAIL_MAX_FRAC
+    else:
+        cuts = list(range(256, _BAND_CUT_MAX + 1, 256)) + list(
+            range(_BAND_CUT_MAX + 1024, _ROLLED_MAX_BAND + 1, 1024))
+        tail_cap = _BAND_TAIL_FALLBACK_FRAC
+
+    best = None
+    whole_cost = None   # best un-split option (rolled wide-band tier)
+    for perm, off, band in pcands:
         if band <= _ROLLED_MAX_BAND:
             wc = nnz * (2 * (band // 128) + 1) * _MAIN_NS_PER_WROW
             if whole_cost is None or wc < whole_cost:
                 whole_cost = wc
-        for c in range(256, _BAND_CUT_MAX + 1, 256):
+        for c in cuts:
             tail_n = int((off > c).sum())
-            if tail_n == 0 or tail_n > _BAND_TAIL_MAX_FRAC * nnz:
+            if tail_n == 0 or tail_n > tail_cap * nnz:
                 continue
             wrows = 2 * (c // 128) + 1
             cost = ((nnz - tail_n) * wrows * _MAIN_NS_PER_WROW

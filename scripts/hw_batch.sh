@@ -41,3 +41,16 @@ echo "HW BATCH DONE"
 timeout 2400 python scripts/tpu_bench.py --blocks 100 --layouts dia --modes none,secded --targets pallas --check-interval 8
 date
 echo "HW BATCH DONE (incl step 7)"
+
+# 8. NEWEST routing coverage: 3-D stencil (DIA megakernel, big offsets)
+#    and the fat-tail band split (kernel main + ~50% flat tail); also
+#    re-runs dia to cover the new --checkpoint smoke step.
+timeout 3000 python scripts/tpu_smoke.py poisson3d fatsplit dia
+date
+echo "HW BATCH DONE (incl step 8)"
+
+# 9. Mosaic-validate the big-offset DIA megakernel mode (dynamic
+#    8-aligned slices of the resident p; env-gated until this passes).
+ABFT_FUSED_BIG_OFFSET=1 timeout 2400 python scripts/tpu_smoke.py bigoffset
+date
+echo "HW BATCH DONE (incl step 9)"

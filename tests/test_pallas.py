@@ -292,12 +292,18 @@ def test_k1_ell_falls_back_to_jnp():
 def test_wide_band_falls_back_to_jnp():
     """Matrices outside the windowed kernel's envelope (band past even
     the wideband tier's 16256 cap — a label shuffle with reordering
-    disabled) transparently use the jnp implementation."""
+    disabled) now band-split by default (fat tail, kernel main;
+    tests/test_routing.py); with the split ALSO disabled they
+    transparently use the jnp implementation."""
     from abft_sparse_cg_tpu.utils.matgen import shuffle_labels
 
     tri = shuffle_labels(*spd_tridiagonal(32768), seed=1)
     a = assemble(tri[1], tri[0], tri[2], tri[3], 1)
-    m_ell = build_protected("csr", a, "secded", reorder="none")
+    m_split = build_protected("csr", a, "secded", reorder="none")
+    assert m_split.exec_kind == "split"
+
+    m_ell = build_protected("csr", a, "secded", reorder="none",
+                            split="none")
     assert m_ell.exec_kind == "ell" and m_ell.band > 16256
     assert not supports(m_ell, jnp.float32)
     impl = make_pallas_spmv(m_ell, jnp.float32, "secded", interpret=True)
