@@ -190,10 +190,19 @@ def _plan(mat, mode, precond=False, force_streaming=False,
     if C is None:
         return None
     ROWS = C // 128
-    if max(Hlo, Hhi) > ROWS and not rolled:
+    # DIA offsets reaching past one chunk of halo (periodic wrap,
+    # n^2-stride 3-D stencils at scale) switch the stencil reads to
+    # per-offset aligned dynamic slices of the resident p
+    # (shifted_big) instead of the per-chunk extended block.  Gated by
+    # ABFT_FUSED_BIG_OFFSET until the pattern is Mosaic-validated on
+    # hardware (the per-iteration DIA kernel carries such matrices
+    # meanwhile).
+    big_ok = (mat.exec_kind == "dia"
+              and bool(os.environ.get("ABFT_FUSED_BIG_OFFSET")))
+    if max(Hlo, Hhi) > ROWS and not (rolled or big_ok):
         return None  # window/offsets reach beyond one chunk of halo
-        # (the rolled scan reads the resident p directly, so its
-        # window may exceed the chunk height)
+        # (the rolled scan and the big-offset mode read the resident p
+        # directly, so their windows may exceed the chunk height)
 
     # 4 resident vectors + halo, plus 2 full-vector equivalents for the
     # update phase's compiler temporaries (_VMEM_LIMIT note); Jacobi
@@ -231,7 +240,8 @@ def _plan(mat, mode, precond=False, force_streaming=False,
         while C > 1024 and not fits(C):
             C //= 2
             ROWS = C // 128
-        if not fits(C) or (max(Hlo, Hhi) > ROWS and not rolled):
+        if not fits(C) or (max(Hlo, Hhi) > ROWS
+                           and not (rolled or big_ok)):
             streaming = True
             C, ROWS = None, None
     if streaming:
@@ -252,14 +262,16 @@ def _plan(mat, mode, precond=False, force_streaming=False,
         while C > 1024 and not fits_streaming(C):
             C //= 2
             ROWS = C // 128
-        if not fits_streaming(C) or (max(Hlo, Hhi) > ROWS and not rolled):
+        if not fits_streaming(C) or (max(Hlo, Hhi) > ROWS
+                                     and not (rolled or big_ok)):
             return None
     # (The streaming tier keeps its snapshots in HBM — whole-vector
     # DMAs on checked iterations — so ci needs no VMEM there.)
+    big = mat.exec_kind == "dia" and max(Hlo, Hhi) > ROWS
     return dict(R=R, RR=RR, C=C, ROWS=ROWS, G=R // C, D=D, W=W, NW=NW,
                 SW=SW, kind=mat.exec_kind, offsets=offsets, Hlo=Hlo,
                 Hhi=Hhi, S0=S0, WROWS=WROWS, PACK=PACK, rolled=rolled,
-                precond=precond, streaming=streaming, ci=ci,
+                big=big, precond=precond, streaming=streaming, ci=ci,
                 use_parity=use_parity, use_cksum=use_cksum)
 
 
@@ -385,6 +397,7 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
     is_ell = plan["kind"] == "ell"
     S0, WROWS, PACK = plan["S0"], plan["WROWS"], plan["PACK"]
     rolled = plan.get("rolled", False)
+    big = plan.get("big", False)
     precond = plan["precond"]
     tail = plan.get("tail")
     PR = Hlo + RR + Hhi   # haloed p rows
@@ -400,6 +413,29 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
         if s == 0:
             return base
         nxt = ext[Hlo + q + 1: Hlo + q + 1 + ROWS]
+        a = pltpu.roll(base, 128 - s, 1)
+        b = pltpu.roll(nxt, 128 - s, 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (ROWS, 128), 1)
+        return jnp.where(lane < 128 - s, a, b)
+
+    def shifted_big(p_ref, row0, off):
+        """``shifted`` for offsets past one chunk of halo (periodic
+        wrap, huge stencil strides): an 8-sublane-aligned dynamic slice
+        of the resident haloed p, statically sub-sliced like the
+        extended block.  Exact (ROWS, 128) when the offset row is
+        8-aligned with no lane shift; else an aligned (ROWS + 8, 128)
+        block — in bounds because Hlo/Hhi are 8-rounded (q - qr + 8 =
+        roundup(q, 8) <= Hhi for qr > 0, and the qr == 0 && s > 0 case
+        needs q + 8 = roundup(q + 1, 8) <= Hhi)."""
+        q, s = divmod(off, 128)
+        q8, qr = divmod(q, 8)
+        if s == 0 and qr == 0:
+            return p_ref[pl.ds(row0 + Hlo + q, ROWS), :]
+        blk = p_ref[pl.ds(row0 + Hlo + 8 * q8, ROWS + 8), :]
+        base = blk[qr: qr + ROWS]
+        if s == 0:
+            return base
+        nxt = blk[qr + 1: qr + 1 + ROWS]
         a = pltpu.roll(base, 128 - s, 1)
         b = pltpu.roll(nxt, 128 - s, 1)
         lane = jax.lax.broadcasted_iota(jnp.int32, (ROWS, 128), 1)
@@ -593,7 +629,13 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
                         for d in word_dmas(slot, ci):
                             d.wait()
                 row0 = pl.multiple_of(ci * ROWS, ROWS)
-                ext = p_ref[pl.ds(row0, ROWS + Hlo + Hhi), :]
+                if big:
+                    # Big-offset mode: no materialized extended block —
+                    # every stencil read slices the resident p directly.
+                    xc = p_ref[pl.ds(row0 + Hlo, ROWS), :]
+                else:
+                    ext = p_ref[pl.ds(row0, ROWS + Hlo + Hhi), :]
+                    xc = None
                 if is_ell:
                     # Windowed shuffle-gather (ops.spmv_pallas design),
                     # windows read straight from the VMEM-resident p.
@@ -646,11 +688,14 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
                 else:
                     w = jnp.zeros((ROWS, 128), jnp.float32)
                     for d, off in enumerate(offsets):
-                        w = w + vbuf[slot][d] * shifted(ext, off)
+                        w = w + vbuf[slot][d] * (
+                            shifted_big(p_ref, row0, off) if big
+                            else shifted(ext, off))
                 w_ref[pl.ds(row0, ROWS), :] = w
                 if not tail:
                     # split computes pw over the complete product later
-                    acc[0] = acc[0] + w * ext[Hlo: Hlo + ROWS]
+                    acc[0] = acc[0] + w * (
+                        xc if big else ext[Hlo: Hlo + ROWS])
 
                 # ---- live detection signals: per-element parity mask
                 # (OR-accumulated) + per-plane checksum XOR.  Checksum
@@ -980,6 +1025,7 @@ def _make_streaming_kernel(plan, mode, conv, trace_len, interpret):
     is_ell = plan["kind"] == "ell"
     S0, WROWS, PACK = plan["S0"], plan["WROWS"], plan["PACK"]
     rolled = plan.get("rolled", False)
+    big = plan.get("big", False)
     precond = plan["precond"]
     PR = Hlo + RR + Hhi   # haloed p rows
     conv = float(conv)
@@ -992,6 +1038,23 @@ def _make_streaming_kernel(plan, mode, conv, trace_len, interpret):
         if s == 0:
             return base
         nxt = ext[Hlo + q + 1: Hlo + q + 1 + ROWS]
+        a = pltpu.roll(base, 128 - s, 1)
+        b = pltpu.roll(nxt, 128 - s, 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (ROWS, 128), 1)
+        return jnp.where(lane < 128 - s, a, b)
+
+    def shifted_big(p_ref, row0, off):
+        # Big-offset stencil read from the resident haloed p (see the
+        # resident kernel's shifted_big for the alignment proof).
+        q, s = divmod(off, 128)
+        q8, qr = divmod(q, 8)
+        if s == 0 and qr == 0:
+            return p_ref[pl.ds(row0 + Hlo + q, ROWS), :]
+        blk = p_ref[pl.ds(row0 + Hlo + 8 * q8, ROWS + 8), :]
+        base = blk[qr: qr + ROWS]
+        if s == 0:
+            return base
+        nxt = blk[qr + 1: qr + 1 + ROWS]
         a = pltpu.roll(base, 128 - s, 1)
         b = pltpu.roll(nxt, 128 - s, 1)
         lane = jax.lax.broadcasted_iota(jnp.int32, (ROWS, 128), 1)
@@ -1169,7 +1232,13 @@ def _make_streaming_kernel(plan, mode, conv, trace_len, interpret):
                     w_out_dma(slot, ci - 2).wait()
 
                 row0 = pl.multiple_of(ci * ROWS, ROWS)
-                ext = p_ref[pl.ds(row0, ROWS + Hlo + Hhi), :]
+                if big:
+                    # Big-offset mode: no materialized extended block —
+                    # every stencil read slices the resident p directly.
+                    xc = p_ref[pl.ds(row0 + Hlo, ROWS), :]
+                else:
+                    ext = p_ref[pl.ds(row0, ROWS + Hlo + Hhi), :]
+                    xc = None
                 if is_ell:
                     if rolled:
                         xg = _absolute_window_scan(
@@ -1210,10 +1279,12 @@ def _make_streaming_kernel(plan, mode, conv, trace_len, interpret):
                 else:
                     w = jnp.zeros((ROWS, 128), jnp.float32)
                     for d, off in enumerate(offsets):
-                        w = w + vbuf[slot][d] * shifted(ext, off)
+                        w = w + vbuf[slot][d] * (
+                            shifted_big(p_ref, row0, off) if big
+                            else shifted(ext, off))
                     wcb[slot] = w
                 w_out_dma(slot, ci).start()
-                acc[0] = acc[0] + w * ext[Hlo: Hlo + ROWS]
+                acc[0] = acc[0] + w * (xc if big else ext[Hlo: Hlo + ROWS])
 
                 if NW:
                     words = [wbuf[slot][wi] for wi in range(W)]
