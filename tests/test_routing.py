@@ -163,6 +163,12 @@ CASES = [
     ("bordered", bordered, {}, "split", True, False),
     ("band+matching", band_plus_matching, {}, "ell", True, True),
     ("uniform-random", uniform_random, {}, "ell", True, True),
+    # RCM compresses even this to band < 16256: the whole matrix must
+    # stay on the wideband kernel — NOT get a fat-tail split (the
+    # fallback-regime cut search must never fire when some ordering
+    # keeps a whole-matrix kernel).
+    ("uniform-random-24k", lambda: uniform_random(24576), {},
+     "ell", True, True),
     ("wide-past-cap", wide_past_cap, {"reorder": "none"},
      "split", True, False),
 ]
