@@ -75,6 +75,41 @@ __all__ = ["supports_fused", "make_fused_continue", "make_fused_solver"]
 _VMEM_LIMIT = 110 * 2 ** 20   # scoped limit requested from Mosaic
 _VMEM_BUDGET = 88 * 2 ** 20   # bytes of VMEM the plan may allocate
 _MAX_TRACE_SMEM = 4096        # rr trace lives in SMEM; cap its length
+
+# The big-offset DIA mode (shifted_big: 8-aligned dynamic slices of the
+# resident p) uses a Mosaic pattern not yet exercised by the other
+# kernels, so it stays off until the hardware smoke proves it compiles
+# and solves correctly (scripts/tpu_smoke.py bigoffset, hw_batch step
+# 9): on success the smoke writes a version-keyed marker and the plan
+# auto-enables the mode from then on.  ABFT_FUSED_BIG_OFFSET=1 forces
+# it (tests; the validation run itself).  Bump the version whenever the
+# slice pattern changes — stale validations must not carry over.
+_BIGOFF_VERSION = "1"
+
+
+def _bigoffset_marker_path():
+    cache = os.environ.get(
+        "ABFT_CG_COMPILE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "abft_cg_jax"),
+    )
+    return os.path.join(cache, "bigoffset_validated")
+
+
+def bigoffset_validated() -> bool:
+    try:
+        with open(_bigoffset_marker_path()) as f:
+            return f.read().strip() == _BIGOFF_VERSION
+    except OSError:
+        return False
+
+
+def mark_bigoffset_validated():
+    """Record a successful on-hardware big-offset validation (called by
+    scripts/tpu_smoke.py after the bigoffset config passes)."""
+    path = _bigoffset_marker_path()
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write(_BIGOFF_VERSION)
 _FUSED_MAX_WROWS = 255        # rolled window scan cap (band <= 16256,
 #                               aligned with the RCM adoption bound
 #                               formats.protected._BAND_KERNEL_MAX)
@@ -193,12 +228,13 @@ def _plan(mat, mode, precond=False, force_streaming=False,
     # DIA offsets reaching past one chunk of halo (periodic wrap,
     # n^2-stride 3-D stencils at scale) switch the stencil reads to
     # per-offset aligned dynamic slices of the resident p
-    # (shifted_big) instead of the per-chunk extended block.  Gated by
-    # ABFT_FUSED_BIG_OFFSET until the pattern is Mosaic-validated on
-    # hardware (the per-iteration DIA kernel carries such matrices
-    # meanwhile).
+    # (shifted_big) instead of the per-chunk extended block.  Enabled
+    # once the on-hardware validation marker exists (or forced via
+    # ABFT_FUSED_BIG_OFFSET); the per-iteration DIA kernel carries
+    # such matrices meanwhile.
     big_ok = (mat.exec_kind == "dia"
-              and bool(os.environ.get("ABFT_FUSED_BIG_OFFSET")))
+              and (bool(os.environ.get("ABFT_FUSED_BIG_OFFSET"))
+                   or bigoffset_validated()))
     if max(Hlo, Hhi) > ROWS and not (rolled or big_ok):
         return None  # window/offsets reach beyond one chunk of halo
         # (the rolled scan and the big-offset mode read the resident p

@@ -287,6 +287,19 @@ def main():
         print(f"{name}: clean + corrected + detected OK "
               f"(solve {clean.solve_seconds * 1e3:.2f} ms)", flush=True)
 
+        if name == "bigoffset" and os.environ.get("ABFT_FUSED_BIG_OFFSET"):
+            # The big-offset megakernel compiled and solved correctly on
+            # this hardware: write the version-keyed marker so the plan
+            # auto-enables the mode from now on (solver.fused._plan).
+            from abft_sparse_cg_tpu.solver.fused import (
+                mark_bigoffset_validated,
+            )
+
+            mark_bigoffset_validated()
+            print("bigoffset: big-offset megakernel validated on "
+                  "hardware — marker written, mode auto-enables",
+                  flush=True)
+
         if name == "dia":
             # Jacobi rides the preconditioned megakernel variant.
             rj = backend.solve(m2, b, 500, 1e-6, verbose=False,

@@ -10,6 +10,14 @@ import os
 import sys
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Hermetic cache dir: routing must not depend on this machine's
+# on-hardware validation markers (solver.fused.bigoffset_validated) or
+# its compile cache.
+os.environ.setdefault(
+    "ABFT_CG_COMPILE_CACHE",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 ".test_cache"),
+)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

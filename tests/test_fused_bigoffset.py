@@ -118,3 +118,26 @@ def test_big_offset_streaming_tier(monkeypatch):
     assert int(r1.iterations) == int(r0.iterations)
     np.testing.assert_allclose(np.asarray(r1.x), np.asarray(r0.x),
                                rtol=2e-5, atol=2e-6)
+
+
+def test_big_offset_marker_enables(monkeypatch, tmp_path):
+    """The on-hardware validation marker (written by the bigoffset
+    smoke config) auto-enables the mode without the env knob; a marker
+    from a different pattern version does not."""
+    from abft_sparse_cg_tpu.solver.fused import (
+        bigoffset_validated,
+        mark_bigoffset_validated,
+    )
+
+    monkeypatch.setenv("ABFT_CG_COMPILE_CACHE", str(tmp_path))
+    monkeypatch.delenv("ABFT_FUSED_BIG_OFFSET", raising=False)
+    m = bigoff_matrix()
+    assert not bigoffset_validated()
+    assert not supports_fused(m, jnp.float32, "secded", 300)
+    mark_bigoffset_validated()
+    assert bigoffset_validated()
+    assert supports_fused(m, jnp.float32, "secded", 300)
+    assert _plan(m, "secded")["big"]
+    (tmp_path / "bigoffset_validated").write_text("0-stale")
+    assert not bigoffset_validated()
+    assert not supports_fused(m, jnp.float32, "secded", 300)
