@@ -50,7 +50,14 @@ date
 echo "HW BATCH DONE (incl step 8)"
 
 # 9. Mosaic-validate the big-offset DIA megakernel mode (dynamic
-#    8-aligned slices of the resident p; env-gated until this passes).
+#    8-aligned slices of the resident p; env-gated until this passes —
+#    on success the smoke writes the auto-enable marker).
 ABFT_FUSED_BIG_OFFSET=1 timeout 2400 python scripts/tpu_smoke.py bigoffset
 date
 echo "HW BATCH DONE (incl step 9)"
+
+# 10. Bench rows for the new routing: 3-D stencil DIA megakernel and
+#     the fat-tail band split (calibration input for the cut model).
+timeout 3000 python scripts/tpu_bench.py --layouts poisson3d,fatsplit --modes none,secded
+date
+echo "HW BATCH DONE (incl step 10)"

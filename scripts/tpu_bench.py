@@ -90,6 +90,45 @@ def build(fmt, mode, layout, blocks):
         m = build_protected(fmt, a, mode)
         assert m.exec_kind == "split", m.exec_kind
         return m
+    if layout == "poisson3d":
+        # 7-point 3-D stencil: DIA with offsets +-1, +-44, +-1936 —
+        # the no-offset-cap stencil tier; row_align=1024 (what the CLI
+        # passes for pallas) keeps it megakernel-eligible.
+        gn = 44
+        rows, cols, vals = [], [], []
+
+        def idx(i, j, k):
+            return (i * gn + j) * gn + k
+
+        for i in range(gn):
+            for j in range(gn):
+                for k in range(gn):
+                    r = idx(i, j, k)
+                    rows.append(r), cols.append(r), vals.append(6.5)
+                    for di, dj, dk in ((1, 0, 0), (0, 1, 0), (0, 0, 1)):
+                        if i + di < gn and j + dj < gn and k + dk < gn:
+                            rows.append(idx(i + di, j + dj, k + dk))
+                            cols.append(r)
+                            vals.append(-1.0)
+        a = assemble(np.array(cols), np.array(rows),
+                     np.array(vals, float), gn ** 3, blocks)
+        m = build_protected(fmt, a, mode, row_align=1024)
+        assert m.exec_kind == "dia", m.exec_kind
+        return m
+    if layout == "fatsplit":
+        # Uniform couplings within +-20000: band > 16256 in every
+        # ordering, no thin cut -> the fat-tail band split (kernel
+        # main + flat tail) that replaced the XLA-gather fallback.
+        from abft_sparse_cg_tpu.utils.matgen import spd_wideband
+
+        rows, cols, vals, n = spd_wideband(81920, 20000, k=2)
+        r2 = np.concatenate([rows, np.arange(1, n)])
+        c2 = np.concatenate([cols, np.arange(n - 1)])
+        v2 = np.concatenate([vals, np.full(n - 1, -0.5)])
+        a = assemble(c2, r2, v2, n, blocks)
+        m = build_protected(fmt, a, mode, reorder="none")
+        assert m.exec_kind == "split", m.exec_kind
+        return m
     a = assemble(tri[1], tri[0], tri[2], tri[3], blocks)
     force = "dia" if layout == "dia" else "ell"
     return build_protected(fmt, a, mode, force_exec=force)
