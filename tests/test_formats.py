@@ -62,6 +62,72 @@ def test_mmio_rejects_garbage(tmp_path):
         read_coordinate(path2)
 
 
+# ---- native parser (native/mmio_fast.cpp) vs loadtxt fallback parity ----
+
+_MM_BODIES = {
+    "real": "%%MatrixMarket matrix coordinate real general\n3 3 4\n"
+            "1 1 1.5\n2 2 -2.25e-3\n3 1 +4E2\n3 3 .5\n",
+    "integer": "%%MatrixMarket matrix coordinate integer symmetric\n3 3 3\n"
+               "1 1 7\n2 1 -3\n3 3 12\n",
+    "pattern": "%%MatrixMarket matrix coordinate pattern general\n3 3 3\n"
+               "1 1\n2 2\n3 1\n",
+    "blank_lines": "%%MatrixMarket matrix coordinate real general\n2 2 2\n"
+                   "\n1 1 1.0\n\n  \n2 2 2.0\n\n",
+    "crlf": "%%MatrixMarket matrix coordinate real general\r\n2 2 2\r\n"
+            "1 1 1.0\r\n2 2 2.0\r\n",
+    "no_trailing_nl": "%%MatrixMarket matrix coordinate real general\n"
+                      "2 2 2\n1 1 1.0\n2 2 2.0",
+    "tabs_and_spaces": "%%MatrixMarket matrix coordinate real general\n"
+                       "2 2 2\n 1\t1\t1.0 \n\t2 2  2.0\t\n",
+}
+
+
+@pytest.mark.parametrize("case", sorted(_MM_BODIES))
+def test_mmio_native_matches_fallback(tmp_path, monkeypatch, case):
+    path = str(tmp_path / f"{case}.mtx")
+    with open(path, "w", newline="") as f:
+        f.write(_MM_BODIES[case])
+    from abft_sparse_cg_tpu.formats import mmio
+
+    if mmio._load_fast_lib() is None:
+        pytest.skip("native mmio library unavailable")
+    hdr_n, i_n, j_n, v_n = read_coordinate(path)
+    monkeypatch.setenv("ABFT_NO_NATIVE_MMIO", "1")
+    hdr_f, i_f, j_f, v_f = read_coordinate(path)
+    assert hdr_n == hdr_f
+    assert (i_n == i_f).all() and (j_n == j_f).all()
+    np.testing.assert_array_equal(v_n, v_f)
+    assert i_n.dtype == np.int64 and v_n.dtype == np.float64
+
+
+def test_mmio_native_count_mismatch_same_error(tmp_path):
+    # Native declines on count mismatch; the loadtxt path owns the
+    # canonical ValueError either way.
+    path = str(tmp_path / "short.mtx")
+    with open(path, "w") as f:
+        f.write("%%MatrixMarket matrix coordinate real general\n2 2 3\n"
+                "1 1 1.0\n2 2 2.0\n")
+    with pytest.raises(ValueError, match="mismatch"):
+        read_coordinate(path)
+    path2 = str(tmp_path / "long.mtx")
+    with open(path2, "w") as f:
+        f.write("%%MatrixMarket matrix coordinate real general\n1 1 1\n"
+                "1 1 1.0\n1 1 2.0\n1 1 3.0\n")
+    with pytest.raises(ValueError, match="mismatch"):
+        read_coordinate(path2)
+
+
+def test_mmio_native_syntax_error_falls_back(tmp_path):
+    # Junk the native parser declines must still raise (via loadtxt),
+    # never return garbage silently.
+    path = str(tmp_path / "bad.mtx")
+    with open(path, "w") as f:
+        f.write("%%MatrixMarket matrix coordinate real general\n2 2 2\n"
+                "1 1 1.0\n2 two 2.0\n")
+    with pytest.raises(ValueError):
+        read_coordinate(path)
+
+
 def test_assemble_symmetrize_sort_replicate():
     # One triangle of [[4,-1],[-1,4]] : entries (0,0,4),(1,1,4),(1,0,-1)
     cols = np.array([0, 1, 0])
