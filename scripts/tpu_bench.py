@@ -182,6 +182,13 @@ def main():
                             "exec_kind": mat.exec_kind,
                             "perm": mat.perm is not None,
                             "band": mat.band, "K": mat.K,
+                            "N": mat.N, "nnz": mat.nnz,
+                            # composites: the calibration script fits the
+                            # cut model from main/tail shares
+                            **({"main_nnz": mat.main.nnz,
+                                "main_band": mat.main.band,
+                                "tail_nnz": mat.tail.nnz}
+                               if mat.exec_kind == "split" else {}),
                             "solve_ms": round(res.solve_seconds * 1e3, 3),
                             "compile_s": round(res.compile_seconds, 1),
                             "iters": res.iterations,
