@@ -108,9 +108,22 @@ def main():
     b = np.random.default_rng(12345).random(a.N)
     mats = {m: build_protected("csr", a, m) for m in ALL_MODES}
 
-    # Tier pick: measure the headline mode on both targets.
-    tier_ms = {t: bench_mode(mats["secded"], b, "secded", t)
-               for t in ("jnp", "pallas")}
+    # Tier pick: measure the headline mode on both targets.  A target
+    # that crashes (kernel-compiler regression) must not take the
+    # headline artifact down with it — the surviving tier reports.
+    tier_ms = {}
+    for t in ("jnp", "pallas"):
+        try:
+            tier_ms[t] = bench_mode(mats["secded"], b, "secded", t)
+        except Exception as e:  # noqa: BLE001 — diagnose, keep going
+            log(f"target {t} FAILED on secded: {type(e).__name__}: "
+                f"{str(e)[:300]}")
+    if not tier_ms:
+        print(json.dumps({
+            "metric": "cg_csr_secded_solve_ms", "value": None,
+            "unit": "ms", "vs_baseline": None,
+            "error": "both targets failed on secded"}), flush=True)
+        sys.exit(4)
     tier = min(tier_ms, key=tier_ms.get)
     log(f"tier: {tier} (secded {tier_ms[tier]:.2f} ms vs "
         f"{max(tier_ms.values()):.2f} ms)")
@@ -118,7 +131,14 @@ def main():
     times = {"secded": tier_ms[tier]}
     for mode in ALL_MODES:
         if mode not in times:
-            times[mode] = bench_mode(mats[mode], b, mode, tier)
+            try:
+                times[mode] = bench_mode(mats[mode], b, mode, tier)
+            except Exception as e:  # noqa: BLE001
+                log(f"mode {mode} FAILED on {tier}: {type(e).__name__}: "
+                    f"{str(e)[:300]}")
+    if "none" not in times:   # overhead needs the unprotected anchor
+        times["none"] = bench_mode(mats["none"], b, "none", "jnp")
+        log("mode none re-measured on jnp (pallas failed)")
 
     overhead = (times["secded"] - times["none"]) / times["none"] * 100
     worst = max(times, key=times.get)
