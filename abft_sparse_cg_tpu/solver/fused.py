@@ -440,6 +440,14 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
     conv = float(conv)
     CI = plan.get("ci", 1)
     lazy = CI > 1 and NW > 0   # lazy detection schedule (plan docstring)
+    # Diagnostic tap (ABFT_FUSED_DEBUG_CKSUM=1): two extra outputs — the
+    # raw per-class cksum accumulator and one chunk's streamed word
+    # buffer — so a host diff against the canonical planes can localize
+    # a false-trigger to the DMA vs the accumulation.  Debug-only; off
+    # in production and incompatible with the lazy output unpacking.
+    dbg = (bool(os.environ.get("ABFT_FUSED_DEBUG_CKSUM"))
+           and NW > 0 and use_cksum and not lazy)
+    DBG_CI = int(os.environ.get("ABFT_FUSED_DEBUG_CHUNK", G - 1))
 
     def shifted(ext, off):
         """(ROWS, 128) block holding element index +off relative to the
@@ -509,6 +517,10 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
             xs_out, rs_out, ps_out = refs[k: k + 3]
             its_out, rrs_out, rzs_out = refs[k + 3: k + 6]
             k += 6
+        dbg_ck = dbg_wb = None
+        if dbg:
+            dbg_ck, dbg_wb = refs[k: k + 2]
+            k += 2
         p_ref, r_ref, x_ref, w_ref, vbuf = refs[k: k + 5]
         k += 5
         m_ref = None
@@ -525,6 +537,17 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
         if NW:
             wbuf = refs[k]
             k += 1
+            ck_acc = None
+            if use_cksum:
+                # Cksum accumulator lives in SCRATCH, not the fori
+                # carry: Mosaic's handling of stacked uint32 loop
+                # carries is fragile at scale (G=100/D=17 and
+                # G=10/D>=51 crashed the TPU worker or fail-stopped
+                # with corrupted state; 4+ separate carries crashed at
+                # G >= 60 before that).  Per-plane 2-D ref XOR stores
+                # lower robustly.
+                ck_acc = refs[k]
+                k += 1
         if tail:
             td_ref, tb_ref = refs[k], refs[k + 1]
             k += 2
@@ -641,7 +664,9 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
             if NW and use_parity:
                 acc0.append(jnp.zeros((D, ROWS, 128), jnp.uint32))
             if NW and use_cksum:
-                acc0.append(jnp.zeros((W, ROWS, 128), jnp.uint32))
+                # Scratch-ref accumulator, NOT a fori carry (see the
+                # ck_acc note at the refs parse).
+                ck_acc[...] = jnp.zeros((W, ROWS, 128), jnp.uint32)
 
             def chunk(ci, acc):
                 acc = list(acc)
@@ -751,16 +776,20 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
                             & np.uint32(1))
                         k += 1
                     if use_cksum:
-                        reds = []
                         for wi in range(W):
                             red = words[wi][0]        # (ROWS, 128)
                             for d in range(1, D):
                                 red = red ^ words[wi][d]
-                            reds.append(red)
-                        acc[k] = acc[k] ^ jnp.stack(reds, axis=0)
+                            ck_acc[wi] = ck_acc[wi] ^ red
+                if dbg:
+                    @pl.when(ci == DBG_CI)
+                    def _():
+                        dbg_wb[...] = wbuf[slot]
                 return tuple(acc)
 
             accs = jax.lax.fori_loop(0, G, chunk, tuple(acc0))
+            if dbg:
+                dbg_ck[...] = ck_acc[...]
             trig_i = jnp.int32(0)
             k = 1
             if NW and use_parity:
@@ -770,7 +799,7 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
             if NW and use_cksum:
                 lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
                 for wi in range(W):
-                    f8 = _xor_fold_rows(accs[k][wi], to=8)  # (8, 128)
+                    f8 = _xor_fold_rows(ck_acc[wi], to=8)  # (8, 128)
                     # Aligned 8-lane-block XOR via rotate-halvings
                     # (Mosaic has no cross-lane reduce_xor): after
                     # rolls 4/2/1, lanes == 7 (mod 8) hold each aligned
@@ -985,6 +1014,8 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
                 scratch.append(pltpu.VMEM((ROWS * D, 128), jnp.float32))
         if NW:
             scratch.append(pltpu.VMEM((2, W, D, ROWS, 128), jnp.uint32))
+            if use_cksum:
+                scratch.append(pltpu.VMEM((W, ROWS, 128), jnp.uint32))
         if tail:
             tsh = (tail["T"], tail["SR"], 128)
             scratch.append(pltpu.VMEM(tsh, jnp.float32))   # td
@@ -1009,6 +1040,12 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
             out_specs += [any_spec, any_spec, any_spec,
                           smem(), smem(), smem()]
             out_shape += [vec, vec, vec, s11i, s11f, s11f]
+        if dbg:
+            vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+            out_specs += [vmem, vmem]
+            out_shape += [
+                jax.ShapeDtypeStruct((W, ROWS, 128), jnp.uint32),
+                jax.ShapeDtypeStruct((W, D, ROWS, 128), jnp.uint32)]
         outs = _pl.pallas_call(
             kernel,
             in_specs=in_specs,
@@ -1134,6 +1171,12 @@ def _make_streaming_kernel(plan, mode, conv, trace_len, interpret):
         if NW:
             wbuf = refs[k]
             k += 1
+            ck_acc = None
+            if use_cksum:
+                # Scratch-ref cksum accumulator — same Mosaic
+                # carry-fragility workaround as the resident kernel.
+                ck_acc = refs[k]
+                k += 1
         wcb, wrb, xb = refs[k], refs[k + 1], refs[k + 2]
         k += 3
         mb = None
@@ -1237,7 +1280,9 @@ def _make_streaming_kernel(plan, mode, conv, trace_len, interpret):
             if NW and use_parity:
                 acc0.append(jnp.zeros((D, ROWS, 128), jnp.uint32))
             if NW and use_cksum:
-                acc0.append(jnp.zeros((W, ROWS, 128), jnp.uint32))
+                # Scratch-ref accumulator, NOT a fori carry (see the
+                # ck_acc note at the refs parse).
+                ck_acc[...] = jnp.zeros((W, ROWS, 128), jnp.uint32)
 
             def chunk1(ci, acc):
                 acc = list(acc)
@@ -1334,13 +1379,11 @@ def _make_streaming_kernel(plan, mode, conv, trace_len, interpret):
                             & np.uint32(1))
                         k += 1
                     if use_cksum:
-                        reds = []
                         for wi in range(W):
                             red = words[wi][0]
                             for d in range(1, D):
                                 red = red ^ words[wi][d]
-                            reds.append(red)
-                        acc[k] = acc[k] ^ jnp.stack(reds, axis=0)
+                            ck_acc[wi] = ck_acc[wi] ^ red
                 return tuple(acc)
 
             accs = jax.lax.fori_loop(0, G, chunk1, tuple(acc0))
@@ -1356,7 +1399,7 @@ def _make_streaming_kernel(plan, mode, conv, trace_len, interpret):
             if NW and use_cksum:
                 lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
                 for wi in range(W):
-                    f8 = _xor_fold_rows(accs[k][wi], to=8)
+                    f8 = _xor_fold_rows(ck_acc[wi], to=8)
                     for r in (4, 2, 1):
                         f8 = f8 ^ pltpu.roll(f8, r, 1)
                     bad = (f8 != ckall[wi]) & (lane8 % 8 == 7)
@@ -1564,6 +1607,8 @@ def _make_streaming_kernel(plan, mode, conv, trace_len, interpret):
                 scratch.append(pltpu.VMEM((ROWS * D, 128), jnp.float32))
         if NW:
             scratch.append(pltpu.VMEM((2, W, D, ROWS, 128), jnp.uint32))
+            if use_cksum:
+                scratch.append(pltpu.VMEM((W, ROWS, 128), jnp.uint32))
         scratch.append(pltpu.VMEM((2, ROWS, 128), jnp.float32))  # wcb
         scratch.append(pltpu.VMEM((2, ROWS, 128), jnp.float32))  # wrb
         scratch.append(pltpu.VMEM((2, ROWS, 128), jnp.float32))  # xb
