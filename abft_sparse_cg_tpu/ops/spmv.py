@@ -82,6 +82,13 @@ ERR_BREAKDOWN = 7    # solver: p.A.p <= 0 or non-finite residual (CG
 #                      what the active ABFT mode can see).  The reference
 #                      silently NaNs here (cg.cpp:102 divides by pw
 #                      unguarded); the framework fails loudly instead.
+ERR_PHANTOM = 8      # detection signal fired twice in a row while
+#                      classify found nothing to repair (and the scrub's
+#                      checksum refresh didn't clear it): the signal
+#                      itself is wrong — a kernel miscompute or hardware
+#                      fault outside the codeword model.  Fail-stop
+#                      instead of retrying forever; the reference has no
+#                      analogous state (it has no separate signal path).
 
 # Constraint-violation strings differ between the reference's two
 # executables (CSR/CPUContext.cpp:175-198 vs COO/CPUContext.cpp:158-185);
@@ -92,6 +99,8 @@ _COMMON = {
     ERR_DOUBLE: "[ECC] double-bit error detected",
     ERR_BREAKDOWN: "[CG] breakdown detected: p.A.p is not positive "
                    "(matrix is not SPD, or corrupted beyond detection)",
+    ERR_PHANTOM: "[ECC] persistent error signal with no locatable fault "
+                 "(kernel or hardware miscompute suspected)",
 }
 ERRCODES = {
     "csr": {

@@ -38,7 +38,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.blas1 import calc_p, calc_xr, dot
-from ..ops.spmv import ERR_BREAKDOWN, SpmvImpl, SpmvStats
+from ..ops.spmv import ERR_BREAKDOWN, ERR_PHANTOM, SpmvImpl, SpmvStats
 
 __all__ = ["CGResult", "CGState", "make_cg_solver", "make_cg_continue",
            "make_lazy_ci_solver", "init_state", "trace_length"]
@@ -216,7 +216,8 @@ def _fast_pw_of(im: SpmvImpl):
     return f
 
 
-def _lazy_exit_resolve(md, s1, snap, trig, err, verify, classify):
+def _lazy_exit_resolve(md, s1, snap, trig, err, verify, classify,
+                       stuck=None):
     """Shared trigger/rollback resolution for the lazy ``--check-interval``
     schedules (this solver-level tier AND solver.fused's outer_body_lazy
     — keep the predicate in ONE place; it decides delivered-solution
@@ -248,6 +249,16 @@ def _lazy_exit_resolve(md, s1, snap, trig, err, verify, classify):
         return md, SpmvStats.clean()
 
     md, st1 = jax.lax.cond(anomaly, repair, keep, md)
+    if stuck is not None:
+        # Livelock guard (see fused.outer_body): two consecutive
+        # unattributable triggers mean the signal itself is wrong —
+        # fail-stop with ERR_PHANTOM instead of rolling back forever.
+        unprod = (trigged & (st1.errcode == 0)
+                  & (st1.corrected_count == 0))
+        stuck = jnp.where(unprod, stuck + 1, jnp.int32(0))
+        st1 = st1._replace(errcode=jnp.where(
+            (stuck >= 2) & (st1.errcode == 0),
+            jnp.int32(ERR_PHANTOM), st1.errcode))
     fixed = ((trigged | (st1.corrected_count > 0))
              & (st1.errcode == 0))
     roll = fixed | (st1.errcode != 0)
@@ -263,6 +274,8 @@ def _lazy_exit_resolve(md, s1, snap, trig, err, verify, classify):
         rz=jnp.where(roll, snap.rz, s1.rz),
         stats=st, trace=s1.trace)
     done = (~fixed) | (st.errcode != 0)
+    if stuck is not None:
+        return done, md, s2, stuck
     return done, md, s2
 
 
@@ -344,16 +357,17 @@ def make_lazy_ci_continue(impl: SpmvImpl, product: SpmvImpl,
             return ~done
 
         def outer_body(c):
-            _, md, s, snap = c
+            _, md, s, snap, stuck = c
             s1, snap1, trig, err = inner(md, s, snap)
-            done, md, s2 = _lazy_exit_resolve(
+            done, md, s2, stuck = _lazy_exit_resolve(
                 md, s1, snap1, trig, err,
-                lambda md, p: checked(md, p)[1], impl.classify)
-            return (done, md, s2, snap1)
+                lambda md, p: checked(md, p)[1], impl.classify, stuck)
+            return (done, md, s2, snap1, stuck)
 
         # The entry state is verified — it seeds the snapshot.
-        _, md_out, s, _ = jax.lax.while_loop(
-            outer_cond, outer_body, (jnp.bool_(False), md, state, state))
+        _, md_out, s, _, _ = jax.lax.while_loop(
+            outer_cond, outer_body,
+            (jnp.bool_(False), md, state, state, jnp.int32(0)))
         return s, md_out
 
     return continue_

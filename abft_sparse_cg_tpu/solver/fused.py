@@ -61,7 +61,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.spmv import ERR_BREAKDOWN, SpmvStats
+from ..ops.spmv import ERR_BREAKDOWN, ERR_PHANTOM, SpmvStats
 from .cg import (CGResult, CGState, init_state, _MAX_TRACE,
                  _lazy_exit_resolve)
 
@@ -1813,38 +1813,49 @@ def make_fused_continue(mat, mode, conv_threshold, trace_rr=True,
             return ~done
 
         def outer_body(c):
-            _, md, s = c
+            _, md, s, stuck = c
             s, _snap, trig, err = run_fast(md, s)
+
+            def repair(md):
+                return jnp_impl.classify(md)
+
+            def keep(md):
+                return SpmvStats.clean(), md
+
+            st1, md = jax.lax.cond(trig, repair, keep, md)
+            # Livelock guard: a trigger classify can't attribute (no
+            # correction, no errcode — the scrub still refreshed the
+            # checksum baseline) gets ONE retry for the refreshed-
+            # baseline / transient-signal cases; a second consecutive
+            # unproductive trigger means the signal itself is wrong
+            # (ERR_PHANTOM) — fail-stop instead of re-entering forever.
+            unprod = (trig & (st1.errcode == 0)
+                      & (st1.corrected_count == 0))
+            stuck = jnp.where(unprod, stuck + 1, jnp.int32(0))
+            st1 = st1._replace(errcode=jnp.where(
+                (stuck >= 2) & (st1.errcode == 0),
+                jnp.int32(ERR_PHANTOM), st1.errcode))
             st = s.stats.merge_first(SpmvStats.clean()._replace(
-                errcode=err))
-
-            def repair(md, st):
-                st1, md2 = jnp_impl.classify(md)
-                return md2, st.merge_first(st1)
-
-            def keep(md, st):
-                return md, st
-
-            md, st = jax.lax.cond(trig, repair, keep, md, st)
+                errcode=err)).merge_first(st1)
             s = s._replace(stats=st)
             done = (~trig) | (st.errcode != 0)
-            return (done, md, s)
+            return (done, md, s, stuck)
 
         def outer_body_lazy(c):
             # Trigger/rollback resolution shared with the solver-level
             # lazy tier (cg._lazy_exit_resolve — the predicate lives in
             # ONE place).
-            _, md, s = c
+            _, md, s, stuck = c
             s1, snap, trig, err = run_fast(md, s)
-            done, md, s2 = _lazy_exit_resolve(
+            done, md, s2, stuck = _lazy_exit_resolve(
                 md, s1, snap, trig, err,
                 lambda md, p: jnp_impl.fast(md, p)[1],
-                jnp_impl.classify)
-            return (done, md, s2)
+                jnp_impl.classify, stuck)
+            return (done, md, s2, stuck)
 
-        _, md_out, s = jax.lax.while_loop(
+        _, md_out, s, _ = jax.lax.while_loop(
             outer_cond, outer_body_lazy if lazy else outer_body,
-            (jnp.bool_(False), md, state))
+            (jnp.bool_(False), md, state, jnp.int32(0)))
         return s, md_out
 
     return continue_
