@@ -495,9 +495,19 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
             gsrc_hbm = refs[k]            # precomputed window-local idx
             k += 1
         if NW:
-            words_hbm = refs[k]
-            ckall = refs[k + 1]           # (W,) whole-plane cksum folds
-            k += 2
+            # W SEPARATE (D, RR, 128) plane operands, each a pure
+            # bitcast of the carried (D, R) word plane.  A single
+            # stacked (W, D, RR, 128) operand required a concat copy of
+            # every word plane inside the outer loop body; XLA
+            # miscompiles that copy at some shapes when the source is a
+            # while-loop carry (G=100/D=17, G=10/D>=51 measured) — the
+            # bytes land parity-clean but chunk-misplaced, so sed/sec8
+            # can't see it and sec7/secded false-trigger (or the worker
+            # crashes).  Bitcast operands have no copy to miscompile —
+            # and drop ~2 x nnz x 12 bytes of HBM traffic per solve.
+            words_hbm = refs[k: k + W]
+            ckall = refs[k + W]           # (W,) whole-plane cksum folds
+            k += W + 1
         if tail:
             td_hbm, tb_hbm = refs[k], refs[k + 1]
             k += 2
@@ -548,6 +558,8 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
                 # lower robustly.
                 ck_acc = refs[k]
                 k += 1
+            wsems = refs[k]               # (2, W) word-plane DMA sems
+            k += 1
         if tail:
             td_ref, tb_ref = refs[k], refs[k + 1]
             k += 2
@@ -613,13 +625,14 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
                     vals_hbm.at[:, pl.ds(ci * ROWS, ROWS), :],
                     vbuf.at[slot], sems.at[3 + slot])]
             if NW and not lazy:
-                dmas.append(word_dmas(slot, ci)[0])
+                dmas.extend(word_dmas(slot, ci))
             return dmas
 
         def word_dmas(slot, ci):
             return [pltpu.make_async_copy(
-                words_hbm.at[:, :, pl.ds(ci * ROWS, ROWS), :],
-                wbuf.at[slot], sems.at[5 + slot])]
+                words_hbm[wi].at[:, pl.ds(ci * ROWS, ROWS), :],
+                wbuf.at[slot, wi], wsems.at[slot, wi])
+                for wi in range(W)]
 
         def body(carry):
             if lazy:
@@ -981,9 +994,9 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
             in_specs.append(any_spec)
             args.append(gsrc)
         if NW:
-            in_specs += [any_spec,
-                         pl.BlockSpec(memory_space=pltpu.VMEM)]
-            args += [wstack, ckall]
+            in_specs += [any_spec] * W + [
+                pl.BlockSpec(memory_space=pltpu.VMEM)]
+            args += list(wstack) + [ckall]
         if tail:
             td3, tb3, tw3, tck = tail_args
             in_specs += [any_spec, any_spec]
@@ -1016,6 +1029,7 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
             scratch.append(pltpu.VMEM((2, W, D, ROWS, 128), jnp.uint32))
             if use_cksum:
                 scratch.append(pltpu.VMEM((W, ROWS, 128), jnp.uint32))
+            scratch.append(pltpu.SemaphoreType.DMA((2, W)))
         if tail:
             tsh = (tail["T"], tail["SR"], 128)
             scratch.append(pltpu.VMEM(tsh, jnp.float32))   # td
@@ -1143,9 +1157,11 @@ def _make_streaming_kernel(plan, mode, conv, trace_len, interpret):
             gsrc_hbm = refs[k]
             k += 1
         if NW:
-            words_hbm = refs[k]
-            ckall = refs[k + 1]
-            k += 2
+            # W separate bitcast plane operands — see the resident
+            # kernel's while-carry concat-miscompile note.
+            words_hbm = refs[k: k + W]
+            ckall = refs[k + W]
+            k += W + 1
         scal_in = refs[k]
         itr_in = refs[k + 1]
         upto = refs[k + 2]
@@ -1177,6 +1193,8 @@ def _make_streaming_kernel(plan, mode, conv, trace_len, interpret):
                 # carry-fragility workaround as the resident kernel.
                 ck_acc = refs[k]
                 k += 1
+            wsems = refs[k]               # (2, W) word-plane DMA sems
+            k += 1
         wcb, wrb, xb = refs[k], refs[k + 1], refs[k + 2]
         k += 3
         mb = None
@@ -1225,13 +1243,14 @@ def _make_streaming_kernel(plan, mode, conv, trace_len, interpret):
                     vals_hbm.at[:, pl.ds(ci * ROWS, ROWS), :],
                     vbuf.at[slot], sems.at[3 + slot])]
             if NW and not lazy:
-                dmas.append(word_dmas(slot, ci)[0])
+                dmas.extend(word_dmas(slot, ci))
             return dmas
 
         def word_dmas(slot, ci):
             return [pltpu.make_async_copy(
-                words_hbm.at[:, :, pl.ds(ci * ROWS, ROWS), :],
-                wbuf.at[slot], sems.at[5 + slot])]
+                words_hbm[wi].at[:, pl.ds(ci * ROWS, ROWS), :],
+                wbuf.at[slot, wi], wsems.at[slot, wi])
+                for wi in range(W)]
 
         def w_out_dma(slot, ci):
             return pltpu.make_async_copy(
@@ -1586,9 +1605,9 @@ def _make_streaming_kernel(plan, mode, conv, trace_len, interpret):
             in_specs.append(any_spec)
             args.append(gsrc)
         if NW:
-            in_specs += [any_spec,
-                         pl.BlockSpec(memory_space=pltpu.VMEM)]
-            args += [wstack, ckall]
+            in_specs += [any_spec] * W + [
+                pl.BlockSpec(memory_space=pltpu.VMEM)]
+            args += list(wstack) + [ckall]
         in_specs += [smem(), smem(), smem()]
         args += [jnp.stack([rr, rz]).astype(jnp.float32),
                  jnp.reshape(itr, (1,)).astype(jnp.int32),
@@ -1609,6 +1628,7 @@ def _make_streaming_kernel(plan, mode, conv, trace_len, interpret):
             scratch.append(pltpu.VMEM((2, W, D, ROWS, 128), jnp.uint32))
             if use_cksum:
                 scratch.append(pltpu.VMEM((W, ROWS, 128), jnp.uint32))
+            scratch.append(pltpu.SemaphoreType.DMA((2, W)))
         scratch.append(pltpu.VMEM((2, ROWS, 128), jnp.float32))  # wcb
         scratch.append(pltpu.VMEM((2, ROWS, 128), jnp.float32))  # wrb
         scratch.append(pltpu.VMEM((2, ROWS, 128), jnp.float32))  # xb
@@ -1740,8 +1760,12 @@ def make_fused_continue(mat, mode, conv_threshold, trace_rr=True,
             vals3 = md.values.reshape(D, RR, 128)
         if not NW:
             return vals3, gsrc, None, None, tail_args
-        wstack = jnp.stack([md.words[i]
-                            for i in SW]).reshape(W, D, RR, 128)
+        # Per-plane BITCAST views, not one stacked array: the stack's
+        # concat copy miscompiles under XLA at some shapes when md.words
+        # are while-loop carries (see the kernel's words_hbm note), and
+        # the copy itself is ~nnz x 12 bytes of pure overhead per
+        # derive.
+        wstack = tuple(md.words[i].reshape(D, RR, 128) for i in SW)
         # Expected checksum classes for the in-kernel compare: stored
         # 8-row blocks fold to index (block mod 128), laid out as the
         # (row mod 8, lane block) classes the kernel accumulates, each

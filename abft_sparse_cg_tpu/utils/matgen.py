@@ -91,7 +91,16 @@ def spd_wideband(n: int, band: int, k: int = 3, seed: int = 2):
         cols.append(i[keep])
     rows = np.concatenate(rows)
     cols = np.concatenate(cols)
-    vals = np.where(rows == cols, 30.0, -1.0)
+    # Diagonal: 30.0 where that already dominates (keeps the k<=3 bench
+    # matrices bit-identical to earlier rounds), else degree + 4 — at
+    # k >= 14 a row can collect > 30 unit off-diagonals after mirroring
+    # and a fixed 30.0 diagonal loses SPD (measured: k=17 -> p.A.p < 0,
+    # CG correctly fail-stops with ERR_BREAKDOWN).
+    off = rows != cols
+    deg = (np.bincount(rows[off], minlength=n)
+           + np.bincount(cols[off], minlength=n)).astype(float)
+    diag_val = np.maximum(30.0, deg + 4.0)
+    vals = np.where(rows == cols, diag_val[rows], -1.0)
     return rows, cols, vals, n
 
 

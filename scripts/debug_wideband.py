@@ -34,6 +34,26 @@ def main():
                     help="rr trace length (solve path uses max_itrs)")
     ap.add_argument("--no-dbg", action="store_true",
                     help="production kernel (no debug tap outputs)")
+    ap.add_argument("--solve", action="store_true",
+                    help="run the real make_fused_solver instead of a "
+                         "bare kernel call")
+    ap.add_argument("--jit", action="store_true",
+                    help="jax.jit the solve (the backend's context)")
+    ap.add_argument("--jit-derive", action="store_true",
+                    help="with --jit (bare kernel): trace the derive() "
+                         "input materialization into the same program")
+    ap.add_argument("--carry-vec-only", action="store_true",
+                    help="with --carry-md: keep the word planes loop-"
+                         "invariant (only the CG vectors carry)")
+    ap.add_argument("--carry-md", action="store_true",
+                    help="with --jit: outer lax.while_loop whose carry "
+                         "includes the word planes (the real solve's "
+                         "structure — derive() re-runs per trip)")
+    ap.add_argument("--reps", type=int, default=1,
+                    help="re-dispatch the solve N times (timing protocol)")
+    ap.add_argument("--wrap-while", action="store_true",
+                    help="wrap the bare kernel call in a lax.while_loop "
+                         "(the solve's execution context)")
     args = ap.parse_args()
 
     if not args.no_dbg:
@@ -96,18 +116,144 @@ def main():
     local = local + ((Hlo - S0 + grp) * 128)[None, :]
     gsrc = pack(local).reshape(RR * D, 128)
     vals3 = vals3.reshape(RR * D, 128)
-    wstack = jnp.stack([md.words[i] for i in SW]).reshape(W, D, RR, 128)
+    wstack = tuple(md.words[i].reshape(D, RR, 128) for i in SW)
     cls = jnp.bitwise_xor.reduce(
         md.cksum[np.array(SW)].reshape(W, -1, 128), axis=1)
     ckall = jnp.repeat(cls.reshape(W, 8, 16), 8, axis=2)
 
-    kern = F._make_kernel(plan, args.mode, 1e-8, args.trace, args.cpu)
     rng = np.random.default_rng(12345)
     b = np.zeros(R, np.float32)
     b[:n] = rng.random(n)
+
+    if args.solve:
+        fus = F.make_fused_solver(m, args.mode, 1000, 1e-3,
+                                  trace_rr=args.trace > 0,
+                                  interpret=args.cpu)
+        if args.jit:
+            import jax as _jax
+
+            fus = _jax.jit(fus)
+        res = fus(md, jnp.asarray(b))
+        for _ in range(args.reps - 1):
+            res = fus(md, jnp.asarray(b))
+        print(f"SOLVE iters={int(res.iterations)} rr={float(res.rr):.4g} "
+              f"errcode={int(res.stats.errcode)} "
+              f"corrected={int(res.stats.corrected_count)}", flush=True)
+        return
+
+    kern = F._make_kernel(plan, args.mode, 1e-8, args.trace, args.cpu)
     b2 = jnp.asarray(b).reshape(RR, 128)
     x2 = jnp.zeros((RR, 128), jnp.float32)
     rr0 = jnp.float32(float((b * b).sum()))
+    if args.jit:
+        import jax as _jax
+
+        if args.jit_derive:
+            # The solve's context: derive() traced together with the
+            # kernel call — wstack/ckall/vals3/gsrc materialize inside
+            # the jitted program.
+            def run(words, gidx, cksum, values, x2, b2, rr0, it, upto):
+                barrier = os.environ.get("ABFT_BARRIER", "")
+                if "words" in barrier:
+                    import jax as _j
+
+                    words = _j.lax.optimization_barrier(words)
+                v3 = pack(values).reshape(RR * D, 128)
+                g_ = gidx if has_gidx else words[gather_w]
+                if not has_gidx and mask_ecc:
+                    g_ = g_ & np.uint32(ECC_COL_MASK)
+                loc = g_.astype(jnp.int32) + (S0 * 128 - rowblk)[None, :]
+                loc = jnp.clip(loc, 0, WROWS * 128 - 1)
+                loc = loc + ((Hlo - S0 + grp) * 128)[None, :]
+                gs = pack(loc).reshape(RR * D, 128)
+                wst = tuple(words[i].reshape(D, RR, 128) for i in SW)
+                cl = jnp.bitwise_xor.reduce(
+                    cksum[np.array(SW)].reshape(W, -1, 128), axis=1)
+                cka = jnp.repeat(cl.reshape(W, 8, 16), 8, axis=2)
+                if "ckall" in os.environ.get("ABFT_BARRIER", ""):
+                    import jax as _j
+
+                    cka = _j.lax.optimization_barrier(cka)
+                return kern(x2, b2, b2, None, v3, gs, wst, cka, None,
+                            rr0, rr0, it, upto)
+
+            if args.carry_md:
+                def outer(words0, gidx, cksum, values, x2, b2, rr0):
+                    def body(c):
+                        done, words, x2, r2, p2, rr, rz, it, ntrig = c
+                        if args.carry_vec_only:
+                            words = words0   # words invariant
+                        outs = run(words, gidx, cksum, values, x2, b2,
+                                   rr0, it, jnp.int32(args.iters))
+                        (x2o, r2o, p2o, _t, itr, rr_, rz_, trig,
+                         err) = outs[:9]
+                        trig = trig[0, 0] != 0
+                        # "classify": touch the carried words (identity
+                        # add of 0) so they are genuine carries, like
+                        # the scrubbed planes the real loop feeds back.
+                        words = tuple(w ^ jnp.uint32(0) for w in words)
+                        done = (~trig) | (ntrig >= 3)
+                        return (done, words, x2o, r2o, p2o, rr_[0, 0],
+                                rz_[0, 0], itr[0, 0],
+                                ntrig + trig.astype(jnp.int32))
+                    c0 = (jnp.bool_(False), words0, x2, b2, b2, rr0, rr0,
+                          jnp.int32(0), jnp.int32(0))
+                    c = _jax.lax.while_loop(lambda c: ~c[0], body, c0)
+                    return c[7], c[5], c[8]   # itr, rr, ntrig
+
+                itr_, rr_, ntrig = _jax.jit(outer)(
+                    md.words, md.gidx, md.cksum, md.values, x2, b2, rr0)
+                print(f"CARRY itr={int(itr_)} rr={float(rr_):.4g} "
+                      f"ntrig={int(ntrig)}", flush=True)
+                return
+            outs = _jax.jit(run)(md.words, md.gidx, md.cksum, md.values,
+                                 x2, b2, rr0, jnp.int32(0),
+                                 jnp.int32(args.iters))
+        else:
+            outs = _jax.jit(kern)(x2, b2, b2, None, vals3, gsrc, wstack,
+                                  ckall, None, rr0, rr0, jnp.int32(0),
+                                  jnp.int32(args.iters))
+        (x2o, r2o, p2o, _tr, itr, rr, rz, trig, err) = outs[:9]
+        print(f"JIT itr={int(itr[0,0])} rr={float(rr[0,0]):.4g} "
+              f"trig={int(trig[0,0])} err={int(err[0,0])}", flush=True)
+        if not args.no_dbg:
+            dbg_ck, dbg_wb = np.asarray(outs[-2]), np.asarray(outs[-1])
+            ws = np.stack([np.asarray(w) for w in wstack])
+            exp_acc = np.bitwise_xor.reduce(np.bitwise_xor.reduce(
+                ws.reshape(W, D, G, ROWS, 128), axis=1), axis=1)
+            mis = dbg_ck != exp_acc
+            print(f"acc mismatches: {mis.sum()} / {mis.size}")
+            if mis.any():
+                wi, rr_i, l_i = np.nonzero(mis)
+                print("  planes:", np.unique(wi), "rows:",
+                      np.unique(rr_i)[:16], "lanes:", np.unique(l_i)[:16])
+            dbg_ci2 = args.chunk if args.chunk >= 0 else G - 1
+            exp_wb = ws[:, :, dbg_ci2 * ROWS:(dbg_ci2 + 1) * ROWS, :]
+            wmis = dbg_wb != exp_wb
+            print(f"wbuf (chunk {dbg_ci2}) mismatches: "
+                  f"{wmis.sum()} / {wmis.size}")
+            if wmis.any():
+                wi, d_i, rr_i, l_i = np.nonzero(wmis)
+                print("  planes:", np.unique(wi), "slots:",
+                      np.unique(d_i)[:16], "rows:", np.unique(rr_i)[:16])
+        return
+    if args.wrap_while:
+        import jax as _jax
+
+        def body(c):
+            x2, r2, p2, rr, rz, it, _done = c
+            outs = kern(x2, r2, p2, None, vals3, gsrc, wstack, ckall,
+                        None, rr, rz, it, jnp.int32(args.iters))
+            (x2o, r2o, p2o, _tr, itr, rr_, rz_, trig, err) = outs[:9]
+            done = ((trig[0, 0] != 0) | (err[0, 0] != 0)
+                    | (itr[0, 0] >= args.iters) | (rr_[0, 0] <= 1e-8))
+            return (x2o, r2o, p2o, rr_[0, 0], rz_[0, 0], itr[0, 0], done)
+
+        c = _jax.lax.while_loop(
+            lambda c: ~c[-1], body,
+            (x2, b2, b2, rr0, rr0, jnp.int32(0), jnp.bool_(False)))
+        print(f"WHILE itr={int(c[5])} rr={float(c[3]):.4g} done", flush=True)
+        return
     outs = kern(x2, b2, b2, None, vals3, gsrc, wstack, ckall, None,
                 rr0, rr0, jnp.int32(0), jnp.int32(args.iters))
     (x2o, r2o, p2o, _tr, itr, rr, rz, trig, err) = outs[:9]
@@ -122,12 +268,16 @@ def main():
     from abft_sparse_cg_tpu.ops.spmv import make_spmv
 
     impl = make_spmv(m, jnp.float32, "none")
+    spmv = (impl.fast if impl.fast is not None
+            else (lambda md, p: impl.full(md, p)[0]))
+    if impl.fast_pw is not None:
+        spmv = lambda md, p: impl.fast_pw(md, p)[0]  # noqa: E731
     xv = np.zeros(R, np.float32)
     rv = b.copy()
     pv = b.copy()
     rrv = float((rv * rv).sum())
     for it in range(int(itr[0, 0])):
-        w = np.asarray(impl.fast(md, jnp.asarray(pv))).reshape(-1)
+        w = np.asarray(spmv(md, jnp.asarray(pv))).reshape(-1)
         pw = float((pv * w).sum())
         alpha = rrv / pw
         xv += alpha * pv
@@ -142,11 +292,16 @@ def main():
         rel = d.max() / (np.abs(ref).max() + 1e-30)
         print(f"  {name}: max|diff|={d.max():.4g} rel={rel:.4g} "
               f"argmax={int(d.argmax())}")
+    # What the NEXT iteration's pw should be, from the kernel's own p —
+    # if this is positive, the kernel's internal pw is the wrong one.
+    pk = np.asarray(p2o).reshape(-1)
+    wk = np.asarray(spmv(md, jnp.asarray(pk))).reshape(-1)
+    print(f"  host pw(next) from kernel p: {float((pk * wk).sum()):.6g}")
 
     # ---- ground truth --------------------------------------------------
     if dbg_ck is None:
         return
-    ws = np.asarray(wstack)                       # (W, D, RR, 128)
+    ws = np.stack([np.asarray(w) for w in wstack])   # (W, D, RR, 128)
     exp_acc = np.bitwise_xor.reduce(
         np.bitwise_xor.reduce(
             ws.reshape(W, D, G, ROWS, 128), axis=1), axis=1)
