@@ -310,8 +310,6 @@ def main():
 
             # Lazy detection schedule (--check-interval 8): clean solve
             # bit-exact vs live, fault corrected via snapshot rollback.
-            import os
-
             os.environ["ABFT_CHECK_INTERVAL"] = "8"
             try:
                 bl = create("pallas", "secded")
