@@ -558,6 +558,17 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
                 # lower robustly.
                 ck_acc = refs[k]
                 k += 1
+            pacc = None
+            if use_parity and lazy:
+                # Lazy schedule: the parity accumulator ALSO moves to
+                # scratch so the whole signal block can sit under
+                # pl.when(chk) — a fori-carry can't be written from a
+                # predicated region, and computing it unconditionally
+                # on stale buffers was the measured cost that made
+                # lazy slower than live detection (headline lazy8
+                # 2.55 ms vs live 1.99 at -b 10).
+                pacc = refs[k]
+                k += 1
             wsems = refs[k]               # (2, W) word-plane DMA sems
             k += 1
         if tail:
@@ -568,7 +579,8 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
                 k += 1
         if lazy:
             xs_ref, rs_ref, ps_ref = refs[k: k + 3]
-            k += 3
+            pw_smem = refs[k + 3]    # per-arm pw handoff (SMEM scalar)
+            k += 4
         sems = refs[k]
 
         # ---- load state into VMEM ------------------------------------
@@ -634,52 +646,79 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
                 wbuf.at[slot, wi], wsems.at[slot, wi])
                 for wi in range(W)]
 
-        def body(carry):
-            if lazy:
-                itr, rr, rz, _, _, its, rrs, rzs = carry
-            else:
-                itr, rr, rz, _, _ = carry
-            # Lazy schedule: the word streams (and the armed signals)
-            # run only on checked iterations — every CI-th, keyed on the
-            # absolute iteration count so resumes stay consistent.
-            chk = ((itr % CI) == (CI - 1)) if lazy else None
-            for d in get_dmas(0, 0):
-                d.start()
-            if lazy:
-                @pl.when(chk)
-                def _():
-                    for d in word_dmas(0, 0):
-                        d.start()
-            tw_dma = None
-            if tail and tail["NTW"]:
-                # Tail word planes re-stream each checked iteration
-                # (live detection); overlaps the main chunk pipeline.
-                tw_dma = pltpu.make_async_copy(twords_hbm, twbuf,
-                                               sems.at[12])
-                if lazy:
-                    @pl.when(chk)
-                    def _():
-                        tw_dma.start()
-                else:
-                    tw_dma.start()
+        def sig_trigger(par_src):
+            """Scalar trigger from the signal accumulators — ONE
+            cross-lane reduction per call (per-chunk reduces are a VPU
+            pipeline stall)."""
+            t = jnp.int32(0)
+            if use_parity:
+                cnt = jnp.sum(par_src.astype(jnp.int32))
+                t = t | (cnt > 0).astype(jnp.int32)
+            if use_cksum:
+                lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+                for wi in range(W):
+                    f8 = _xor_fold_rows(ck_acc[wi], to=8)  # (8, 128)
+                    # Aligned 8-lane-block XOR via rotate-halvings
+                    # (Mosaic has no cross-lane reduce_xor): after
+                    # rolls 4/2/1, lanes == 7 (mod 8) hold each aligned
+                    # block's fold.  Compared per (row mod 8, lane
+                    # block) class against the loop-invariant expected
+                    # classes (derive() folds the stored checksums) —
+                    # 128 classes per plane instead of one whole-plane
+                    # value (PARITY.md granularity note).
+                    for r in (4, 2, 1):
+                        f8 = f8 ^ pltpu.roll(f8, r, 1)
+                    bad = (f8 != ckall[wi]) & (lane8 % 8 == 7)
+                    t = t | jnp.any(bad).astype(jnp.int32)
+            return t
 
+        def tail_trigger():
+            """Tail word-plane trigger; assumes twbuf holds a fresh
+            stream."""
+            t = jnp.int32(0)
+            twords = [twbuf[wi] for wi in range(tail["TW"])]
+            if use_parity:
+                accx = twords[0]
+                for wd in twords[1:]:
+                    accx = accx ^ wd
+                cnt = jnp.sum((jax.lax.population_count(accx)
+                               & np.uint32(1)).astype(jnp.int32))
+                t = t | (cnt > 0).astype(jnp.int32)
+            if use_cksum:
+                for wi in range(tail["TW"]):
+                    red = _xor_fold_rows(twords[wi])
+                    for rsh in (64, 32, 16, 8, 4, 2, 1):
+                        red = red ^ pltpu.roll(red, rsh, 1)
+                    t = t | (red[0, 0] != tckall[wi]).astype(jnp.int32)
+            return t
+
+        def run_chunks(words_on):
+            # The full A·p chunk loop; ``words_on`` statically includes
+            # or excludes the word streams + detection signals (the
+            # lazy schedule compiles BOTH variants and dispatches per
+            # iteration — see the body's pl.when(chk) note).
             # All per-chunk signals accumulate in VMEM-shaped lane
             # vectors (FMA / XOR / OR per chunk) and reduce to scalars
             # ONCE per iteration: a cross-lane reduction per chunk is a
             # VPU pipeline stall, and G can be ~100 chunks.
             # The cksum accumulators for all W word planes live in ONE
-            # stacked (W, ROWS, 128) carry, not W separate arrays: with
-            # the rolled gather's nested fori_loop inside the chunk
-            # loop, >=4 separate loop carries crashed the TPU worker at
-            # G >= 60 (a Mosaic lowering fault; sed's single big parity
-            # carry at G=100 was always fine).
+            # stacked (W, ROWS, 128) scratch ref, not W separate
+            # arrays: with the rolled gather's nested fori_loop inside
+            # the chunk loop, >=4 separate loop carries crashed the TPU
+            # worker at G >= 60 (a Mosaic lowering fault; sed's single
+            # big parity carry at G=100 was always fine).
             acc0 = [jnp.zeros((ROWS, 128), jnp.float32)]       # pw
-            if NW and use_parity:
+            if NW and use_parity and not lazy:
                 acc0.append(jnp.zeros((D, ROWS, 128), jnp.uint32))
-            if NW and use_cksum:
-                # Scratch-ref accumulator, NOT a fori carry (see the
-                # ck_acc note at the refs parse).
-                ck_acc[...] = jnp.zeros((W, ROWS, 128), jnp.uint32)
+            if NW and words_on:
+                if use_parity and lazy:
+                    # Lazy parity accumulator in scratch (pacc note at
+                    # the refs parse).
+                    pacc[...] = jnp.zeros((D, ROWS, 128), jnp.uint32)
+                if use_cksum:
+                    # Scratch-ref accumulator, NOT a fori carry (see
+                    # the ck_acc note at the refs parse).
+                    ck_acc[...] = jnp.zeros((W, ROWS, 128), jnp.uint32)
 
             def chunk(ci, acc):
                 acc = list(acc)
@@ -689,19 +728,16 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
                 def _():
                     for d in get_dmas((ci + 1) % 2, ci + 1):
                         d.start()
-                    if lazy:
-                        @pl.when(chk)
-                        def _():
-                            for d in word_dmas((ci + 1) % 2, ci + 1):
-                                d.start()
+                    if words_on and lazy:
+                        # (live word DMAs ride inside get_dmas)
+                        for d in word_dmas((ci + 1) % 2, ci + 1):
+                            d.start()
 
                 for d in get_dmas(slot, ci):
                     d.wait()
-                if lazy:
-                    @pl.when(chk)
-                    def _():
-                        for d in word_dmas(slot, ci):
-                            d.wait()
+                if words_on and lazy:
+                    for d in word_dmas(slot, ci):
+                        d.wait()
                 row0 = pl.multiple_of(ci * ROWS, ROWS)
                 if big:
                     # Big-offset mode: no materialized extended block —
@@ -777,17 +813,18 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
                 # equally sound for faults within a single element —
                 # any 1-2 flips in one codeword change some plane's
                 # XOR (see PARITY.md for the pair-cancellation scope).
-                if NW:
+                if NW and words_on:
                     words = [wbuf[slot][wi] for wi in range(W)]
-                    k = 1
                     if use_parity:
                         acc_x = words[0]
                         for wd in words[1:]:
                             acc_x = acc_x ^ wd
-                        acc[k] = acc[k] | (
-                            jax.lax.population_count(acc_x)
-                            & np.uint32(1))
-                        k += 1
+                        par = (jax.lax.population_count(acc_x)
+                               & np.uint32(1))
+                        if lazy:
+                            pacc[...] = pacc[...] | par
+                        else:
+                            acc[1] = acc[1] | par
                     if use_cksum:
                         for wi in range(W):
                             red = words[wi][0]        # (ROWS, 128)
@@ -800,31 +837,61 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
                         dbg_wb[...] = wbuf[slot]
                 return tuple(acc)
 
-            accs = jax.lax.fori_loop(0, G, chunk, tuple(acc0))
+            return jax.lax.fori_loop(0, G, chunk, tuple(acc0))
+
+        def body(carry):
+            if lazy:
+                itr, rr, rz, _, _, its, rrs, rzs = carry
+            else:
+                itr, rr, rz, _, _ = carry
+            # Lazy schedule: the word streams (and the armed signals)
+            # run only on checked iterations — every CI-th, keyed on the
+            # absolute iteration count so resumes stay consistent.
+            chk = ((itr % CI) == (CI - 1)) if lazy else None
+            for d in get_dmas(0, 0):
+                d.start()
+            tw_dma = None
+            if tail and tail["NTW"]:
+                # Tail word planes re-stream each checked iteration
+                # (live detection); overlaps the main chunk pipeline.
+                tw_dma = pltpu.make_async_copy(twords_hbm, twbuf,
+                                               sems.at[12])
+                if lazy:
+                    @pl.when(chk)
+                    def _():
+                        tw_dma.start()
+                else:
+                    tw_dma.start()
+
+            # The lazy schedule dispatches to ONE of two compiled chunk
+            # loops per iteration: words_on=True under pl.when(chk)
+            # (word streams + armed signals), words_on=False under
+            # pl.when(~chk) — so unchecked iterations run EXACTLY the
+            # mode-none loop.  Predicating per chunk instead (pl.when
+            # inside the chunk body) measured ~0.65 ms/iter of branch
+            # overhead at G=125 — the hoist is what makes unchecked
+            # iterations actually free.
+            if lazy:
+                @pl.when(chk)
+                def _():
+                    for d in word_dmas(0, 0):
+                        d.start()
+                    accs = run_chunks(True)
+                    pw_smem[0, 0] = jnp.sum(accs[0])
+
+                @pl.when(jnp.logical_not(chk))
+                def _():
+                    accs = run_chunks(False)
+                    pw_smem[0, 0] = jnp.sum(accs[0])
+                accs = None
+            else:
+                accs = run_chunks(True)
             if dbg:
                 dbg_ck[...] = ck_acc[...]
-            trig_i = jnp.int32(0)
-            k = 1
+            par_src = None
             if NW and use_parity:
-                cnt = jnp.sum(accs[k].astype(jnp.int32))
-                trig_i = trig_i | (cnt > 0).astype(jnp.int32)
-                k += 1
-            if NW and use_cksum:
-                lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-                for wi in range(W):
-                    f8 = _xor_fold_rows(ck_acc[wi], to=8)  # (8, 128)
-                    # Aligned 8-lane-block XOR via rotate-halvings
-                    # (Mosaic has no cross-lane reduce_xor): after
-                    # rolls 4/2/1, lanes == 7 (mod 8) hold each aligned
-                    # block's fold.  Compared per (row mod 8, lane
-                    # block) class against the loop-invariant expected
-                    # classes (derive() folds the stored checksums) —
-                    # 128 classes per plane instead of one whole-plane
-                    # value (PARITY.md granularity note).
-                    for r in (4, 2, 1):
-                        f8 = f8 ^ pltpu.roll(f8, r, 1)
-                    bad = (f8 != ckall[wi]) & (lane8 % 8 == 7)
-                    trig_i = trig_i | jnp.any(bad).astype(jnp.int32)
+                par_src = pacc[...] if lazy else accs[1]
+            trig_i = sig_trigger(par_src) if NW else jnp.int32(0)
 
             if tail:
                 # ---- bordered tail: span-window dense rows + mirrored
@@ -865,32 +932,18 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
                             tw_dma.wait()
                     else:
                         tw_dma.wait()
-                    twords = [twbuf[wi] for wi in range(tail["TW"])]
-                    if use_parity:
-                        accx = twords[0]
-                        for wd in twords[1:]:
-                            accx = accx ^ wd
-                        cnt = jnp.sum((jax.lax.population_count(accx)
-                                       & np.uint32(1)).astype(jnp.int32))
-                        trig_i = trig_i | (cnt > 0).astype(jnp.int32)
-                    if use_cksum:
-                        for wi in range(tail["TW"]):
-                            red = _xor_fold_rows(twords[wi])
-                            for rsh in (64, 32, 16, 8, 4, 2, 1):
-                                red = red ^ pltpu.roll(red, rsh, 1)
-                            trig_i = trig_i | (
-                                red[0, 0] != tckall[wi]).astype(
-                                    jnp.int32)
+                    trig_i = trig_i | tail_trigger()
                 # pw over the complete (main + tail) product
                 pw = jnp.sum(w_ref[...] * p_ref[pl.ds(Hlo, RR), :])
+            elif lazy:
+                pw = pw_smem[0, 0]
             else:
                 pw = jnp.sum(accs[0])
 
             if lazy:
-                # Unchecked iterations fold stale word buffers into the
-                # signal lane vectors (the VPU work rides free under the
-                # now-smaller HBM envelope); their trigger is
-                # meaningless and masked off here.
+                # Unchecked iterations read the LAST checked
+                # iteration's (stale, already-resolved) accumulators;
+                # their trigger is meaningless and masked off here.
                 trig_i = jnp.where(chk, trig_i, jnp.int32(0))
             alpha = rz / pw
             r1 = r_ref[...] - alpha * w_ref[...]
@@ -973,6 +1026,62 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
                 pltpu.make_async_copy(rs_ref, rs_out, sems.at[4]),
                 pltpu.make_async_copy(ps_ref, ps_out, sems.at[5]),
             ]
+
+            # ---- exit-window close, in-kernel: a clean exit mid-window
+            # leaves up to CI-1 tail iterations unverified.  One
+            # signals-only pass over the word planes closes it at HBM
+            # speed; the jnp verify this replaces measured ~6.3 ms at
+            # -b 100 (vs ~0.4 ms here) — the single largest
+            # lazy-schedule cost.  A trigger here rolls the outer loop
+            # back to the snapshot exactly like a mid-solve one.
+            unver = jnp.logical_and(its != itr,
+                                    jnp.logical_and(trig == 0, err == 0))
+
+            @pl.when(unver)
+            def _():
+                if use_parity:
+                    pacc[...] = jnp.zeros((D, ROWS, 128), jnp.uint32)
+                if use_cksum:
+                    ck_acc[...] = jnp.zeros((W, ROWS, 128), jnp.uint32)
+                for d in word_dmas(0, 0):
+                    d.start()
+                tw2 = None
+                if tail and tail["NTW"]:
+                    tw2 = pltpu.make_async_copy(twords_hbm, twbuf,
+                                                sems.at[12])
+                    tw2.start()
+
+                def wchunk(ci, _):
+                    slot = ci % 2
+
+                    @pl.when(ci + 1 < G)
+                    def _():
+                        for d in word_dmas((ci + 1) % 2, ci + 1):
+                            d.start()
+                    for d in word_dmas(slot, ci):
+                        d.wait()
+                    words = [wbuf[slot][wi] for wi in range(W)]
+                    if use_parity:
+                        acc_x = words[0]
+                        for wd in words[1:]:
+                            acc_x = acc_x ^ wd
+                        pacc[...] = pacc[...] | (
+                            jax.lax.population_count(acc_x)
+                            & np.uint32(1))
+                    if use_cksum:
+                        for wi in range(W):
+                            red = words[wi][0]
+                            for d in range(1, D):
+                                red = red ^ words[wi][d]
+                            ck_acc[wi] = ck_acc[wi] ^ red
+                    return 0
+
+                jax.lax.fori_loop(0, G, wchunk, 0)
+                t = sig_trigger(pacc[...] if use_parity else None)
+                if tail and tail["NTW"]:
+                    tw2.wait()
+                    t = t | tail_trigger()
+                trig_out[0, 0] = t
         for d in out_dmas:
             d.start()
         for d in out_dmas:
@@ -1029,6 +1138,9 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
             scratch.append(pltpu.VMEM((2, W, D, ROWS, 128), jnp.uint32))
             if use_cksum:
                 scratch.append(pltpu.VMEM((W, ROWS, 128), jnp.uint32))
+            if use_parity and plan.get("ci", 1) > 1:
+                # Lazy parity accumulator (see the pacc refs-parse note)
+                scratch.append(pltpu.VMEM((D, ROWS, 128), jnp.uint32))
             scratch.append(pltpu.SemaphoreType.DMA((2, W)))
         if tail:
             tsh = (tail["T"], tail["SR"], 128)
@@ -1041,6 +1153,7 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
         if lazy:
             for _ in range(3):   # x/r/p verified-state snapshot
                 scratch.append(pltpu.VMEM((RR, 128), jnp.float32))
+            scratch.append(pltpu.SMEM((1, 1), jnp.float32))  # pw handoff
         scratch.append(pltpu.SemaphoreType.DMA((13,)))
         from jax.experimental import pallas as _pl
 
@@ -1193,6 +1306,14 @@ def _make_streaming_kernel(plan, mode, conv, trace_len, interpret):
                 # carry-fragility workaround as the resident kernel.
                 ck_acc = refs[k]
                 k += 1
+            pacc = None
+            if use_parity and lazy:
+                # Lazy parity accumulator in scratch (see the resident
+                # kernel's pacc note: the signal block must be fully
+                # predicated on checked iterations to skip its VPU
+                # cost, and a fori carry can't be).
+                pacc = refs[k]
+                k += 1
             wsems = refs[k]               # (2, W) word-plane DMA sems
             k += 1
         wcb, wrb, xb = refs[k], refs[k + 1], refs[k + 2]
@@ -1200,6 +1321,9 @@ def _make_streaming_kernel(plan, mode, conv, trace_len, interpret):
         mb = None
         if precond:
             mb = refs[k]
+            k += 1
+        if lazy:
+            pw_smem = refs[k]    # per-arm pw handoff (SMEM scalar)
             k += 1
         sems = refs[k]
 
@@ -1277,31 +1401,46 @@ def _make_streaming_kernel(plan, mode, conv, trace_len, interpret):
                 minv_in.at[pl.ds(ci * ROWS, ROWS), :], mb.at[slot],
                 sems.at[17 + slot])
 
-        def body(carry):
-            if lazy:
-                itr, rr, rz, _, _, its, rrs, rzs = carry
-            else:
-                itr, rr, rz, _, _ = carry
-            chk = ((itr % CI) == (CI - 1)) if lazy else None
+        def sig_trigger(par_src):
+            # Scalar trigger from the signal accumulators — see the
+            # resident kernel's sig_trigger (rotate-halving class
+            # compare; one cross-lane reduction per call).
+            t = jnp.int32(0)
+            if use_parity:
+                cnt = jnp.sum(par_src.astype(jnp.int32))
+                t = t | (cnt > 0).astype(jnp.int32)
+            if use_cksum:
+                lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+                for wi in range(W):
+                    f8 = _xor_fold_rows(ck_acc[wi], to=8)
+                    for r in (4, 2, 1):
+                        f8 = f8 ^ pltpu.roll(f8, r, 1)
+                    bad = (f8 != ckall[wi]) & (lane8 % 8 == 7)
+                    t = t | jnp.any(bad).astype(jnp.int32)
+            return t
 
-            # ---- phase 1: w = A p, live detection, w -> HBM ----------
-            for d in get_dmas(0, 0):
-                d.start()
-            if lazy:
-                @pl.when(chk)
-                def _():
-                    for d in word_dmas(0, 0):
-                        d.start()
-            # One stacked cksum carry — see the resident kernel's note
-            # (>=4 separate carries + the rolled inner loop crashed the
-            # TPU worker at G >= 60).
+        def run_chunks1(words_on):
+            # Phase-1 chunk loop; ``words_on`` statically includes or
+            # excludes the word streams + signals — the lazy schedule
+            # compiles BOTH variants and dispatches once per iteration
+            # (resident kernel's run_chunks note: per-chunk pl.when
+            # predication measured ~0.65 ms/iter of branch overhead at
+            # G=125).
+            # One stacked cksum scratch ref — see the resident kernel's
+            # note (>=4 separate carries + the rolled inner loop
+            # crashed the TPU worker at G >= 60).
             acc0 = [jnp.zeros((ROWS, 128), jnp.float32)]       # pw
-            if NW and use_parity:
+            if NW and use_parity and not lazy:
                 acc0.append(jnp.zeros((D, ROWS, 128), jnp.uint32))
-            if NW and use_cksum:
-                # Scratch-ref accumulator, NOT a fori carry (see the
-                # ck_acc note at the refs parse).
-                ck_acc[...] = jnp.zeros((W, ROWS, 128), jnp.uint32)
+            if NW and words_on:
+                if use_parity and lazy:
+                    # Lazy parity accumulator in scratch (pacc note at
+                    # the refs parse).
+                    pacc[...] = jnp.zeros((D, ROWS, 128), jnp.uint32)
+                if use_cksum:
+                    # Scratch-ref accumulator, NOT a fori carry (see
+                    # the ck_acc note at the refs parse).
+                    ck_acc[...] = jnp.zeros((W, ROWS, 128), jnp.uint32)
 
             def chunk1(ci, acc):
                 acc = list(acc)
@@ -1311,19 +1450,16 @@ def _make_streaming_kernel(plan, mode, conv, trace_len, interpret):
                 def _():
                     for d in get_dmas((ci + 1) % 2, ci + 1):
                         d.start()
-                    if lazy:
-                        @pl.when(chk)
-                        def _():
-                            for d in word_dmas((ci + 1) % 2, ci + 1):
-                                d.start()
+                    if words_on and lazy:
+                        # (live word DMAs ride inside get_dmas)
+                        for d in word_dmas((ci + 1) % 2, ci + 1):
+                            d.start()
 
                 for d in get_dmas(slot, ci):
                     d.wait()
-                if lazy:
-                    @pl.when(chk)
-                    def _():
-                        for d in word_dmas(slot, ci):
-                            d.wait()
+                if words_on and lazy:
+                    for d in word_dmas(slot, ci):
+                        d.wait()
 
                 # wcb[slot] was last DMA'd out at chunk ci-2; drain
                 # that copy before overwriting the buffer.
@@ -1386,17 +1522,18 @@ def _make_streaming_kernel(plan, mode, conv, trace_len, interpret):
                 w_out_dma(slot, ci).start()
                 acc[0] = acc[0] + w * (xc if big else ext[Hlo: Hlo + ROWS])
 
-                if NW:
+                if NW and words_on:
                     words = [wbuf[slot][wi] for wi in range(W)]
-                    k = 1
                     if use_parity:
                         acc_x = words[0]
                         for wd in words[1:]:
                             acc_x = acc_x ^ wd
-                        acc[k] = acc[k] | (
-                            jax.lax.population_count(acc_x)
-                            & np.uint32(1))
-                        k += 1
+                        par = (jax.lax.population_count(acc_x)
+                               & np.uint32(1))
+                        if lazy:
+                            pacc[...] = pacc[...] | par
+                        else:
+                            acc[1] = acc[1] | par
                     if use_cksum:
                         for wi in range(W):
                             red = words[wi][0]
@@ -1405,30 +1542,49 @@ def _make_streaming_kernel(plan, mode, conv, trace_len, interpret):
                             ck_acc[wi] = ck_acc[wi] ^ red
                 return tuple(acc)
 
-            accs = jax.lax.fori_loop(0, G, chunk1, tuple(acc0))
+            return jax.lax.fori_loop(0, G, chunk1, tuple(acc0))
+
+        def body(carry):
+            if lazy:
+                itr, rr, rz, _, _, its, rrs, rzs = carry
+            else:
+                itr, rr, rz, _, _ = carry
+            chk = ((itr % CI) == (CI - 1)) if lazy else None
+
+            # ---- phase 1: w = A p, live detection, w -> HBM ----------
+            for d in get_dmas(0, 0):
+                d.start()
+            if lazy:
+                # Two-arm dispatch: unchecked iterations run EXACTLY
+                # the mode-none phase-1 loop (resident kernel's note).
+                @pl.when(chk)
+                def _():
+                    for d in word_dmas(0, 0):
+                        d.start()
+                    accs = run_chunks1(True)
+                    pw_smem[0, 0] = jnp.sum(accs[0])
+
+                @pl.when(jnp.logical_not(chk))
+                def _():
+                    accs = run_chunks1(False)
+                    pw_smem[0, 0] = jnp.sum(accs[0])
+                accs = None
+            else:
+                accs = run_chunks1(True)
             for cl in range(max(G - 2, 0), G):
                 w_out_dma(cl % 2, cl).wait()
 
-            trig_i = jnp.int32(0)
-            k = 1
+            par_src = None
             if NW and use_parity:
-                cnt = jnp.sum(accs[k].astype(jnp.int32))
-                trig_i = trig_i | (cnt > 0).astype(jnp.int32)
-                k += 1
-            if NW and use_cksum:
-                lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-                for wi in range(W):
-                    f8 = _xor_fold_rows(ck_acc[wi], to=8)
-                    for r in (4, 2, 1):
-                        f8 = f8 ^ pltpu.roll(f8, r, 1)
-                    bad = (f8 != ckall[wi]) & (lane8 % 8 == 7)
-                    trig_i = trig_i | jnp.any(bad).astype(jnp.int32)
+                par_src = pacc[...] if lazy else accs[1]
+            trig_i = sig_trigger(par_src) if NW else jnp.int32(0)
 
             if lazy:
-                # Unchecked iterations fold stale word buffers; their
-                # trigger is meaningless and masked off here.
+                # Unchecked iterations read the LAST checked
+                # iteration's (stale, already-resolved) accumulators;
+                # their trigger is meaningless and masked off here.
                 trig_i = jnp.where(chk, trig_i, jnp.int32(0))
-            pw = jnp.sum(accs[0])
+            pw = pw_smem[0, 0] if lazy else jnp.sum(accs[0])
             alpha = rz / pw
 
             # ---- phase 2a: rr1 (+ rz1), no mutation ------------------
@@ -1579,6 +1735,50 @@ def _make_streaming_kernel(plan, mode, conv, trace_len, interpret):
             rrs_out[0, 0] = rrs
             rzs_out[0, 0] = rzs
 
+            # ---- exit-window close, in-kernel (resident kernel's
+            # note: replaces a ~6.3 ms jnp verify with a ~0.4 ms
+            # HBM-speed word-plane pass) -------------------------------
+            unver = jnp.logical_and(its != itr,
+                                    jnp.logical_and(trig == 0, err == 0))
+
+            @pl.when(unver)
+            def _():
+                if use_parity:
+                    pacc[...] = jnp.zeros((D, ROWS, 128), jnp.uint32)
+                if use_cksum:
+                    ck_acc[...] = jnp.zeros((W, ROWS, 128), jnp.uint32)
+                for d in word_dmas(0, 0):
+                    d.start()
+
+                def wchunk(ci, _):
+                    slot = ci % 2
+
+                    @pl.when(ci + 1 < G)
+                    def _():
+                        for d in word_dmas((ci + 1) % 2, ci + 1):
+                            d.start()
+                    for d in word_dmas(slot, ci):
+                        d.wait()
+                    words = [wbuf[slot][wi] for wi in range(W)]
+                    if use_parity:
+                        acc_x = words[0]
+                        for wd in words[1:]:
+                            acc_x = acc_x ^ wd
+                        pacc[...] = pacc[...] | (
+                            jax.lax.population_count(acc_x)
+                            & np.uint32(1))
+                    if use_cksum:
+                        for wi in range(W):
+                            red = words[wi][0]
+                            for d in range(1, D):
+                                red = red ^ words[wi][d]
+                            ck_acc[wi] = ck_acc[wi] ^ red
+                    return 0
+
+                jax.lax.fori_loop(0, G, wchunk, 0)
+                trig_out[0, 0] = sig_trigger(
+                    pacc[...] if use_parity else None)
+
         out_dmas = [
             pltpu.make_async_copy(r_ref, r_out, sems.at[1]),
             pltpu.make_async_copy(p_ref.at[pl.ds(Hlo, RR), :], p_out,
@@ -1628,16 +1828,20 @@ def _make_streaming_kernel(plan, mode, conv, trace_len, interpret):
             scratch.append(pltpu.VMEM((2, W, D, ROWS, 128), jnp.uint32))
             if use_cksum:
                 scratch.append(pltpu.VMEM((W, ROWS, 128), jnp.uint32))
+            if use_parity and plan.get("ci", 1) > 1:
+                # Lazy parity accumulator (see the pacc refs-parse note)
+                scratch.append(pltpu.VMEM((D, ROWS, 128), jnp.uint32))
             scratch.append(pltpu.SemaphoreType.DMA((2, W)))
         scratch.append(pltpu.VMEM((2, ROWS, 128), jnp.float32))  # wcb
         scratch.append(pltpu.VMEM((2, ROWS, 128), jnp.float32))  # wrb
         scratch.append(pltpu.VMEM((2, ROWS, 128), jnp.float32))  # xb
         if precond:
             scratch.append(pltpu.VMEM((2, ROWS, 128), jnp.float32))
+        lazy = plan.get("ci", 1) > 1 and NW > 0
+        if lazy:
+            scratch.append(pltpu.SMEM((1, 1), jnp.float32))  # pw handoff
         scratch.append(pltpu.SemaphoreType.DMA((22,)))
         from jax.experimental import pallas as _pl
-
-        lazy = plan.get("ci", 1) > 1 and NW > 0
         out_specs = [any_spec, any_spec, any_spec, smem(), smem(),
                      smem(), smem(), smem(), smem(), any_spec]
         out_shape = [vec, vec, vec,
@@ -1868,12 +2072,16 @@ def make_fused_continue(mat, mode, conv_threshold, trace_rr=True,
         def outer_body_lazy(c):
             # Trigger/rollback resolution shared with the solver-level
             # lazy tier (cg._lazy_exit_resolve — the predicate lives in
-            # ONE place).
+            # ONE place).  The megakernel closes the exit window ITSELF
+            # (an in-kernel signals-only word-plane pass folds any
+            # unverified-tail trigger into ``trig``), so the resolve's
+            # verify is a no-op here — the jnp verify it replaces
+            # measured ~6.3 ms per solve at -b 100.
             _, md, s, stuck = c
             s1, snap, trig, err = run_fast(md, s)
             done, md, s2, stuck = _lazy_exit_resolve(
                 md, s1, snap, trig, err,
-                lambda md, p: jnp_impl.fast(md, p)[1],
+                lambda md, p: jnp.bool_(False),
                 jnp_impl.classify, stuck)
             return (done, md, s2, stuck)
 
