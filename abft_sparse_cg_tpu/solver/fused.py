@@ -77,14 +77,16 @@ _VMEM_BUDGET = 88 * 2 ** 20   # bytes of VMEM the plan may allocate
 _MAX_TRACE_SMEM = 4096        # rr trace lives in SMEM; cap its length
 
 # The big-offset DIA mode (shifted_big: 8-aligned dynamic slices of the
-# resident p) uses a Mosaic pattern not yet exercised by the other
-# kernels, so it stays off until the hardware smoke proves it compiles
-# and solves correctly (scripts/tpu_smoke.py bigoffset, hw_batch step
-# 9): on success the smoke writes a version-keyed marker and the plan
-# auto-enables the mode from then on.  ABFT_FUSED_BIG_OFFSET=1 forces
-# it (tests; the validation run itself).  Bump the version whenever the
-# slice pattern changes — stale validations must not carry over.
+# resident p) uses a Mosaic pattern not exercised by the other kernels;
+# it was hardware-validated 2026-08-19 (scripts/tpu_smoke.py bigoffset:
+# clean + corrected + detected, f32 trajectory within 4.7e-07 of the
+# f64 oracle) and is ON by default at that version.  If the slice
+# pattern changes, bump _BIGOFF_VERSION past _BIGOFF_VALIDATED to gate
+# it again behind the smoke's version-keyed marker (a re-validation
+# re-enables it machine-locally; bump _BIGOFF_VALIDATED once confirmed).
+# ABFT_FUSED_BIG_OFFSET=1 forces it on regardless; =0 forces it off.
 _BIGOFF_VERSION = "1"
+_BIGOFF_VALIDATED = "1"       # highest hardware-validated version
 
 
 def _bigoffset_marker_path():
@@ -96,6 +98,8 @@ def _bigoffset_marker_path():
 
 
 def bigoffset_validated() -> bool:
+    if _BIGOFF_VERSION == _BIGOFF_VALIDATED:
+        return True
     try:
         with open(_bigoffset_marker_path()) as f:
             return f.read().strip() == _BIGOFF_VERSION
@@ -232,9 +236,10 @@ def _plan(mat, mode, precond=False, force_streaming=False,
     # once the on-hardware validation marker exists (or forced via
     # ABFT_FUSED_BIG_OFFSET); the per-iteration DIA kernel carries
     # such matrices meanwhile.
+    bigoff_env = os.environ.get("ABFT_FUSED_BIG_OFFSET")
     big_ok = (mat.exec_kind == "dia"
-              and (bool(os.environ.get("ABFT_FUSED_BIG_OFFSET"))
-                   or bigoffset_validated()))
+              and bigoff_env != "0"
+              and (bool(bigoff_env) or bigoffset_validated()))
     if max(Hlo, Hhi) > ROWS and not (rolled or big_ok):
         return None  # window/offsets reach beyond one chunk of halo
         # (the rolled scan and the big-offset mode read the resident p

@@ -58,8 +58,12 @@ def bvec(m):
 
 
 def test_big_offset_gated_by_env(monkeypatch):
+    """Hardware-validated at the current pattern version: ON by
+    default, ABFT_FUSED_BIG_OFFSET=0 forces it off, =1 forces it on."""
     m = bigoff_matrix()
     monkeypatch.delenv("ABFT_FUSED_BIG_OFFSET", raising=False)
+    assert supports_fused(m, jnp.float32, "secded", 300)
+    monkeypatch.setenv("ABFT_FUSED_BIG_OFFSET", "0")
     assert not supports_fused(m, jnp.float32, "secded", 300)
     monkeypatch.setenv("ABFT_FUSED_BIG_OFFSET", "1")
     assert supports_fused(m, jnp.float32, "secded", 300)
@@ -121,9 +125,11 @@ def test_big_offset_streaming_tier(monkeypatch):
 
 
 def test_big_offset_marker_enables(monkeypatch, tmp_path):
-    """The on-hardware validation marker (written by the bigoffset
-    smoke config) auto-enables the mode without the env knob; a marker
-    from a different pattern version does not."""
+    """After a pattern-version bump (version != highest validated), the
+    mode re-gates behind the smoke's marker: a matching marker
+    auto-enables it without the env knob; a stale-version marker does
+    not."""
+    from abft_sparse_cg_tpu.solver import fused
     from abft_sparse_cg_tpu.solver.fused import (
         bigoffset_validated,
         mark_bigoffset_validated,
@@ -131,6 +137,7 @@ def test_big_offset_marker_enables(monkeypatch, tmp_path):
 
     monkeypatch.setenv("ABFT_CG_COMPILE_CACHE", str(tmp_path))
     monkeypatch.delenv("ABFT_FUSED_BIG_OFFSET", raising=False)
+    monkeypatch.setattr(fused, "_BIGOFF_VERSION", "2-unvalidated")
     m = bigoff_matrix()
     assert not bigoffset_validated()
     assert not supports_fused(m, jnp.float32, "secded", 300)

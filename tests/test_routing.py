@@ -197,14 +197,14 @@ def test_layout_and_tier_routing(name, builder, kw, kind, kernel,
 def test_cli_row_align_unlocks_megakernel(name, builder, kw, kind,
                                           kernel, permuted):
     """With the CLI's pallas-target row_align=1024, every kernel-tier
-    archetype also fits a fused (whole-solve) plan — except the two
-    documented holes: DIA offsets reaching past one chunk of halo
-    (periodic wrap at small R) and split composites without a bordered
-    dense-tail plan (fat band-split tails)."""
+    archetype also fits a fused (whole-solve) plan — periodic wrap
+    (DIA offsets past one chunk of halo) rides the hardware-validated
+    big-offset mode; the one documented hole is split composites
+    without a bordered dense-tail plan (fat band-split tails)."""
     m = build_protected("csr", builder(), "secded", row_align=1024, **kw)
     assert m.exec_kind == kind, (name, m.exec_kind)
     fused = supports_fused(m, jnp.float32, "secded", 1000)
-    expect = kernel and name not in ("periodic2d", "wide-past-cap")
+    expect = kernel and name != "wide-past-cap"
     assert fused == expect, (name, fused)
 
 
