@@ -23,6 +23,7 @@ split by masks, so the codewords are bit-identical to an unsplit build
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, replace
 from typing import Dict
 
@@ -52,10 +53,27 @@ _BAND_TAIL_MAX_FRAC = 0.10   # give up when the out-of-band tail is fat
 # banded main carries most entries.
 _BAND_TAIL_FALLBACK_FRAC = 0.50
 # Per-entry per-iteration cost model for picking the cut, in rough VPU
-# nanoseconds (measured: shuffle-gather ~4 ops per entry per window row;
-# the flat tail's XLA gather+scatter serialize at ~7 ns each).
-_MAIN_NS_PER_WROW = 0.15
-_TAIL_NS = 14.0
+# nanoseconds, fitted from measured BENCH_TPU.jsonl mode-none pallas
+# rows by scripts/calibrate_cut.py (hardware, TPU v5e-1, Aug 2026):
+#   - unrolled shuffle tier (cut <= 1920): 0.20 ns per entry per window
+#     row (dominated by the fatsplit composite's banded main)
+#   - absolute-row scan tier (1920 < cut <= 16256): ~0.011 ns/entry/wrow
+#     from the wideband megakernel sweep at bands 2.5k/5k/10k/16k —
+#     the scan touches each (group, window-row) pair with ONE select
+#     vs the shuffle's ~4 gather ops, and the slope is linear in wrows
+#     (BENCH_CALIB.jsonl); the per-iteration scan kernel re-measured
+#     0.0113 on the fatsplit composite's wide main (within 5%), so one
+#     constant serves both tiers.  Effect: the fat-tail band split now
+#     cuts at the scan cap (main 16256) instead of a thin unrolled main
+#     — measured 19.7 ms/iter vs 43.2 at the old cut=1280 (2.2x)
+#   - flat tail gather+scatter: 12 ns/entry (serialized XLA 1-D gather)
+_MAIN_NS_PER_WROW = 0.20
+_MAIN_NS_SCAN = 0.012
+_TAIL_NS = 12.0
+
+
+def _main_ns(cut: int) -> float:
+    return _MAIN_NS_PER_WROW if cut <= _BAND_CUT_MAX else _MAIN_NS_SCAN
 
 
 @dataclass(frozen=True)
@@ -196,19 +214,27 @@ def try_band_split(fmt, assembled, mode, layout, planes, row_ptr, reorder,
     # — so the cut search widens to the wideband-scan cap and accepts
     # fat tails: a banded main carrying half the entries still wins.
     kernel_whole = any(band <= _ROLLED_MAX_BAND for _, _, band in pcands)
-    if kernel_whole:
-        cuts = list(range(256, _BAND_CUT_MAX + 1, 256))
-        tail_cap = _BAND_TAIL_MAX_FRAC
-    else:
-        cuts = list(range(256, _BAND_CUT_MAX + 1, 256)) + list(
-            range(_BAND_CUT_MAX + 1024, _ROLLED_MAX_BAND + 1, 1024))
-        tail_cap = _BAND_TAIL_FALLBACK_FRAC
+    # Candidate cuts span BOTH kernel tiers (unrolled shuffle to 1920,
+    # absolute-row scan to 16256) — the per-tier cost model decides;
+    # only the acceptable tail fraction is regime-dependent.
+    cuts = list(range(256, _BAND_CUT_MAX + 1, 256)) + list(
+        range(_BAND_CUT_MAX + 1024, _ROLLED_MAX_BAND + 1, 1024))
+    tail_cap = (_BAND_TAIL_MAX_FRAC if kernel_whole
+                else _BAND_TAIL_FALLBACK_FRAC)
+    forced = os.environ.get("ABFT_BAND_CUT")
+    if forced:
+        # Tuning/calibration override: force the cut bandwidth,
+        # bypassing the cost search, the whole-matrix comparison, and
+        # the tail cap (an explicit knob takes the user at their word).
+        cuts = [int(forced)]
+        kernel_whole = False
+        tail_cap = 1.0
 
     best = None
     whole_cost = None   # best un-split option (rolled wide-band tier)
     for perm, off, band in pcands:
-        if band <= _ROLLED_MAX_BAND:
-            wc = nnz * (2 * (band // 128) + 1) * _MAIN_NS_PER_WROW
+        if band <= _ROLLED_MAX_BAND and not forced:
+            wc = nnz * (2 * (band // 128) + 1) * _main_ns(band)
             if whole_cost is None or wc < whole_cost:
                 whole_cost = wc
         for c in cuts:
@@ -216,7 +242,7 @@ def try_band_split(fmt, assembled, mode, layout, planes, row_ptr, reorder,
             if tail_n == 0 or tail_n > tail_cap * nnz:
                 continue
             wrows = 2 * (c // 128) + 1
-            cost = ((nnz - tail_n) * wrows * _MAIN_NS_PER_WROW
+            cost = ((nnz - tail_n) * wrows * _main_ns(c)
                     + tail_n * _TAIL_NS)
             if best is None or cost < best[0]:
                 best = (cost, perm, c, off)

@@ -585,7 +585,8 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
         if lazy:
             xs_ref, rs_ref, ps_ref = refs[k: k + 3]
             pw_smem = refs[k + 3]    # per-arm pw handoff (SMEM scalar)
-            k += 4
+            trig_smem = refs[k + 4]  # per-arm trigger handoff (SMEM)
+            k += 5
         sems = refs[k]
 
         # ---- load state into VMEM ------------------------------------
@@ -861,11 +862,7 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
                 # (live detection); overlaps the main chunk pipeline.
                 tw_dma = pltpu.make_async_copy(twords_hbm, twbuf,
                                                sems.at[12])
-                if lazy:
-                    @pl.when(chk)
-                    def _():
-                        tw_dma.start()
-                else:
+                if not lazy:
                     tw_dma.start()
 
             # The lazy schedule dispatches to ONE of two compiled chunk
@@ -875,28 +872,43 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
             # mode-none loop.  Predicating per chunk instead (pl.when
             # inside the chunk body) measured ~0.65 ms/iter of branch
             # overhead at G=125 — the hoist is what makes unchecked
-            # iterations actually free.
+            # iterations actually free.  The trigger reduction
+            # (sig_trigger: a whole-accumulator popcount sum + the
+            # cksum class folds) ALSO lives in the checked arm, handed
+            # off through SMEM — computed unconditionally on the stale
+            # accumulators it was a fixed per-iteration VPU cost on
+            # every unchecked iteration.
             if lazy:
                 @pl.when(chk)
                 def _():
+                    if tw_dma is not None:
+                        tw_dma.start()
                     for d in word_dmas(0, 0):
                         d.start()
                     accs = run_chunks(True)
                     pw_smem[0, 0] = jnp.sum(accs[0])
+                    t = (sig_trigger(pacc[...] if use_parity else None)
+                         if NW else jnp.int32(0))
+                    if tail and tail["NTW"]:
+                        tw_dma.wait()
+                        t = t | tail_trigger()
+                    trig_smem[0, 0] = t
 
                 @pl.when(jnp.logical_not(chk))
                 def _():
                     accs = run_chunks(False)
                     pw_smem[0, 0] = jnp.sum(accs[0])
+                    trig_smem[0, 0] = jnp.int32(0)
                 accs = None
             else:
                 accs = run_chunks(True)
             if dbg:
                 dbg_ck[...] = ck_acc[...]
-            par_src = None
-            if NW and use_parity:
-                par_src = pacc[...] if lazy else accs[1]
-            trig_i = sig_trigger(par_src) if NW else jnp.int32(0)
+            if lazy:
+                trig_i = trig_smem[0, 0]
+            else:
+                par_src = accs[1] if NW and use_parity else None
+                trig_i = sig_trigger(par_src) if NW else jnp.int32(0)
 
             if tail:
                 # ---- bordered tail: span-window dense rows + mirrored
@@ -930,13 +942,9 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
                     pb = all_lanes(jnp.where(lane == olane, prow, zrow))
                     w_ref[pl.ds(srow, SR), :] = (
                         w_ref[pl.ds(srow, SR), :] + pb * tb_ref[t])
-                if tail["NTW"]:
-                    if lazy:
-                        @pl.when(chk)
-                        def _():
-                            tw_dma.wait()
-                    else:
-                        tw_dma.wait()
+                if tail["NTW"] and not lazy:
+                    # (lazy: waited + OR'd inside the checked arm)
+                    tw_dma.wait()
                     trig_i = trig_i | tail_trigger()
                 # pw over the complete (main + tail) product
                 pw = jnp.sum(w_ref[...] * p_ref[pl.ds(Hlo, RR), :])
@@ -944,12 +952,6 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
                 pw = pw_smem[0, 0]
             else:
                 pw = jnp.sum(accs[0])
-
-            if lazy:
-                # Unchecked iterations read the LAST checked
-                # iteration's (stale, already-resolved) accumulators;
-                # their trigger is meaningless and masked off here.
-                trig_i = jnp.where(chk, trig_i, jnp.int32(0))
             alpha = rz / pw
             r1 = r_ref[...] - alpha * w_ref[...]
             rr1 = jnp.sum(r1 * r1)
@@ -1159,6 +1161,7 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
             for _ in range(3):   # x/r/p verified-state snapshot
                 scratch.append(pltpu.VMEM((RR, 128), jnp.float32))
             scratch.append(pltpu.SMEM((1, 1), jnp.float32))  # pw handoff
+            scratch.append(pltpu.SMEM((1, 1), jnp.int32))  # trig handoff
         scratch.append(pltpu.SemaphoreType.DMA((13,)))
         from jax.experimental import pallas as _pl
 
@@ -1329,7 +1332,8 @@ def _make_streaming_kernel(plan, mode, conv, trace_len, interpret):
             k += 1
         if lazy:
             pw_smem = refs[k]    # per-arm pw handoff (SMEM scalar)
-            k += 1
+            trig_smem = refs[k + 1]  # per-arm trigger handoff (SMEM)
+            k += 2
         sems = refs[k]
 
         # ---- load resident state; x goes HBM -> HBM into its working
@@ -1562,33 +1566,34 @@ def _make_streaming_kernel(plan, mode, conv, trace_len, interpret):
             if lazy:
                 # Two-arm dispatch: unchecked iterations run EXACTLY
                 # the mode-none phase-1 loop (resident kernel's note).
+                # The trigger reduction is ALSO per-arm (SMEM handoff)
+                # — see the resident kernel's note.
                 @pl.when(chk)
                 def _():
                     for d in word_dmas(0, 0):
                         d.start()
                     accs = run_chunks1(True)
                     pw_smem[0, 0] = jnp.sum(accs[0])
+                    trig_smem[0, 0] = (
+                        sig_trigger(pacc[...] if use_parity else None)
+                        if NW else jnp.int32(0))
 
                 @pl.when(jnp.logical_not(chk))
                 def _():
                     accs = run_chunks1(False)
                     pw_smem[0, 0] = jnp.sum(accs[0])
+                    trig_smem[0, 0] = jnp.int32(0)
                 accs = None
             else:
                 accs = run_chunks1(True)
             for cl in range(max(G - 2, 0), G):
                 w_out_dma(cl % 2, cl).wait()
 
-            par_src = None
-            if NW and use_parity:
-                par_src = pacc[...] if lazy else accs[1]
-            trig_i = sig_trigger(par_src) if NW else jnp.int32(0)
-
             if lazy:
-                # Unchecked iterations read the LAST checked
-                # iteration's (stale, already-resolved) accumulators;
-                # their trigger is meaningless and masked off here.
-                trig_i = jnp.where(chk, trig_i, jnp.int32(0))
+                trig_i = trig_smem[0, 0]
+            else:
+                par_src = accs[1] if NW and use_parity else None
+                trig_i = sig_trigger(par_src) if NW else jnp.int32(0)
             pw = pw_smem[0, 0] if lazy else jnp.sum(accs[0])
             alpha = rz / pw
 
@@ -1845,6 +1850,7 @@ def _make_streaming_kernel(plan, mode, conv, trace_len, interpret):
         lazy = plan.get("ci", 1) > 1 and NW > 0
         if lazy:
             scratch.append(pltpu.SMEM((1, 1), jnp.float32))  # pw handoff
+            scratch.append(pltpu.SMEM((1, 1), jnp.int32))  # trig handoff
         scratch.append(pltpu.SemaphoreType.DMA((22,)))
         from jax.experimental import pallas as _pl
         out_specs = [any_spec, any_spec, any_spec, smem(), smem(),

@@ -53,9 +53,12 @@ def load_rows(paths):
 
 
 def usable(r):
+    # DIA rows are excluded: the stencil kernel's cost is per-diagonal
+    # (K), not per-window-row, and would contaminate the ELL fit.
     return (r.get("target") == "pallas" and not r.get("failed", True)
             and not r.get("error") and r.get("iters") and r.get("nnz")
-            and r.get("mode") == "none" and r.get("ci", 1) == 1)
+            and r.get("mode") == "none" and r.get("ci", 1) == 1
+            and r.get("exec_kind") in ("ell", "split"))
 
 
 def fit(rows, with_tail):
@@ -80,7 +83,11 @@ def fit(rows, with_tail):
 
 
 def main():
-    paths = sys.argv[1:] or ["BENCH_TPU.jsonl"]
+    import os
+
+    paths = sys.argv[1:] or [p for p in
+                             ("BENCH_TPU.jsonl", "BENCH_CALIB.jsonl")
+                             if os.path.exists(p)]
     rows = [r for r in load_rows(paths) if usable(r)]
     if not rows:
         print("no usable pallas mode-none rows with nnz fields "
@@ -97,6 +104,7 @@ def main():
                                       if band_of(r) > UNROLLED_MAX],
     }
     print(f"current model: _MAIN_NS_PER_WROW={fsplit._MAIN_NS_PER_WROW} "
+          f"_MAIN_NS_SCAN={fsplit._MAIN_NS_SCAN} "
           f"_TAIL_NS={fsplit._TAIL_NS}\n")
     for name, trs in tiers.items():
         if len(trs) < 3:

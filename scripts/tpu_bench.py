@@ -58,14 +58,16 @@ def build(fmt, mode, layout, blocks):
         m = build_protected(fmt, a, mode)
         assert m.exec_kind == "split", m.exec_kind
         return m
-    if layout == "wideband":
+    if layout.startswith("wideband"):
         # Uniformly wide band (post-RCM band > the banded kernels' 1920
         # cap) -> the wideband absolute-scan kernel tiers.  Same
         # generator as the tests / smoke / multichip dryrun so rows
-        # stay comparable.
+        # stay comparable.  "wideband:<band>" parametrizes the width
+        # (calibration sweeps for the split cut model use several).
         from abft_sparse_cg_tpu.utils.matgen import spd_wideband
 
-        rows, cols, vals, n = spd_wideband(81920, 2500)
+        band = int(layout.split(":")[1]) if ":" in layout else 2500
+        rows, cols, vals, n = spd_wideband(81920, band)
         a = assemble(cols, rows, vals, n, blocks)
         m = build_protected(fmt, a, mode, reorder="none")
         assert m.exec_kind == "ell" and m.band > 1920, (m.exec_kind, m.band)

@@ -19,10 +19,12 @@ RNG = np.random.default_rng(4242)
 
 def wide_band(n=32768, every=8, blocks=1, seed=5):
     """Tridiagonal core + a sparse random matching (~1/8 shortcut per
-    node).  At this scale RCM cannot reband the small-world graph
-    (measured: RCM band 3236 with 41% of entries past the 1920 kernel
-    cap), while the natural order leaves only ~7% out-of-band — the
-    band split's target shape."""
+    node).  In the natural order the matching spans ~n — past the
+    16256 scan-tier cap, so no whole-matrix kernel exists and the cost
+    model peels the out-of-band entries (~6%) into the flat tail: the
+    band split's target shape.  RCM *can* reband this small-world
+    graph (band 3236, scan-tier whole — the calibrated model correctly
+    keeps it whole), so the split tests build with reorder="none"."""
     rows = list(range(n)) + list(range(1, n))
     cols = list(range(n)) + list(range(n - 1))
     vals = [8.0] * n + [-1.0] * (n - 1)
@@ -41,16 +43,20 @@ def wide_band(n=32768, every=8, blocks=1, seed=5):
 @pytest.mark.parametrize("fmt", ["csr", "coo"])
 def test_wide_band_selects_band_split(fmt):
     a = wide_band()
-    m = build_protected(fmt, a, "secded")
+    m = build_protected(fmt, a, "secded", reorder="none")
     assert m.exec_kind == "split"
     assert m.main.exec_kind in ("dia", "ell")
-    assert m.main.band <= 1920
+    assert m.main.band <= 16256          # scan-tier main
     assert m.tail.exec_kind == "flat"
     assert m.tail.nnz <= 0.10 * a.nnz
     assert m.main.nnz + m.tail.nnz == a.nnz
     # opt-out keeps the single-layout build
-    m2 = build_protected(fmt, a, "secded", split="none")
+    m2 = build_protected(fmt, a, "secded", split="none", reorder="none")
     assert m2.exec_kind != "split"
+    # with RCM allowed, band 3236 is scan-kernel-eligible whole — the
+    # calibrated cost model keeps it unsplit
+    m3 = build_protected(fmt, a, "secded")
+    assert m3.exec_kind == "ell" and m3.band <= 16256
 
 
 @pytest.mark.parametrize("fmt", ["csr", "coo"])
@@ -58,7 +64,7 @@ def test_wide_band_selects_band_split(fmt):
                                   "sec8", "secded"])
 def test_band_split_spmv_and_solve(fmt, mode):
     a = wide_band()
-    m = build_protected(fmt, a, mode)
+    m = build_protected(fmt, a, mode, reorder="none")
     assert m.exec_kind == "split"
     x = RNG.standard_normal(a.N)
     backend = create("jnp", mode)
@@ -83,7 +89,7 @@ def test_band_split_fault_events_match_unsplit(mode):
     b = RNG.random(a.N)
     results = {}
     for split in ("auto", "none"):
-        m = build_protected("csr", a, mode, split=split)
+        m = build_protected("csr", a, mode, split=split, reorder="none")
         assert (m.exec_kind == "split") == (split == "auto")
         for seed in range(4):
             banners = []
@@ -109,7 +115,7 @@ def test_band_split_pallas_kernel_tier():
     from abft_sparse_cg_tpu.solver.cg import make_cg_solver
 
     a = wide_band()
-    m = build_protected("csr", a, "secded")
+    m = build_protected("csr", a, "secded", reorder="none")
     assert m.exec_kind == "split"
     assert supports(m.main, jnp.float32)
     md = make_matrix_device(m, jnp.float32)

@@ -20,9 +20,10 @@ pinned):
     into the band -> permuted ELL (the cost model keeps it whole)
   - uniform random at n <= 16256 -> RCM + wideband ELL (everything is
     "in band" when the whole matrix fits one window)
-  - band > 16256 with no RCM recovery -> band-split with a FAT tail
-    (up to 50% of entries): a kernel main + gathered tail still beats
-    gathering everything, the only remaining option
+  - band > 16256 with no RCM recovery -> band-split with a WIDE
+    scan-tier main (the calibrated cost model cuts near the 16256 cap:
+    scan selects are ~17x cheaper per entry than tail gathers, so the
+    main soaks up everything it can reach)
 
 `row_align=1024` (what the CLI passes for the pallas target) must make
 every non-split kernel archetype megakernel-eligible: the fused plan
@@ -208,13 +209,7 @@ def test_cli_row_align_unlocks_megakernel(name, builder, kw, kind,
     assert fused == expect, (name, fused)
 
 
-def test_fat_tail_band_split_is_correct():
-    """The fat-tail split (band > 16256, ~50% of entries in the flat
-    tail) must still compute the exact SpMV: composite vs direct COO."""
-    a = wide_past_cap()
-    m = build_protected("csr", a, "secded", reorder="none")
-    assert m.exec_kind == "split"
-    assert m.tail.nnz / m.nnz > 0.10   # genuinely past the thin cap
+def _assert_composite_spmv_exact(m, a):
     from abft_sparse_cg_tpu.ops.spmv import make_matrix_device, make_spmv
 
     impl = make_spmv(m, jnp.float64)
@@ -229,3 +224,30 @@ def test_fat_tail_band_split_is_correct():
     np.add.at(want, a.rows, a.values * x[a.cols])
     got = np.asarray(m.from_exec_order(np.asarray(w)[: m.N]))
     np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+
+
+def test_band_split_past_cap_picks_scan_tier_main():
+    """Band > 16256 with no narrow ordering: the calibrated cost model
+    (scan tier ~17x cheaper per entry-window-row than the unrolled
+    shuffle, BENCH_CALIB.jsonl) cuts WIDE — a scan-tier main soaking up
+    most entries beats gathering them at ~12 ns each — and the
+    composite SpMV stays exact: composite vs direct COO."""
+    a = wide_past_cap()
+    m = build_protected("csr", a, "secded", reorder="none")
+    assert m.exec_kind == "split"
+    assert m.main.band > 1920          # scan-tier main, not a thin cut
+    assert m.tail.nnz > 0
+    _assert_composite_spmv_exact(m, a)
+
+
+def test_forced_fat_tail_band_split_is_correct(monkeypatch):
+    """ABFT_BAND_CUT forces the cut (tuning/calibration knob); a thin
+    forced cut leaves a genuinely FAT tail (~50% of entries) which must
+    still compute the exact SpMV."""
+    monkeypatch.setenv("ABFT_BAND_CUT", "256")
+    a = wide_past_cap()
+    m = build_protected("csr", a, "secded", reorder="none")
+    assert m.exec_kind == "split"
+    assert m.main.band <= 256
+    assert m.tail.nnz / m.nnz > 0.10   # genuinely past the thin cap
+    _assert_composite_spmv_exact(m, a)
