@@ -92,6 +92,46 @@ class JnpBackend(Backend):
 
     # -- Backend API ----------------------------------------------------
 
+    def prepare_timed_solve(self, mat, b, max_itrs, conv_threshold,
+                            dtype="auto", reps=20):
+        """Compile + warm a (single-device, non-checkpoint) solve and
+        return ``(batch, iterations)`` where ``batch()`` runs ONE
+        timing batch — ``reps`` back-to-back dispatches, one sync —
+        and returns seconds per solve.
+
+        The point is INTERLEAVING: the environment shows minutes-scale
+        drift (co-tenant bursts, tunnel stalls) larger than the ABFT
+        overheads being measured, so two configs timed sequentially 30 s
+        apart get incomparable numbers.  Callers prepare every config
+        first, then alternate batches round-robin and take per-config
+        minima — drift hits all configs equally (bench.py's overhead
+        fields; BENCH_NOTES.md noise note)."""
+        import jax.numpy as jnp
+
+        dt = default_dtype(dtype)
+        md = _device_arrays(mat, dt)
+        bpad = np.zeros(mat.R, dtype=np.float64)
+        bpad[: mat.N] = mat.to_exec_order(b)
+        bdev = jnp.asarray(bpad, dtype=dt)
+
+        from ..utils.platform import warm_device
+
+        solve_fn = self._get_solver(mat, dt, max_itrs, conv_threshold)
+        warm_device()
+        compiled = solve_fn.lower(md, bdev, None).compile()
+        warm = compiled(md, bdev, None)
+        iterations = int(warm.iterations)
+
+        def batch():
+            t0 = time.perf_counter()
+            res = compiled(md, bdev, None)
+            for _i in range(reps - 1):
+                res = compiled(md, bdev, None)
+            _ = float(res.rr)  # scalar transfer = true sync
+            return (time.perf_counter() - t0) / reps
+
+        return batch, iterations
+
     def solve(self, mat, b, max_itrs, conv_threshold, verbose=True,
               dtype="auto", precond="none", devices: int = 0,
               solver: str = "standard", want_scrubbed="auto",

@@ -56,22 +56,6 @@ def ensure_matrix():
     return path
 
 
-def bench_slope(mat, b, mode, target, lo=8, hi=108, reps=10):
-    """Per-iteration device time by the slope protocol (BENCH_NOTES.md):
-    exact-iteration solves at ``lo`` and ``hi`` (conv < 0), the slope
-    cancels the dispatch floor and sync RTT that dominate 8-iteration
-    solves at this scale."""
-    from abft_sparse_cg_tpu.backends import create
-
-    times = {}
-    for itrs in (lo, hi):
-        res = create(target, mode).solve(mat, b, itrs, -1.0, verbose=False,
-                                         dtype="f32", reps=reps)
-        assert res.iterations == itrs, (mode, target, res.iterations)
-        times[itrs] = res.solve_seconds
-    return (times[hi] - times[lo]) / (hi - lo) * 1e6
-
-
 def bench_mode(mat, b, mode, target, reps=REPS):
     import jax
 
@@ -163,20 +147,6 @@ def main():
         f"(reference {BASELINE_MS[worst]:.1f} ms, "
         f"{BASELINE_MS[worst] / times[worst]:.0f}x)")
 
-    # Lazy detection schedule (--check-interval 8) on the kernel tier:
-    # words stream every 8th iteration with snapshot rollback — the
-    # BASELINE '<10% secded overhead' configuration.  Same delivered
-    # solution; detection latency is bounded at 8 iterations.
-    lazy8 = None
-    if tier == "pallas" and jax.devices()[0].platform != "cpu":
-        os.environ["ABFT_CHECK_INTERVAL"] = "8"
-        try:
-            lazy8 = bench_mode(mats["secded"], b, "secded", tier)
-            log(f"secded lazy8 overhead vs none: "
-                f"{(lazy8 - times['none']) / times['none'] * 100:+.1f}%")
-        finally:
-            os.environ.pop("ABFT_CHECK_INTERVAL", None)
-
     out = {
         "metric": f"cg_csr_secded_solve_ms_b10_{tier}",
         "value": round(times["secded"], 3),
@@ -184,27 +154,74 @@ def main():
         "vs_baseline": round(BASELINE_MS["secded"] / times["secded"], 2),
         "abft_overhead_pct": round(overhead, 1),
     }
-    if lazy8 is not None:
-        out["lazy8_ms"] = round(lazy8, 3)
-        out["lazy8_overhead_pct"] = round(
-            (lazy8 - times["none"]) / times["none"] * 100, 1)
 
-    # Per-iteration overhead by the slope protocol — the BASELINE
-    # '<10% SEC-DED overhead' criterion at steady state, where the
-    # dispatch floor shared by 8-iteration solves cancels.  secded
-    # word planes are 2/CI of the value-plane traffic, so
-    # --check-interval 32 sits at ~+5-6% with detection latency
-    # bounded at 32 iterations (measured: none 19.8, live 44.5,
-    # ci32 20.8 us/iter).
+    # ---- interleaved ratio protocol ----------------------------------
+    # The environment drifts on a minutes scale (co-tenant bursts,
+    # tunnel stalls) by MORE than the ABFT overheads being measured, so
+    # configs timed sequentially give unstable ratios (mode none has
+    # measured anywhere from 1.57 to 2.55 ms across identical runs).
+    # Prepare every config up front, alternate timing batches
+    # round-robin, take per-config minima — drift hits all configs
+    # equally.  Overhead fields below come from THIS protocol:
+    #   - live / lazy8 solve-level overheads (reference `time taken`
+    #     protocol, 8-iteration solves)
+    #   - per-iteration slope (t8/t108, conv < 0) — the BASELINE
+    #     '<10% SEC-DED overhead' criterion at steady state; secded
+    #     word planes are 2/CI of value-plane traffic, so
+    #     --check-interval 32 sits at ~+5-6% with detection latency
+    #     bounded at 32 iterations.
     if tier == "pallas" and jax.devices()[0].platform != "cpu":
-        try:
-            pit_none = bench_slope(mats["none"], b, "none", tier)
-            pit_live = bench_slope(mats["secded"], b, "secded", tier)
-            os.environ["ABFT_CHECK_INTERVAL"] = "32"
+        from abft_sparse_cg_tpu.backends import create
+
+        def prep(mode, itrs, conv, reps, ci=None):
+            if ci:
+                os.environ["ABFT_CHECK_INTERVAL"] = str(ci)
             try:
-                pit_l32 = bench_slope(mats["secded"], b, "secded", tier)
+                batch, got = create(tier, mode).prepare_timed_solve(
+                    mats[mode], b, itrs, conv, dtype="f32", reps=reps)
+                if conv < 0:
+                    assert got == itrs, (mode, itrs, got)
+                return batch
             finally:
                 os.environ.pop("ABFT_CHECK_INTERVAL", None)
+
+        try:
+            log("preparing interleaved configs ...")
+            cfgs = {
+                "none": prep("none", 1000, 0.001, REPS),
+                "secded": prep("secded", 1000, 0.001, REPS),
+                "lazy8": prep("secded", 1000, 0.001, REPS, ci=8),
+                "none@8": prep("none", 8, -1.0, 10),
+                "none@108": prep("none", 108, -1.0, 10),
+                "secded@8": prep("secded", 8, -1.0, 10),
+                "secded@108": prep("secded", 108, -1.0, 10),
+                "lazy32@8": prep("secded", 8, -1.0, 10, ci=32),
+                "lazy32@108": prep("secded", 108, -1.0, 10, ci=32),
+            }
+            best = {k: float("inf") for k in cfgs}
+            for _round in range(3):
+                for k, fn in cfgs.items():
+                    best[k] = min(best[k], fn())
+
+            sec_ms = best["secded"] * 1e3
+            none_ms = best["none"] * 1e3
+            lazy8_ms = best["lazy8"] * 1e3
+            out["value"] = round(sec_ms, 3)
+            out["vs_baseline"] = round(BASELINE_MS["secded"] / sec_ms, 2)
+            out["abft_overhead_pct"] = round(
+                (sec_ms - none_ms) / none_ms * 100, 1)
+            out["lazy8_ms"] = round(lazy8_ms, 3)
+            out["lazy8_overhead_pct"] = round(
+                (lazy8_ms - none_ms) / none_ms * 100, 1)
+            log(f"interleaved: none {none_ms:.2f} ms, secded {sec_ms:.2f} "
+                f"({out['abft_overhead_pct']:+.1f}%), lazy8 {lazy8_ms:.2f} "
+                f"({out['lazy8_overhead_pct']:+.1f}%)")
+
+            def slope(a):
+                return (best[f"{a}@108"] - best[f"{a}@8"]) / 100 * 1e6
+
+            pit_none, pit_live, pit_l32 = (slope("none"), slope("secded"),
+                                           slope("lazy32"))
             out["periter_none_us"] = round(pit_none, 1)
             out["periter_secded_live_us"] = round(pit_live, 1)
             out["periter_secded_lazy32_us"] = round(pit_l32, 1)
@@ -213,9 +230,9 @@ def main():
             log(f"per-iteration (slope): none {pit_none:.1f} us, secded "
                 f"live {pit_live:.1f} us, secded ci32 {pit_l32:.1f} us "
                 f"({(pit_l32 - pit_none) / pit_none * 100:+.1f}%)")
-        except Exception as e:  # noqa: BLE001 — slope is supplementary
-            log(f"slope measurement failed: {type(e).__name__}: "
-                f"{str(e)[:200]}")
+        except Exception as e:  # noqa: BLE001 — keep sequential numbers
+            log(f"interleaved protocol failed: {type(e).__name__}: "
+                f"{str(e)[:300]}")
     print(json.dumps(out))
 
 

@@ -313,3 +313,24 @@ def test_constraints_lazy_pallas_kernels(fmt):
         assert bool(trig)
         st, _ = impl.classify(md2)
         assert int(st.errcode) != 0
+
+
+def test_prepare_timed_solve():
+    """The interleaved-timing API (bench.py's ratio protocol): the
+    prepared batch() must execute the same compiled solve and report a
+    sane per-solve time; iterations must match a direct solve()."""
+    a = tri_assembled(n=256, blocks=2)
+    m = build_protected("csr", a, "secded")
+    b = RNG.standard_normal(m.N)
+    be = create("jnp", "secded")
+    batch, iters = be.prepare_timed_solve(m, b, 100, 1e-3, dtype="f64",
+                                          reps=2)
+    ref = be.solve(m, b, 100, 1e-3, verbose=False, dtype="f64")
+    assert iters == ref.iterations
+    t = batch()
+    assert 0.0 < t < 60.0
+    # exact-iteration variant (conv < 0 runs exactly max_itrs)
+    batch8, got = be.prepare_timed_solve(m, b, 8, -1.0, dtype="f64",
+                                         reps=2)
+    assert got == 8
+    assert 0.0 < batch8() < 60.0
