@@ -155,6 +155,9 @@ class CppBackend(Backend):
                 "the native cpu target implements the standard CG loop; "
                 "use -t jnp/pallas for --solver pipelined"
             )
+        from .jnp_backend import warn_live_schedule
+
+        warn_live_schedule(self.target)
         w, w3, row_ptr = _plane_args(mat)
         x = np.zeros(mat.N, dtype=np.float64)
         trace = np.full(max_itrs, np.nan)

@@ -23,6 +23,30 @@ __all__ = ["JnpBackend"]
 
 _SOLVER_CACHE = {}
 
+_warned_live = set()
+
+
+def warn_live_schedule(target):
+    """Warn (once per target per process) when ABFT_CHECK_INTERVAL > 1
+    is set but this solve runs the LIVE detection schedule anyway —
+    only the pallas kernel tiers have a lazy --check-interval variant
+    (the jnp program's detection signals are hoisted by XLA; the cpu
+    target's schedule is fixed).  Without this, a benchmark that sets
+    the env var around a jnp prepare would record a live measurement
+    labeled lazy."""
+    import sys
+
+    raw = os.environ.get("ABFT_CHECK_INTERVAL", "1") or "1"
+    try:
+        ci = int(raw)
+    except ValueError:
+        return
+    if ci > 1 and target not in _warned_live:
+        _warned_live.add(target)
+        print(f"warning: --check-interval has no lazy schedule on the "
+              f"{target} target; running the live detection schedule",
+              file=sys.stderr)
+
 
 def _device_arrays(mat: ProtectedMatrix, dtype):
     from ..ops.spmv import make_matrix_device
@@ -45,6 +69,7 @@ class JnpBackend(Backend):
         # shape-polymorphic under jit and GSPMD-sharded by the operands.
         import jax
 
+        warn_live_schedule(self.target)
         # A bordered tail's dense_plan statics (outlier rows, span
         # starts) are baked into the compiled solver — distinguish
         # matrices that agree on every size but differ there.
@@ -76,6 +101,7 @@ class JnpBackend(Backend):
                 "recurrence carries state a snapshot cannot re-seed)")
         from ..solver.cg import make_cg_continue
 
+        warn_live_schedule(self.target)
         return make_cg_continue(make_spmv(mat, dtype, self.mode), conv)
 
     def _get_spmv(self, mat, dtype):

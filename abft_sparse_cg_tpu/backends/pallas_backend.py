@@ -114,9 +114,16 @@ class PallasBackend(JnpBackend):
         ci = _check_interval(variant)
         # The A/B + interpret knobs change which kernel _plan builds, so
         # they are part of the key — flipping them in-process must not
-        # return a solver compiled under the old setting.
+        # return a solver compiled under the old setting.  The
+        # big-offset gate (env override + validation marker) routes
+        # between the shifted_big megakernel and the per-iteration
+        # tier, so its effective state is a knob too.
+        from ..solver.fused import bigoffset_validated
+
         knobs = (bool(os.environ.get("ABFT_FUSED_ABS_SCAN")),
-                 bool(os.environ.get("ABFT_FUSED_INTERPRET")))
+                 bool(os.environ.get("ABFT_FUSED_INTERPRET")),
+                 os.environ.get("ABFT_FUSED_BIG_OFFSET"),
+                 bigoffset_validated())
         key = ("psolve", variant, mat.fmt, self.mode, mat.exec_kind,
                mat.dia_offsets, mat.R, mat.K, mat.N, mat.nnz, mat.band,
                mat.perm is not None, tail_plan, str(dtype), max_itrs,

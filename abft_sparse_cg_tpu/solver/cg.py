@@ -216,6 +216,49 @@ def _fast_pw_of(im: SpmvImpl):
     return f
 
 
+def _cksum_leaves(md):
+    """Stored-checksum baselines of a device matrix (split composites
+    recurse over their (main, tail) parts); [] when the pytree carries
+    none — the guard then treats every repair as unconsumed."""
+    if hasattr(md, "cksum"):
+        return [] if md.cksum is None else [md.cksum]
+    if isinstance(md, tuple):
+        out = []
+        for part in md:
+            out.extend(_cksum_leaves(part))
+        return out
+    return []
+
+
+def _baseline_changed(md_before, md_after):
+    changed = jnp.bool_(False)
+    for a, b in zip(_cksum_leaves(md_before), _cksum_leaves(md_after)):
+        changed = changed | jnp.any(a != b)
+    return changed
+
+
+def _phantom_guard(trigged, st1, consumed, stuck):
+    """Livelock guard shared by the lazy exit resolve and the fused
+    outer loop: a trigger classify cannot attribute — no correction, no
+    errcode, AND the checksum-baseline refresh changed nothing
+    (``consumed``) — gets ONE retry for the transient-signal case; a
+    second consecutive unattributable trigger means the detection
+    signal itself is wrong, so fail-stop with ERR_PHANTOM instead of
+    rolling back forever.  ``consumed`` matters for constraints mode:
+    a benign index change is ADOPTED by refreshing the baseline
+    (errcode 0, corrected 0 — the reference consumes it silently), so
+    two distinct benign events in consecutive rounds must not read as
+    a phantom; only a trigger that leaves the baseline bit-identical
+    is unattributable."""
+    unprod = (trigged & (st1.errcode == 0)
+              & (st1.corrected_count == 0) & ~consumed)
+    stuck = jnp.where(unprod, stuck + 1, jnp.int32(0))
+    st1 = st1._replace(errcode=jnp.where(
+        (stuck >= 2) & (st1.errcode == 0),
+        jnp.int32(ERR_PHANTOM), st1.errcode))
+    return st1, stuck
+
+
 def _lazy_exit_resolve(md, s1, snap, trig, err, verify, classify,
                        stuck=None):
     """Shared trigger/rollback resolution for the lazy ``--check-interval``
@@ -248,17 +291,11 @@ def _lazy_exit_resolve(md, s1, snap, trig, err, verify, classify,
     def keep(md):
         return md, SpmvStats.clean()
 
+    md_in = md
     md, st1 = jax.lax.cond(anomaly, repair, keep, md)
     if stuck is not None:
-        # Livelock guard (see fused.outer_body): two consecutive
-        # unattributable triggers mean the signal itself is wrong —
-        # fail-stop with ERR_PHANTOM instead of rolling back forever.
-        unprod = (trigged & (st1.errcode == 0)
-                  & (st1.corrected_count == 0))
-        stuck = jnp.where(unprod, stuck + 1, jnp.int32(0))
-        st1 = st1._replace(errcode=jnp.where(
-            (stuck >= 2) & (st1.errcode == 0),
-            jnp.int32(ERR_PHANTOM), st1.errcode))
+        st1, stuck = _phantom_guard(
+            trigged, st1, _baseline_changed(md_in, md), stuck)
     fixed = ((trigged | (st1.corrected_count > 0))
              & (st1.errcode == 0))
     roll = fixed | (st1.errcode != 0)

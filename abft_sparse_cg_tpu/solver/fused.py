@@ -61,9 +61,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.spmv import ERR_BREAKDOWN, ERR_PHANTOM, SpmvStats
+from ..ops.spmv import ERR_BREAKDOWN, SpmvStats
 from .cg import (CGResult, CGState, init_state, _MAX_TRACE,
-                 _lazy_exit_resolve)
+                 _baseline_changed, _lazy_exit_resolve, _phantom_guard)
 
 __all__ = ["supports_fused", "make_fused_continue", "make_fused_solver"]
 
@@ -2061,19 +2061,16 @@ def make_fused_continue(mat, mode, conv_threshold, trace_rr=True,
             def keep(md):
                 return SpmvStats.clean(), md
 
+            md_in = md
             st1, md = jax.lax.cond(trig, repair, keep, md)
-            # Livelock guard: a trigger classify can't attribute (no
-            # correction, no errcode — the scrub still refreshed the
-            # checksum baseline) gets ONE retry for the refreshed-
-            # baseline / transient-signal cases; a second consecutive
-            # unproductive trigger means the signal itself is wrong
-            # (ERR_PHANTOM) — fail-stop instead of re-entering forever.
-            unprod = (trig & (st1.errcode == 0)
-                      & (st1.corrected_count == 0))
-            stuck = jnp.where(unprod, stuck + 1, jnp.int32(0))
-            st1 = st1._replace(errcode=jnp.where(
-                (stuck >= 2) & (st1.errcode == 0),
-                jnp.int32(ERR_PHANTOM), st1.errcode))
+            # Livelock guard (cg._phantom_guard — the predicate lives
+            # in ONE place): a trigger classify can't attribute gets
+            # ONE retry; a second consecutive one fail-stops with
+            # ERR_PHANTOM.  A repair that changed the checksum
+            # baseline (correction scrub OR a benign constraints
+            # adoption) counts as consumed, not unproductive.
+            st1, stuck = _phantom_guard(
+                trig, st1, _baseline_changed(md_in, md), stuck)
             st = s.stats.merge_first(SpmvStats.clean()._replace(
                 errcode=err)).merge_first(st1)
             s = s._replace(stats=st)

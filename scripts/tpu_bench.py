@@ -160,6 +160,13 @@ def main():
 
     log(f"device: {jax.devices()[0]}")
     if args.check_interval > 1:
+        bad = [t for t in args.targets.split(",") if t != "pallas"]
+        if bad:
+            # only the pallas kernel tiers have a lazy schedule — a ci
+            # label on a live jnp/cpu row would misstate what ran
+            raise SystemExit(
+                f"--check-interval only exists on the pallas target "
+                f"(got --targets {','.join(bad)})")
         os.environ["ABFT_CHECK_INTERVAL"] = str(args.check_interval)
     out = open(args.out, "a")
 

@@ -94,6 +94,13 @@ def main():
     for cfg in configs:
         target, modeci = cfg.split(":")
         mode, _, ci = modeci.partition(".")
+        if ci and target != "pallas":
+            # Only the pallas kernel tiers implement the lazy schedule;
+            # recording a live jnp/cpu measurement with a ci label would
+            # contaminate BENCH_TPU.jsonl (backends warn, we refuse).
+            raise SystemExit(
+                f"{cfg}: --check-interval (.{ci}) only exists on the "
+                f"pallas target; drop the suffix for a live {target} row")
         for itrs in (LO, hi):
             batches[(cfg, itrs)] = prep(target, mode, itrs,
                                         int(ci) if ci else None)

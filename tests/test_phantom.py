@@ -78,6 +78,46 @@ def test_lazy_exit_resolve_productive_resets():
     assert int(s2.stats.errcode) == 0
 
 
+def test_lazy_exit_resolve_benign_adoption_not_phantom():
+    """Consecutive benign constraints adoptions are CONSUMED events,
+    not phantoms: classify refreshes the checksum baseline (errcode 0,
+    corrected 0 — the reference consumes index changes silently,
+    CSR/CPUContext.cpp:162-207), so two distinct benign index changes
+    arriving in back-to-back rounds must keep solving.  Only a trigger
+    that leaves the baseline bit-identical is unattributable."""
+    m = _mat("constraints", 256)
+    md = make_matrix_device(m, jnp.float32)
+    s1 = _state(m.R)
+    snap = s1._replace(itr=jnp.int32(1))
+
+    def adopt(md):
+        # benign adoption: the refreshed baseline differs from stored
+        return SpmvStats.clean(), md._replace(
+            cksum=md.cksum ^ jnp.uint32(1))
+
+    def verify(md, p):
+        return jnp.bool_(False)
+
+    trig, err = jnp.bool_(True), jnp.int32(0)
+    stuck = jnp.int32(0)
+    for _round in range(3):
+        done, md, s2, stuck = _lazy_exit_resolve(
+            md, s1, snap, trig, err, verify, adopt, stuck)
+        assert not bool(done) and int(stuck) == 0
+        assert int(s2.stats.errcode) == 0
+        assert int(s2.itr) == 1  # rolled back for the retry
+
+    # ... while an adoption that changes NOTHING stays a phantom.
+    def noop(md):
+        return SpmvStats.clean(), md
+
+    for want_stuck, want_done in ((1, False), (2, True)):
+        done, md, s2, stuck = _lazy_exit_resolve(
+            md, s1, snap, trig, err, verify, noop, stuck)
+        assert int(stuck) == want_stuck and bool(done) == want_done
+    assert int(s2.stats.errcode) == ERR_PHANTOM
+
+
 @pytest.mark.parametrize("mode", ["sec7", "secded"])
 def test_fused_phantom_failstop(monkeypatch, mode):
     """Megakernel outer loop: persistent trigger + no-op classify ->
