@@ -26,14 +26,17 @@ _SOLVER_CACHE = {}
 _warned_live = set()
 
 
-def warn_live_schedule(target):
-    """Warn (once per target per process) when ABFT_CHECK_INTERVAL > 1
+def warn_live_schedule(route):
+    """Warn (once per route per process) when ABFT_CHECK_INTERVAL > 1
     is set but this solve runs the LIVE detection schedule anyway —
     only the pallas kernel tiers have a lazy --check-interval variant
     (the jnp program's detection signals are hoisted by XLA; the cpu
     target's schedule is fixed).  Without this, a benchmark that sets
     the env var around a jnp prepare would record a live measurement
-    labeled lazy."""
+    labeled lazy.  ``route`` names the code path that runs live (a
+    target name, or e.g. "pallas (GSPMD jnp fallback route)" when the
+    pallas target — which does have lazy tiers — falls back to a route
+    without one)."""
     import sys
 
     raw = os.environ.get("ABFT_CHECK_INTERVAL", "1") or "1"
@@ -41,10 +44,10 @@ def warn_live_schedule(target):
         ci = int(raw)
     except ValueError:
         return
-    if ci > 1 and target not in _warned_live:
-        _warned_live.add(target)
+    if ci > 1 and route not in _warned_live:
+        _warned_live.add(route)
         print(f"warning: --check-interval has no lazy schedule on the "
-              f"{target} target; running the live detection schedule",
+              f"{route} route; running the live detection schedule",
               file=sys.stderr)
 
 
@@ -62,6 +65,10 @@ class JnpBackend(Backend):
 
     # -- construction of jitted callables (cached) ---------------------
 
+    # Subclasses with lazy tiers of their own override this so the
+    # live-schedule warning names the fallback route, not the target.
+    live_route_label = None
+
     def _get_solver(self, mat, dtype, max_itrs, conv, r_dev=None,
                     variant="standard", mesh=None):
         # r_dev (mesh-padded row count) and mesh only matter to targets
@@ -69,7 +76,7 @@ class JnpBackend(Backend):
         # shape-polymorphic under jit and GSPMD-sharded by the operands.
         import jax
 
-        warn_live_schedule(self.target)
+        warn_live_schedule(self.live_route_label or self.target)
         # A bordered tail's dense_plan statics (outlier rows, span
         # starts) are baked into the compiled solver — distinguish
         # matrices that agree on every size but differ there.
@@ -101,7 +108,7 @@ class JnpBackend(Backend):
                 "recurrence carries state a snapshot cannot re-seed)")
         from ..solver.cg import make_cg_continue
 
-        warn_live_schedule(self.target)
+        warn_live_schedule(self.live_route_label or self.target)
         return make_cg_continue(make_spmv(mat, dtype, self.mode), conv)
 
     def _get_spmv(self, mat, dtype):

@@ -41,6 +41,10 @@ def _check_interval(variant="standard"):
 
 class PallasBackend(JnpBackend):
     target = "pallas"
+    # The pallas target DOES have lazy --check-interval tiers; the
+    # live-schedule warning only fires when a layout falls back through
+    # super()._get_solver to the GSPMD jnp route, so name that route.
+    live_route_label = "pallas (GSPMD jnp fallback route)"
 
     def _get_solver(self, mat, dtype, max_itrs, conv, r_dev=None,
                     variant="standard", mesh=None):

@@ -231,8 +231,14 @@ def _cksum_leaves(md):
 
 
 def _baseline_changed(md_before, md_after):
+    la, lb = _cksum_leaves(md_before), _cksum_leaves(md_after)
+    # Both come from the same pytree shape through lax.cond; a length
+    # mismatch would mean a classify variant added/removed a
+    # cksum-bearing part and zip() would silently drop leaves,
+    # weakening the phantom guard — fail loudly instead.
+    assert len(la) == len(lb), (len(la), len(lb))
     changed = jnp.bool_(False)
-    for a, b in zip(_cksum_leaves(md_before), _cksum_leaves(md_after)):
+    for a, b in zip(la, lb):
         changed = changed | jnp.any(a != b)
     return changed
 

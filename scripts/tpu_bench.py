@@ -160,7 +160,8 @@ def main():
 
     log(f"device: {jax.devices()[0]}")
     if args.check_interval > 1:
-        bad = [t for t in args.targets.split(",") if t != "pallas"]
+        bad = [t for t in (s.strip() for s in args.targets.split(","))
+               if t != "pallas"]
         if bad:
             # only the pallas kernel tiers have a lazy schedule — a ci
             # label on a live jnp/cpu row would misstate what ran
@@ -170,13 +171,16 @@ def main():
         os.environ["ABFT_CHECK_INTERVAL"] = str(args.check_interval)
     out = open(args.out, "a")
 
-    for fmt in args.formats.split(","):
-        for layout in args.layouts.split(","):
-            for mode in args.modes.split(","):
+    def _csv(v):
+        return [t for t in (s.strip() for s in v.split(",")) if t]
+
+    for fmt in _csv(args.formats):
+        for layout in _csv(args.layouts):
+            for mode in _csv(args.modes):
                 if mode == "constraints" and layout == "rcm-ell":
                     continue  # constraints never reorders
                 mat = None
-                for target in args.targets.split(","):
+                for target in _csv(args.targets):
                     try:
                         if mat is None:
                             mat = build(fmt, mode, layout, args.blocks)
