@@ -184,6 +184,20 @@ class MatrixDevice(NamedTuple):
     #                               is outlier t, windowed by their
     #                               output row) — the fast path becomes
     #                               T windowed AXPYs, no scatter.
+    fold: jnp.ndarray = None       # ECC modes: the rotated XOR fold of
+    #                               the word planes (ecc.fold), derived
+    #                               at upload like `values` — the ONE
+    #                               plane the kernel tiers stream for
+    #                               live detection instead of all W
+    #                               words.  Carries any plane
+    #                               corruption (derived from the same
+    #                               source as `values`); re-derived by
+    #                               classify() after a scrub.
+    fold_ck: jnp.ndarray = None    # (1, R/8) uint32 — the fold of the
+    #                               stored encode-time checksums (valid
+    #                               by XOR-linearity; ecc.fold
+    #                               docstring): the fold plane's
+    #                               trigger baseline.
 
 
 class SpmvImpl(NamedTuple):
@@ -342,6 +356,14 @@ def make_matrix_device(mat, dtype=jnp.float32):
                           dense_plan=mat.dense_plan)
         dense_td, dense_tb = cfg.dense_arrays(
             words, values, flat_group, perm_pos)
+    fold = fold_ck = None
+    if mat.mode in codec.ECC_MODES:
+        # All exec kinds: dia/ell kernels stream it live; flat split
+        # tails stream it inside the megakernel's tail pass.
+        from ..ecc.fold import fold_words
+
+        fold = fold_words(words)
+        fold_ck = fold_words(list(jnp.asarray(mat.ell_cksum)))[None, :]
     return MatrixDevice(
         words=words,
         ell_len=jnp.asarray(mat.ell_len),
@@ -352,6 +374,8 @@ def make_matrix_device(mat, dtype=jnp.float32):
         perm_pos=perm_pos,
         dense_td=dense_td,
         dense_tb=dense_tb,
+        fold=fold,
+        fold_ck=fold_ck,
     )
 
 
@@ -635,16 +659,29 @@ def make_spmv(mat, dtype=jnp.float32, mode: str = None) -> SpmvImpl:
             # until the repair lands.
             dense_td2, dense_tb2 = cfg.dense_arrays(
                 checked, values2, md.flat_group, md.perm_pos)
+        fold2 = fold_ck2 = None
+        cksum2 = _device_checksums(checked, row_axis)
+        if md.fold is not None:
+            # The fold plane and its baseline follow the scrub exactly
+            # like `values`: derived from the adopted planes / refreshed
+            # checksums, so the fast loop's one-plane stream stays
+            # consistent after a repair cycle.
+            from ..ecc.fold import fold_words
+
+            fold2 = fold_words(list(checked))
+            fold_ck2 = fold_words(list(cksum2))[None, :]
         md2 = MatrixDevice(
             words=tuple(checked),
             ell_len=md.ell_len,
-            cksum=_device_checksums(checked, row_axis),
+            cksum=cksum2,
             values=values2,
             flat_group=md.flat_group,
             gidx=gidx2,
             perm_pos=md.perm_pos,
             dense_td=dense_td2,
             dense_tb=dense_tb2,
+            fold=fold2,
+            fold_ck=fold_ck2,
         )
         return stats, md2
 

@@ -61,6 +61,8 @@ layout/window does not fit the kernels' envelopes (see ``supports``).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -77,20 +79,32 @@ _ELL_CHUNK = 4096    # banded ELL: output rows per grid step (amortizes
 #                      lane-dim blocks be 128-divisible or whole-array)
 
 
-def _ell_chunk(R):
+_ELL_CHUNK_ENTRIES = 512 * 1024  # K*CR cap per streamed plane chunk
+#                      (2 MiB f32): keeps the double-buffered stream
+#                      inside the raised VMEM limit at high K while
+#                      leaving CR = 4096 untouched for K <= 128
+
+
+def _ell_chunk(R, K=1):
     """Rows per grid step: whole-array for small R, else the largest
     Mosaic-legal divisor (checksum block = CR//8 lanes needs CR to be a
-    1024-multiple when blocked).  0 = no legal chunking."""
+    1024-multiple when blocked) whose (K, CR) plane chunk stays within
+    the VMEM streaming budget.  0 = no legal chunking."""
     if R <= _ELL_CHUNK:
         return R
     for c in (_ELL_CHUNK, 2048, 1024):
-        if R % c == 0:
+        if R % c == 0 and (c == 1024 or K * c <= _ELL_CHUNK_ENTRIES):
             return c
     return 0
-_ELL_MAX_K = 64      # ELL slots: the lane-shuffle gathers act on whole
-#                      (K, 128) tiles, so K only costs sublanes/VMEM —
-#                      beyond this, padding waste (every row pays K
-#                      slots) argues for a tail split instead (roadmap)
+_ELL_MAX_K = 512     # ELL slots: the lane-shuffle gathers act on whole
+#                      (K, 128) tiles, so K costs sublane work + VMEM
+#                      linearly (the reference's row gather handles any
+#                      degree uniformly, CSR/CPUContext.cpp:115-133 —
+#                      this cap is the TPU equivalent's envelope).  The
+#                      cap sits where the (K, 1024) minimum chunk
+#                      planes (2 MiB each) exhaust the raised VMEM
+#                      limit; matrices beyond it (>512 nnz/row) are
+#                      effectively dense and ride the flat/jnp paths.
 _ELL_MAX_WROWS = 31  # unrolled-shuffle cap (band <= 1920); past it the
 #                      kernel rides the wideband absolute-row scan
 _ELL_WIDE_MAX_WROWS = 255  # wideband-tier cap (band <= 16256, matching
@@ -116,7 +130,7 @@ def _ellb_ok(mat) -> bool:
         # per row yet >128 distinct offsets) is degenerate — the jnp
         # path carries it.
         return False
-    if mat.R % 128 or not _ell_chunk(mat.R):
+    if mat.R % 128 or not _ell_chunk(mat.R, mat.K):
         return False
     _, wrows = _ell_window(mat)
     return wrows <= _ELL_WIDE_MAX_WROWS
@@ -260,6 +274,18 @@ def stream_words(mode, layout, fmt) -> tuple:
     return ()
 
 
+def use_fold(mode, detect=True) -> bool:
+    """Whether live detection streams the ONE rotated-fold plane
+    (ecc.fold) instead of every codeword word plane.  Default for the
+    ECC modes on the kernel tiers (it cuts live detection's HBM traffic
+    from W planes to one at contract-equivalent <= 2-bit scope);
+    ABFT_LIVE_FOLD=0 restores the per-word streams (A/B benching, and
+    the exact >= 4-bit adversarial-pattern scope of the word scheme).
+    Constraints mode never folds — its scan covers index words only."""
+    return (detect and mode in ("sed", "sec7", "sec8", "secded")
+            and os.environ.get("ABFT_LIVE_FOLD", "1") != "0")
+
+
 def _mode_signals(mode, mat, detect=True):
     # Trigger signals by mode: sec7 has no stored parity bit; sed has no
     # checksum need (parity is the whole check) but uses the same fast
@@ -300,8 +326,11 @@ def _make_dia_fast(mat, mode, interpret, halo=0, detect=True):
     D = len(offsets)
     R = mat.R
     use_parity, use_cksum, SW = _mode_signals(mode, mat, detect)
+    folded = use_fold(mode, detect) and (use_parity or use_cksum)
+    if folded:
+        SW = (0,)  # ONE detection stream: the rotated fold plane
     NW = len(SW)
-    W = NW  # streamed word planes (all of them for ECC modes)
+    W = NW  # streamed detection planes (the fold, or all words)
     d0 = offsets.index(0) if 0 in offsets else None
 
     C = min(_CHUNK, R)
@@ -431,7 +460,7 @@ def _make_dia_fast(mat, mode, interpret, halo=0, detect=True):
         plane2 = pl.BlockSpec((D, C), lambda i: (0, i),
                               memory_space=pltpu.VMEM)
         in_specs = [plane2] * NW
-        args = [md.words[i] for i in SW]
+        args = ([md.fold] if folded else [md.words[i] for i in SW])
         in_specs.append(pl.BlockSpec((D, LG, 128), lambda i: (0, i, 0),
                                      memory_space=pltpu.VMEM))
         args.append(md.values.reshape(D, RR, 128))
@@ -487,9 +516,9 @@ def _make_dia_fast(mat, mode, interpret, halo=0, detect=True):
             ck = outs[k]
             got8 = jnp.bitwise_xor.reduce(
                 ck.reshape(W, -1, 8), axis=2)
+            base = md.fold_ck if folded else md.cksum[np.array(SW)]
             want8 = jnp.bitwise_xor.reduce(
-                md.cksum[np.array(SW)].reshape(W, -1, ck.shape[1] // 8),
-                axis=1)
+                base.reshape(W, -1, ck.shape[1] // 8), axis=1)
             trig = trig | jnp.any(got8 != want8)
         return w, trig, pw
 
@@ -525,10 +554,13 @@ def _make_ellb_fast(mat, mode, interpret, halo=False, with_base=False,
     K = mat.K
     R = mat.R
     use_parity, use_cksum, SW = _mode_signals(mode, mat, detect)
+    folded = use_fold(mode, detect) and (use_parity or use_cksum)
+    if folded:
+        SW = (0,)  # ONE detection stream: the rotated fold plane
     NW = len(SW)
-    W = NW  # streamed word planes (all of them for ECC modes)
+    W = NW  # streamed detection planes (the fold, or all words)
 
-    CR = _ell_chunk(R)
+    CR = _ell_chunk(R, K)
     G = R // CR
     LG = CR // 128            # 128-lane row groups per chunk
     SIDE, WROWS = _ell_window(mat)
@@ -555,7 +587,8 @@ def _make_ellb_fast(mat, mode, interpret, halo=False, with_base=False,
     mask_ecc = (mat.ell_gather_word == "col"
                 and mode in ("sed", "sec7", "sec8", "secded"))
     has_gidx = mat.perm is not None
-    gsrc_in_words = (not wide) and (not has_gidx) and gather_w in SW
+    gsrc_in_words = (not wide) and (not has_gidx) and (not folded) \
+        and gather_w in SW
 
     # The per-chunk x windows overlap (each lane group reads WROWS rows
     # around itself), which plain BlockSpecs cannot express.  Instead x
@@ -728,7 +761,7 @@ def _make_ellb_fast(mat, mode, interpret, halo=False, with_base=False,
             in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
             args.append(jnp.asarray(base, jnp.int32).reshape(1))
         in_specs += [plane_spec] * NW
-        args += [md.words[i] for i in SW]
+        args += ([md.fold] if folded else [md.words[i] for i in SW])
         if wide:
             # Group-major repack + window-row localization, in XLA once
             # per call (loop-invariant => hoisted out of solver loops).
@@ -794,6 +827,11 @@ def _make_ellb_fast(mat, mode, interpret, halo=False, with_base=False,
             out_shape=out_shape,
             scratch_shapes=([pltpu.VMEM((LG * K, 128), jnp.float32)]
                             if wide else []),
+            # High-K plane chunks (K up to _ELL_MAX_K at CR = 1024) plus
+            # the resident parity accumulator exceed Mosaic's 16 MiB
+            # default — request the same scoped limit as the megakernel.
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 2 ** 20),
             interpret=interpret,
         )(*args)
         w = outs[0].reshape(R) if wide else outs[0]
@@ -817,9 +855,9 @@ def _make_ellb_fast(mat, mode, interpret, halo=False, with_base=False,
             ck = outs[k]
             got8 = jnp.bitwise_xor.reduce(
                 ck.reshape(W, -1, 8), axis=2)
+            base = md.fold_ck if folded else md.cksum[np.array(SW)]
             want8 = jnp.bitwise_xor.reduce(
-                md.cksum[np.array(SW)].reshape(W, -1, ck.shape[1] // 8),
-                axis=1)
+                base.reshape(W, -1, ck.shape[1] // 8), axis=1)
             trig = trig | jnp.any(got8 != want8)
         return w, trig, pw
 

@@ -188,8 +188,20 @@ def _device_put_sharded(mat: ProtectedMatrix, b: np.ndarray, mesh, dtype):
         pp = np.zeros(R_pad, dtype=np.int32)
         pp[: mat.N] = inverse_permutation(mat.perm)
         perm_pos = jax.device_put(pp, row1d)
+    fold = fold_ck = None
+    from ..ecc import codec as _codec
+
+    if mat.mode in _codec.ECC_MODES:
+        # Rotated-fold live-detection plane + baseline (ecc.fold),
+        # derived from the sharded planes so each piece inherits the
+        # row sharding — consumed by the shard_map kernel tier.
+        from ..ecc.fold import fold_words
+
+        fold = fold_words(list(words))
+        fold_ck = fold_words(list(cksum))[None, :]
     md = MatrixDevice(words=words, ell_len=ell_len, cksum=cksum,
-                      values=values, gidx=gidx, perm_pos=perm_pos)
+                      values=values, gidx=gidx, perm_pos=perm_pos,
+                      fold=fold, fold_ck=fold_ck)
 
     def put_vec(v):
         """Canonical (N,) host vector -> exec-order, padded, row-sharded."""

@@ -157,7 +157,16 @@ def make_shardmap_spmv(mat, mesh, dtype=jnp.float32, mode: str = None,
     fwd = [(i, i + 1) for i in range(ndev - 1)]
     bwd = [(i + 1, i) for i in range(ndev - 1)]
 
-    def body(words, values, cksum, gidx, x):
+    # Fold-plane live detection (ops.spmv_pallas.use_fold): the inner
+    # kernels stream md.fold instead of the word planes; both the fold
+    # and its checksum baseline shard row-wise exactly like the planes
+    # they derive from (8-row checksum blocks never straddle a shard).
+    from ..ops.spmv_pallas import _mode_signals, use_fold
+
+    up, uc, _sw = _mode_signals(mode, mat, detect)
+    has_fold = use_fold(mode, detect) and (up or uc)
+
+    def body(words, values, cksum, fold, fold_ck, gidx, x):
         # Two-edge halo exchange: each shard sends its boundary rows to
         # its neighbors; un-sourced edges (the global ends) arrive zero
         # — the same semantics as the single-device kernels' zero pads.
@@ -165,7 +174,9 @@ def make_shardmap_spmv(mat, mesh, dtype=jnp.float32, mode: str = None,
         hi = lax.ppermute(x[:H], axis, bwd)          # right nbr's head
         x_ext = jnp.concatenate([lo, x, hi])
         md_loc = MatrixDevice(words=words, ell_len=None, cksum=cksum,
-                              values=values, gidx=gidx)
+                              values=values, gidx=gidx,
+                              fold=fold if has_fold else None,
+                              fold_ck=fold_ck if has_fold else None)
         if not is_dia:
             base = lax.axis_index(axis) * R_loc
             w, trig, pw = fast_pw_loc(md_loc, x_ext, base)
@@ -184,13 +195,17 @@ def make_shardmap_spmv(mat, mesh, dtype=jnp.float32, mode: str = None,
 
     row2d = P(None, axis)
     in_specs = (tuple(row2d for _ in mat.layout.word_names), row2d,
-                row2d, row2d if has_gidx else P(), P(axis))
+                row2d, row2d if has_fold else P(),
+                row2d if has_fold else P(),
+                row2d if has_gidx else P(), P(axis))
     sm = jax.shard_map(body, mesh=mesh, in_specs=in_specs,
                        out_specs=(P(axis), P(), P()), check_vma=False)
 
     def sm_fast_pw(md, x):
         gidx = md.gidx if has_gidx else jnp.zeros((), jnp.int32)
-        return sm(md.words, md.values, md.cksum, gidx, x)
+        fold = md.fold if has_fold else jnp.zeros((), jnp.uint32)
+        fold_ck = md.fold_ck if has_fold else jnp.zeros((), jnp.uint32)
+        return sm(md.words, md.values, md.cksum, fold, fold_ck, gidx, x)
 
     def sm_fast(md, x):
         w, trig, _ = sm_fast_pw(md, x)

@@ -156,11 +156,14 @@ def _plan(mat, mode, precond=False, force_streaming=False,
     R = mat.R
     if R % 1024:
         return None
-    from ..ops.spmv_pallas import stream_words
+    from ..ops.spmv_pallas import stream_words, use_fold
 
     SW = stream_words(mode, mat.layout, mat.fmt)
+    folded = use_fold(mode) and len(SW) > 0
+    if folded:
+        SW = (0,)  # ONE detection stream: the rotated fold plane
     NW = len(SW)
-    W = NW  # streamed word planes (all of them for ECC modes)
+    W = NW  # streamed detection planes (the fold, or all words)
     RR = R // 128
     if mat.exec_kind == "dia":
         offsets = mat.dia_offsets
@@ -310,9 +313,10 @@ def _plan(mat, mode, precond=False, force_streaming=False,
     # DMAs on checked iterations — so ci needs no VMEM there.)
     big = mat.exec_kind == "dia" and max(Hlo, Hhi) > ROWS
     return dict(R=R, RR=RR, C=C, ROWS=ROWS, G=R // C, D=D, W=W, NW=NW,
-                SW=SW, kind=mat.exec_kind, offsets=offsets, Hlo=Hlo,
-                Hhi=Hhi, S0=S0, WROWS=WROWS, PACK=PACK, rolled=rolled,
-                big=big, precond=precond, streaming=streaming, ci=ci,
+                SW=SW, folded=folded, kind=mat.exec_kind, offsets=offsets,
+                Hlo=Hlo, Hhi=Hhi, S0=S0, WROWS=WROWS, PACK=PACK,
+                rolled=rolled, big=big, precond=precond,
+                streaming=streaming, ci=ci,
                 use_parity=use_parity, use_cksum=use_cksum)
 
 
@@ -366,9 +370,12 @@ def _plan_split(mat, mode, precond, check_interval=1):
     rows, starts, S = tp
     if S % 128 or any(s % 128 for s in starts):
         return None
-    from ..ops.spmv_pallas import stream_words
+    from ..ops.spmv_pallas import stream_words, use_fold
 
     TSW = stream_words(mode, mat.tail.layout, mat.tail.fmt)
+    tfolded = use_fold(mode) and len(TSW) > 0
+    if tfolded:
+        TSW = (0,)  # tail detection rides its fold plane too
     TW = NTW = len(TSW)
     E = int(mat.tail.ell[mat.tail.layout.word_names[0]].shape[0])
     EP = -(-E // 128) * 128
@@ -396,7 +403,7 @@ def _plan_split(mat, mode, precond, check_interval=1):
         return None
     mp["tail"] = dict(rows=tuple(rows), starts=tuple(starts), S=S,
                       SR=S // 128, E=E, EP=EP, ER=EP // 128, T=T,
-                      TW=TW, NTW=NTW, TSW=TSW)
+                      TW=TW, NTW=NTW, TSW=TSW, folded=tfolded)
     return mp
 
 
@@ -1923,15 +1930,20 @@ def make_fused_continue(mat, mode, conv_threshold, trace_rr=True,
         tb3 = mdt.dense_tb.reshape(t["T"], t["SR"], 128)
         tw3 = tck = None
         if t["NTW"]:
-            stacked = jnp.stack([mdt.words[i]
-                                 for i in t["TSW"]])    # (TW, E)
+            if t.get("folded"):
+                stacked = mdt.fold[None, :]             # (1, E)
+                ckb = mdt.fold_ck
+            else:
+                stacked = jnp.stack([mdt.words[i]
+                                     for i in t["TSW"]])    # (TW, E)
+                ckb = mdt.cksum[np.array(t["TSW"])]
             pad = t["EP"] - t["E"]
             if pad:
                 # zero-padding is parity/XOR-neutral
                 stacked = jnp.pad(stacked, ((0, 0), (0, pad)))
             tw3 = stacked.reshape(t["TW"], t["ER"], 128)
             tck = jnp.bitwise_xor.reduce(
-                mdt.cksum[np.array(t["TSW"])].reshape(t["TW"], -1), axis=1)
+                ckb.reshape(t["TW"], -1), axis=1)
         return (td3, tb3, tw3, tck)
 
     def derive(md):
@@ -1980,14 +1992,15 @@ def make_fused_continue(mat, mode, conv_threshold, trace_rr=True,
         # are while-loop carries (see the kernel's words_hbm note), and
         # the copy itself is ~nnz x 12 bytes of pure overhead per
         # derive.
-        wstack = tuple(md.words[i].reshape(D, RR, 128) for i in SW)
+        wstack = ((md.fold.reshape(D, RR, 128),) if plan["folded"]
+                  else tuple(md.words[i].reshape(D, RR, 128) for i in SW))
         # Expected checksum classes for the in-kernel compare: stored
         # 8-row blocks fold to index (block mod 128), laid out as the
         # (row mod 8, lane block) classes the kernel accumulates, each
         # class value replicated across its 8 lanes.  Loop-invariant
         # (fresh after a scrub via the re-derive).
-        cls = jnp.bitwise_xor.reduce(
-            md.cksum[np.array(SW)].reshape(W, -1, 128), axis=1)
+        base = md.fold_ck if plan["folded"] else md.cksum[np.array(SW)]
+        cls = jnp.bitwise_xor.reduce(base.reshape(W, -1, 128), axis=1)
         ckall = jnp.repeat(cls.reshape(W, 8, 16), 8, axis=2)
         return vals3, gsrc, wstack, ckall, tail_args
 

@@ -14,7 +14,32 @@ import numpy as np
 from ..formats.mmio import write_coordinate
 
 __all__ = ["spd_tridiagonal", "spd_laplacian_2d", "spd_wideband",
-           "shuffle_labels", "write_mm_triangle"]
+           "spd_denseband", "shuffle_labels", "write_mm_triangle"]
+
+
+def spd_denseband(n: int, half: int, coupling: float = -1.0):
+    """Dense band: every row couples to ALL rows within distance
+    ``half`` — row degree (and the ELL slot count K) is exactly
+    2*half + 1 at a bandwidth of only ``half``.  This is the
+    high-degree/narrow-band family (higher-order 3-D FEM: ~100+
+    nnz/row) that exercises the ELL kernels' slot-count envelope
+    rather than their window size; diagonal = degree + 4 keeps it
+    strictly diagonally dominant, hence SPD.  Returns the lower
+    triangle as 0-based triplets (rows, cols, vals, n)."""
+    rows = [np.arange(n)]
+    cols = [np.arange(n)]
+    i = np.arange(n)
+    for d in range(1, half + 1):
+        rows.append(i[d:])
+        cols.append(i[:-d])
+    rows = np.concatenate(rows)
+    cols = np.concatenate(cols)
+    off = rows != cols
+    deg = (np.bincount(rows[off], minlength=n)
+           + np.bincount(cols[off], minlength=n)).astype(float)
+    vals = np.where(rows == cols, deg[rows] * abs(coupling) + 4.0,
+                    coupling)
+    return rows, cols, vals, n
 
 
 def shuffle_labels(rows, cols, vals, n, seed=0):

@@ -192,6 +192,15 @@ def main():
                 "none": prep("none", 1000, 0.001, REPS),
                 "secded": prep("secded", 1000, 0.001, REPS),
                 "lazy8": prep("secded", 1000, 0.001, REPS, ci=8),
+                # Round 4: the OTHER four modes ride the same
+                # round-robin — sequential per-mode rows drift 30-60%
+                # between runs (the round-3 verdict's recurring noise
+                # class), so every overhead quoted anywhere now comes
+                # from one interleaved batch set.
+                "constraints": prep("constraints", 1000, 0.001, REPS),
+                "sed": prep("sed", 1000, 0.001, REPS),
+                "sec7": prep("sec7", 1000, 0.001, REPS),
+                "sec8": prep("sec8", 1000, 0.001, REPS),
                 # 500-iteration span: the t8 anchor is sync-floor
                 # dominated (~28 ms RTT / reps) and its batch variance
                 # exceeds a 100-iteration delta — 500 iterations put
@@ -221,6 +230,14 @@ def main():
             log(f"interleaved: none {none_ms:.2f} ms, secded {sec_ms:.2f} "
                 f"({out['abft_overhead_pct']:+.1f}%), lazy8 {lazy8_ms:.2f} "
                 f"({out['lazy8_overhead_pct']:+.1f}%)")
+            out["modes_interleaved_ms"] = {}
+            for mode in ALL_MODES:
+                ms = best[mode] * 1e3
+                ov = (ms - none_ms) / none_ms * 100
+                out["modes_interleaved_ms"][mode] = round(ms, 3)
+                log(f"  interleaved {mode:12s}: {ms:8.3f} ms "
+                    f"({ov:+.1f}% vs none, reference "
+                    f"{BASELINE_MS[mode] / ms:.0f}x)")
 
             def slope(a):
                 return (best[f"{a}@508"] - best[f"{a}@8"]) / 500 * 1e6

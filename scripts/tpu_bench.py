@@ -117,6 +117,24 @@ def build(fmt, mode, layout, blocks):
         m = build_protected(fmt, a, mode, row_align=1024)
         assert m.exec_kind == "dia", m.exec_kind
         return m
+    if layout.startswith("denseband"):
+        # Dense band: K = 2*half + 1 slots at bandwidth only `half` —
+        # the high-degree family (higher-order 3-D FEM, ~100+ nnz/row)
+        # that exercises the ELL slot-count envelope.  "denseband:<half>"
+        # parametrizes; N is scaled down so nnz stays bench-comparable.
+        from abft_sparse_cg_tpu.utils.matgen import spd_denseband
+
+        half = int(layout.split(":")[1]) if ":" in layout else 64
+        # n=8192 keeps nnz = N*K bench-scale at -b 10 (K=255 -> 20.9M).
+        # Natural routing: half <= 63 -> DIA (D = 2*half+1 <= 128
+        # distinct offsets); beyond -> high-K ELL (the slot-count
+        # envelope this family exists to measure).
+        rows, cols, vals, n = spd_denseband(8192, half)
+        a = assemble(cols, rows, vals, n, blocks)
+        m = build_protected(fmt, a, mode, reorder="none", row_align=1024)
+        assert m.K == 2 * half + 1, (m.exec_kind, m.K)
+        assert m.exec_kind == ("dia" if half <= 63 else "ell")
+        return m
     if layout == "fatsplit":
         # Uniform couplings within +-20000: band > 16256 in every
         # ordering, no thin cut -> the fat-tail band split (kernel

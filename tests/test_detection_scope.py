@@ -139,7 +139,7 @@ def test_sec7_periter_wideband_scope(delta, kern_det):
 
     m = wideband_matrix("sec7", n=16384)
     assert _ell_window(m)[1] > _ELL_MAX_WROWS
-    assert _ell_chunk(m.R) == 4096  # delta=4096 -> same chunk class
+    assert _ell_chunk(m.R, m.K) == 4096  # delta=4096 -> same chunk class
     m2 = flip_rows(m, 1000, 1000 + delta)
     assert fast_trigger(
         make_pallas_spmv(m, jnp.float32, "sec7", interpret=True), m2,

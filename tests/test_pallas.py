@@ -311,3 +311,53 @@ def test_wide_band_falls_back_to_jnp():
     x = jnp.asarray(RNG.random(m_ell.R), jnp.float32)
     w, s = jax.jit(impl.full)(md, x)
     assert int(s.errcode) == 0
+
+
+@pytest.mark.parametrize("half", [32, 64, 127])
+def test_ellb_slot_count_past_64(half):
+    """Round-4 slot-cap lift: K in {65, 129, 255} ELL slots stays on
+    the shuffle-gather kernel (the reference's row gather handles any
+    degree uniformly, CSR/CPUContext.cpp:115-133 — this is the TPU
+    envelope's equivalent).  Dense band forced to ELL; K = 2*half+1."""
+    from abft_sparse_cg_tpu.utils.matgen import spd_denseband
+
+    r, c, v, n = spd_denseband(512, half)
+    a = assemble(c, r, v, n, 1)
+    m = build_protected("csr", a, "secded", force_exec="ell")
+    assert m.K == 2 * half + 1 and m.exec_kind == "ell"
+    assert supports(m, jnp.float32)
+    md = device_matrix(m)
+    x = jnp.asarray(RNG.random(m.R), jnp.float32)
+    impl_p = make_pallas_spmv(m, jnp.float32, "secded", interpret=True)
+    impl_j = make_spmv(m, jnp.float32, "secded")
+    wp, tp = jax.jit(impl_p.fast)(md, x)
+    wj, tj = jax.jit(impl_j.fast)(md, x)
+    assert not bool(tp) and not bool(tj)
+    np.testing.assert_allclose(np.asarray(wp), np.asarray(wj), rtol=2e-6)
+    # Detection still triggers at this K: flip a stored codeword bit.
+    m2 = inject_bitflips(m, "ANY", 1, np.random.default_rng(3),
+                         echo=lambda s: None)
+    md2 = device_matrix(m2)
+    _, t2 = jax.jit(impl_p.fast)(md2, x)
+    assert bool(t2)
+
+
+def test_ell_slot_count_past_cap_falls_back():
+    """K > _ELL_MAX_K (512) is outside the kernel envelope (the
+    (K, 1024) minimum chunk planes would exhaust VMEM): supports()
+    must say no and the jnp path must carry it."""
+    from abft_sparse_cg_tpu.ops.spmv_pallas import _ELL_MAX_K
+    from abft_sparse_cg_tpu.solver.fused import supports_fused
+    from abft_sparse_cg_tpu.utils.matgen import spd_denseband
+
+    r, c, v, n = spd_denseband(2048, 300)   # K = 601 > 512
+    a = assemble(c, r, v, n, 1)
+    m = build_protected("csr", a, "secded", force_exec="ell")
+    assert m.K == 601 > _ELL_MAX_K
+    assert not supports(m, jnp.float32)
+    assert not supports_fused(m, jnp.float32, "secded", 100)
+    impl = make_pallas_spmv(m, jnp.float32, "secded", interpret=True)
+    md = device_matrix(m)
+    x = jnp.asarray(RNG.random(m.R), jnp.float32)
+    w, s = jax.jit(impl.full)(md, x)
+    assert int(s.errcode) == 0

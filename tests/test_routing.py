@@ -40,6 +40,7 @@ from abft_sparse_cg_tpu.ops.spmv_pallas import supports
 from abft_sparse_cg_tpu.solver.fused import supports_fused
 from abft_sparse_cg_tpu.utils.matgen import (
     shuffle_labels,
+    spd_denseband,
     spd_laplacian_2d,
     spd_tridiagonal,
     spd_wideband,
@@ -172,6 +173,22 @@ CASES = [
      "ell", True, True),
     ("wide-past-cap", wide_past_cap, {"reorder": "none"},
      "split", True, False),
+    # High-degree families (round-4 slot-cap lift): a dense band of
+    # half-width h has exactly one entry per offset, so h <= 63 (D =
+    # 2h+1 <= 128 distinct offsets) rides DIA; beyond that it is the
+    # high-K ELL case the K <= 512 slot envelope now carries — the
+    # reference's row gather handles any degree uniformly
+    # (CSR/CPUContext.cpp:115-133), so none of these may fall off the
+    # compiled tiers.
+    ("denseband-d65",
+     lambda: _sym_assemble(*spd_denseband(512, 32)),
+     {"reorder": "none"}, "dia", True, False),
+    ("denseband-k129",
+     lambda: _sym_assemble(*spd_denseband(512, 64)),
+     {"reorder": "none"}, "ell", True, False),
+    ("denseband-k255",
+     lambda: _sym_assemble(*spd_denseband(512, 127)),
+     {"reorder": "none"}, "ell", True, False),
 ]
 
 
