@@ -36,6 +36,13 @@ __all__ = ["CompositeMatrix", "try_split", "try_band_split"]
 
 _MAX_OUTLIERS = 256
 _MAX_TAIL_FRAC = 0.25
+# A handful of truly DENSE rows (classic arrowhead: k full rows over a
+# thin core) can put most of nnz in the tail while remaining cheap —
+# the span-window dense-tail plan turns them into T gather/scatter-free
+# windowed AXPYs.  When the plan materializes and the outlier count is
+# small, the tail fraction cap relaxes to:
+_MAX_TAIL_FRAC_DENSE = 0.80
+_FEW_OUTLIERS = 32
 _DEG_FACTOR = 4
 
 # --- band split (general matrices whose band exceeds the kernel cap) ---
@@ -312,7 +319,12 @@ def try_split(fmt, assembled, mode, layout, planes, row_ptr, reorder,
     is_out = np.zeros(N, dtype=bool)
     is_out[outliers] = True
     tail_mask = is_out[rows] | is_out[cols]
-    if tail_mask.sum() > _MAX_TAIL_FRAC * nnz or not (~tail_mask).any():
+    tail_frac = tail_mask.sum() / max(nnz, 1)
+    few = len(outliers) <= _FEW_OUTLIERS
+    # Fat tails are only worth it in the dense-plan regime (checked
+    # below, once the tail is built); beyond even that cap, bail early.
+    if (tail_frac > (_MAX_TAIL_FRAC_DENSE if few else _MAX_TAIL_FRAC)
+            or not (~tail_mask).any()):
         return None
 
     a_main = _sub_assembled(assembled, ~tail_mask)
@@ -332,6 +344,11 @@ def try_split(fmt, assembled, mode, layout, planes, row_ptr, reorder,
         plan = dense_tail_plan(tail, outliers)
         if plan is not None:
             tail = replace(tail, dense_plan=plan)
+    if tail_frac > _MAX_TAIL_FRAC and not (
+            few and getattr(tail, "dense_plan", None) is not None):
+        # The fat tail did not earn the span-window path — a serialized
+        # gather over most of nnz would be slower than flat alone.
+        return None
 
     flat_cksum = (flat_checksums(planes, layout, nnz)
                   if mode in ECC_MODES else None)

@@ -265,3 +265,14 @@ def test_checkpoint_unsupported_target_fails_cleanly(tmp_path):
     assert p.returncode == 1
     assert "options unsupported for target 'cpu'" in p.stdout
     assert "Traceback" not in p.stderr
+
+
+def test_check_interval_auto_resolves_to_32():
+    """--check-interval auto is the productized lazy policy (README):
+    it resolves to the concrete integer 32 at parse time."""
+    from abft_sparse_cg_tpu import cli
+
+    params = cli.parse_arguments(["--check-interval", "auto"], "csr")
+    assert params["check_interval"] == 32
+    params = cli.parse_arguments(["--check-interval", "7"], "csr")
+    assert params["check_interval"] == 7
