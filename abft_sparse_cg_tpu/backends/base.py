@@ -135,3 +135,80 @@ class Backend:
                   dtype: str = "auto"):
         """One A@x for the driver's final verification (cg.cpp:127-144)."""
         raise NotImplementedError
+
+    def solve_refined(self, mat: ProtectedMatrix, b: np.ndarray,
+                      max_itrs: int, conv_threshold: float, refine: int,
+                      **kw) -> HostResult:
+        """Mixed-precision iterative refinement (CLI ``--refine K``):
+        up to ``refine`` rounds of [f32 inner CG on the current
+        residual] + [binary64 TRUE-residual restart].
+
+        TPU-native answer to the reference's end-to-end f64 compute
+        (/root/reference/cg.cpp:59-144): the stored planes ARE binary64
+        (value_lo/value_hi), so the f64 residual r = b - A.x is exact
+        w.r.t. the protected data, while the per-iteration hot loop
+        stays on the f32 kernel tiers (f64 on TPU is emulated and ~an
+        order of magnitude slower).  f32 CG stalls at a true residual
+        ~ eps_f32 * cond(A); each refinement restart re-anchors against
+        the f64 residual, recovering f64-level final accuracy for any
+        system the inner iteration can reduce — the classic
+        mixed-precision refinement guarantee.  Host-level wrapper, so
+        every target supports it; ``rr`` in the result is the TRUE f64
+        squared residual norm (the reference's convergence quantity),
+        and ``iterations`` sums the inner solves' counts.
+
+        ABFT interplay: each inner solve runs the full detect/correct/
+        fail-stop machinery; a nonzero errcode aborts refinement with
+        that result (fail-stop wins).  The f64 residual SpMV itself
+        rides the correct-on-read oracle path."""
+        from dataclasses import replace as _dc_replace
+
+        inner_kw = dict(kw)
+        inner_kw.pop("reps", None)
+        x = np.zeros(mat.N, dtype=np.float64)
+        b64 = np.asarray(b, dtype=np.float64)
+        rhs = b64
+        total_iters = 0
+        total_solve = total_compile = 0.0
+        msgs = []
+        corrected = 0
+        res = None
+        rr = float(b64 @ b64)
+        for _round in range(max(1, refine + 1)):
+            if rr <= conv_threshold:
+                break
+            # Inner tolerance: reduce the residual-norm^2 by ~1e6 per
+            # round (norm by 1e3), floored at the caller's target — the
+            # f32 loop stops where it stalls anyway via max_itrs.
+            inner_conv = max(conv_threshold, rr * 1e-6)
+            res = self.solve(mat, rhs, max_itrs, inner_conv,
+                             reps=1, **inner_kw)
+            total_iters += res.iterations
+            total_solve += res.solve_seconds
+            total_compile += res.compile_seconds
+            corrected += res.corrected_count
+            msgs.extend(res.messages)
+            if res.errcode != 0:
+                return _dc_replace(res, iterations=total_iters,
+                                   messages=msgs,
+                                   solve_seconds=total_solve,
+                                   compile_seconds=total_compile)
+            x = x + np.asarray(res.x, dtype=np.float64)
+            w, errcode, emsgs = self.spmv_once(mat, x, dtype="f64")
+            msgs.extend(emsgs)
+            if errcode != 0:
+                return _dc_replace(res, x=x, errcode=errcode,
+                                   iterations=total_iters, messages=msgs,
+                                   solve_seconds=total_solve,
+                                   compile_seconds=total_compile)
+            r64 = b64 - np.asarray(w, dtype=np.float64)
+            rr = float(r64 @ r64)
+            rhs = r64
+        if res is None:   # ||b||^2 already under the threshold
+            return HostResult(x=x, iterations=0, rr=rr, errcode=0,
+                              err_index=-1, corrected_count=0,
+                              corrected_index=-1, corrected_bit=-1)
+        return _dc_replace(res, x=x, rr=rr, iterations=total_iters,
+                           messages=msgs, corrected_count=corrected,
+                           solve_seconds=total_solve,
+                           compile_seconds=total_compile)

@@ -44,6 +44,10 @@ _USAGE_OPTIONS = """Options:
       --solver          S     CG variant: standard | pipelined
       --reps            N     Executions averaged into 'time taken'
                               (default: 20 on TPU, 1 on CPU)
+      --refine          K     Mixed-precision refinement: up to K
+                              rounds of f32 inner CG + binary64
+                              true-residual restart (f64-level final
+                              accuracy at f32 kernel speed)
       --check-interval  K     Lazy ABFT schedule (pallas kernel tiers):
                               verify every K-th iteration, snapshot-
                               rollback on a trigger (default 1 = live;
@@ -223,6 +227,12 @@ def parse_arguments(argv, fmt):
             params["checkpoint_every"] = v
         elif a == "--resume":
             params["resume"] = True
+        elif a == "--refine":
+            i += 1
+            if i >= n or (v := _parse_int(argv[i])) < 0:
+                print("Invalid refine count")
+                raise SystemExit(1)
+            params["refine"] = v
         elif a == "--check-interval":
             i += 1
             if i < n and argv[i] == "auto":
@@ -378,12 +388,24 @@ def _main(params, fmt):
 
     with profile_cm:
         try:
-            res = backend.solve(
-                mat, b, params["max_itrs"], params["conv_threshold"],
-                verbose=not params["quiet"], dtype=params["dtype"],
-                precond=params["precond"], devices=params["devices"],
-                solver=params["solver"], reps=params["reps"], **extra,
-            )
+            if params.get("refine"):
+                # Mixed-precision iterative refinement: f32 inner CG
+                # solves + binary64 true-residual restarts
+                # (backends.base.solve_refined; README dtype guidance).
+                res = backend.solve_refined(
+                    mat, b, params["max_itrs"], params["conv_threshold"],
+                    params["refine"],
+                    verbose=not params["quiet"], dtype=params["dtype"],
+                    precond=params["precond"], devices=params["devices"],
+                    solver=params["solver"], **extra,
+                )
+            else:
+                res = backend.solve(
+                    mat, b, params["max_itrs"], params["conv_threshold"],
+                    verbose=not params["quiet"], dtype=params["dtype"],
+                    precond=params["precond"], devices=params["devices"],
+                    solver=params["solver"], reps=params["reps"], **extra,
+                )
         except (TypeError, ValueError) as e:
             if (params["devices"] or params["solver"] != "standard"
                     or params["checkpoint"]):

@@ -360,6 +360,43 @@ def main():
             print("dia+checkpoint: truncated + resumed bit-exact OK",
                   flush=True)
 
+    # ---- ill-conditioned: f32 stall + f64 cost + --refine recovery ----
+    # cond ~ side^2/eps ~ 2e5: plain f32's recursive residual reports
+    # convergence while the TRUE residual stalls ~ eps_f32 * cond; the
+    # f64 solve (emulated on TPU — measure its cost factor) and the
+    # mixed-precision refinement both recover it (README "Precision
+    # guidance"; tests/test_refine.py is the CPU fence).
+    from abft_sparse_cg_tpu.utils.matzoo import aniso_laplace_2d
+
+    ir, ic, iv, inn = aniso_laplace_2d(side=48, eps=1e-2)
+    ia = assemble(np.asarray(ic), np.asarray(ir), np.asarray(iv, float),
+                  inn, 1)
+    im = build_protected("csr", ia, "secded", row_align=1024)
+
+    def true_rr(x):
+        ax = np.zeros(inn)
+        np.add.at(ax, ia.rows,
+                  ia.values * np.asarray(x, np.float64)[ia.cols])
+        r64 = ib - ax
+        return float(r64 @ r64)
+
+    ib = np.random.default_rng(3).random(inn)
+    bp = create("pallas", "secded")
+    r32 = bp.solve(im, ib, 2500, 1e-10, verbose=False, dtype="f32")
+    r64s = bp.solve(im, ib, 2500, 1e-10, verbose=False, dtype="f64")
+    rref = bp.solve_refined(im, ib, 2500, 1e-10, refine=5,
+                            verbose=False, dtype="f32")
+    t32, t64, trf = true_rr(r32.x), true_rr(r64s.x), true_rr(rref.x)
+    f64_cost = (r64s.solve_seconds / max(r64s.iterations, 1)) / (
+        r32.solve_seconds / max(r32.iterations, 1))
+    print(f"illcond(cond~2e5): f32 TRUE rr {t32:.1e} (reported "
+          f"{r32.rr:.1e} — recursive drift), f64 {t64:.1e} "
+          f"({f64_cost:.1f}x per-iter cost), refine5 {trf:.1e} "
+          f"({rref.iterations} inner iters)", flush=True)
+    assert t32 > 1e-4, t32          # the stall is real at this cond
+    assert t64 < 1e-8, t64          # f64 is exact (and slow)
+    assert trf < t32 * 1e-6, (trf, t32)   # refinement recovers
+
     print("TPU SMOKE OK", flush=True)
 
 
