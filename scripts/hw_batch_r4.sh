@@ -38,4 +38,8 @@ run slope python scripts/tpu_slope.py --record
 run wideband python scripts/tpu_bench.py --blocks 10 --targets pallas \
     --modes none,secded --layouts "wideband:2500,bandsplit,fatsplit"
 
+# 7. Pipelined-solver hardware evidence (r3 verdict weakness 5):
+#    standard-vs-pipelined cost + the ABFT-restart path with a fault.
+run pipelined python scripts/pipelined_probe.py
+
 echo "ALL DONE"
