@@ -49,6 +49,15 @@ def default_dtype(requested: str = "auto"):
     if requested in ("f32", "float32"):
         return jnp.float32
     if requested in ("f64", "float64"):
+        if jax.devices()[0].platform != "cpu":
+            # This TPU generation rejects 64-bit types outright (the
+            # solve would die mid-compile with an opaque
+            # NotImplementedError) — fail early with the remedy.
+            raise ValueError(
+                "--dtype f64 is not supported on this TPU (64-bit types "
+                "are rejected by the device). Use --refine K for "
+                "f64-level final accuracy at f32 kernel speed, or run "
+                "the jnp/cpu target on the host (JAX_PLATFORMS=cpu).")
         if not jax.config.read("jax_enable_x64"):
             jax.config.update("jax_enable_x64", True)
         return jnp.float64
@@ -136,6 +145,60 @@ class Backend:
         """One A@x for the driver's final verification (cg.cpp:127-144)."""
         raise NotImplementedError
 
+    @staticmethod
+    def _host_residual_spmv(mat, x):
+        """Binary64 A@x on the HOST through the ECC correct-on-read
+        oracle — the refinement restart's residual SpMV.  Device-free on
+        purpose: the axon TPU rejects 64-bit types, and the protected
+        planes are host-resident binary64 already.  Works on plain and
+        composite (split) matrices alike (both expose the GLOBAL
+        canonical planes).  Returns (w, errcode, messages) mirroring
+        spmv_once."""
+        from ..ecc import ECC_COL_MASK, codec
+        from ..ecc.values import planes_to_f64_np
+        from ..ops.spmv import ERR_DOUBLE, ERR_SED
+
+        words, flags = codec.check_and_correct(mat.mode, mat.words_list(),
+                                               mat.layout)
+        planes = dict(zip(mat.layout.word_names, words))
+        cols = planes["col"]
+        if mat.mode in codec.ECC_MODES:
+            cols = cols & ECC_COL_MASK
+        cols = np.clip(cols.astype(np.int64), 0, mat.N - 1)
+        if mat.fmt == "csr":
+            rows = np.repeat(np.arange(mat.N), np.diff(mat.row_ptr))
+        else:
+            rows = np.clip(planes["row"].astype(np.int64), 0, mat.N - 1)
+        vals = planes_to_f64_np(planes["value_lo"], planes["value_hi"])
+        w = np.zeros(mat.N)
+        np.add.at(w, rows, vals * np.asarray(x, np.float64)[cols])
+        errcode, err_slot = 0, -1
+        if mat.mode == "sed" and flags["detected"].any():
+            errcode = ERR_SED
+            err_slot = int(np.flatnonzero(flags["detected"])[0])
+        elif mat.mode == "secded" and flags["double"].any():
+            errcode = ERR_DOUBLE
+            err_slot = int(np.flatnonzero(flags["double"])[0])
+        # The flags arrays index CANONICAL elements (host plane order),
+        # so messages are emitted directly — stats_to_messages expects
+        # exec slots.
+        msgs = []
+        cor = np.flatnonzero(flags["corrected"])
+        if len(cor):
+            idx = int(cor[0])
+            bit = int(flags["corrected_bit"].reshape(-1)[idx])
+            opb_global = mat.layout.col_word * 32 + OVERALL_PARITY_BIT
+            if bit == opb_global:
+                msgs.append(
+                    f"[ECC] corrected overall parity bit at index {idx}")
+            else:
+                msgs.append(f"[ECC] corrected bit {bit} at index {idx}")
+        if errcode != 0:
+            template = ERRCODES[mat.fmt][errcode]
+            msgs.append(template.format(index=err_slot)
+                        if "{index}" in template else template)
+        return w, errcode, msgs
+
     def solve_refined(self, mat: ProtectedMatrix, b: np.ndarray,
                       max_itrs: int, conv_threshold: float, refine: int,
                       **kw) -> HostResult:
@@ -194,8 +257,16 @@ class Backend:
                                    solve_seconds=total_solve,
                                    compile_seconds=total_compile)
             x = x + np.asarray(res.x, dtype=np.float64)
-            w, errcode, emsgs = self.spmv_once(mat, x, dtype="f64")
-            msgs.extend(emsgs)
+            # Binary64 true residual ON HOST: this TPU generation
+            # rejects 64-bit types outright (axon), and the planes are
+            # already host-resident binary64 — a numpy SpMV through the
+            # ECC correct-on-read oracle is both exact and device-free.
+            w, errcode, emsgs = self._host_residual_spmv(mat, x)
+            if errcode != 0:
+                # Failure messages propagate; correction lines from the
+                # residual pass are duplicates of the same persistent
+                # fault the inner solve already reported — drop them.
+                msgs.extend(emsgs)
             if errcode != 0:
                 return _dc_replace(res, x=x, errcode=errcode,
                                    iterations=total_iters, messages=msgs,

@@ -383,18 +383,22 @@ def main():
     ib = np.random.default_rng(3).random(inn)
     bp = create("pallas", "secded")
     r32 = bp.solve(im, ib, 2500, 1e-10, verbose=False, dtype="f32")
-    r64s = bp.solve(im, ib, 2500, 1e-10, verbose=False, dtype="f64")
     rref = bp.solve_refined(im, ib, 2500, 1e-10, refine=5,
                             verbose=False, dtype="f32")
-    t32, t64, trf = true_rr(r32.x), true_rr(r64s.x), true_rr(rref.x)
-    f64_cost = (r64s.solve_seconds / max(r64s.iterations, 1)) / (
-        r32.solve_seconds / max(r32.iterations, 1))
+    t32, trf = true_rr(r32.x), true_rr(rref.x)
+    # --dtype f64 is rejected by this TPU generation (axon refuses
+    # 64-bit types; backends.base.default_dtype fails early with the
+    # remedy) — assert the guard so the error stays clean.
+    try:
+        bp.solve(im, ib, 10, 1e-10, verbose=False, dtype="f64")
+        raise AssertionError("f64 on TPU should have been rejected")
+    except ValueError as e:
+        assert "--refine" in str(e)
     print(f"illcond(cond~2e5): f32 TRUE rr {t32:.1e} (reported "
-          f"{r32.rr:.1e} — recursive drift), f64 {t64:.1e} "
-          f"({f64_cost:.1f}x per-iter cost), refine5 {trf:.1e} "
-          f"({rref.iterations} inner iters)", flush=True)
+          f"{r32.rr:.1e} — recursive drift), refine5 {trf:.1e} "
+          f"({rref.iterations} inner iters, f32 kernels + host f64 "
+          "restarts); --dtype f64 rejected cleanly on TPU", flush=True)
     assert t32 > 1e-4, t32          # the stall is real at this cond
-    assert t64 < 1e-8, t64          # f64 is exact (and slow)
     assert trf < t32 * 1e-6, (trf, t32)   # refinement recovers
 
     print("TPU SMOKE OK", flush=True)
