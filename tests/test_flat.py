@@ -38,12 +38,21 @@ def bordered(n=512, dense_rows=(3, 200), blocks=1):
 
 
 @pytest.mark.parametrize("fmt", ["csr", "coo"])
-def test_bordered_matrix_selects_flat(fmt):
+def test_bordered_matrix_selects_split_with_dense_tail(fmt):
+    """Round 4: this bordered shape (2 dense rows carrying ~half of
+    nnz) now earns the bordered SPLIT with the span-window dense-tail
+    plan (formats.split._MAX_TAIL_FRAC_DENSE) — it used to fall to the
+    whole-matrix flat layout.  The flat layout itself stays reachable
+    (and is what the rest of this file exercises) via split="none"."""
     a = bordered()
     m = build_protected(fmt, a, "secded")
-    assert m.exec_kind == "flat"
+    assert m.exec_kind == "split"
+    assert m.tail.dense_plan is not None
+
+    mf = build_protected(fmt, a, "secded", split="none")
+    assert mf.exec_kind == "flat"
     # Memory proportional to nnz, not K*R.
-    assert m.exec_size < 2 * a.nnz + 16
+    assert mf.exec_size < 2 * a.nnz + 16
 
 
 @pytest.mark.parametrize("fmt", ["csr", "coo"])
@@ -51,7 +60,7 @@ def test_bordered_matrix_selects_flat(fmt):
                                   "sec8", "secded"])
 def test_flat_spmv_and_solve(fmt, mode):
     a = bordered()
-    m = build_protected(fmt, a, mode)
+    m = build_protected(fmt, a, mode, split="none")
     assert m.exec_kind == "flat"
     x = RNG.standard_normal(a.N)
     backend = create("jnp", mode)
@@ -70,7 +79,7 @@ def test_flat_spmv_and_solve(fmt, mode):
 @pytest.mark.parametrize("mode", ["sed", "sec7", "sec8", "secded"])
 def test_flat_fault_events(mode):
     a = bordered()
-    m = build_protected("csr", a, mode)
+    m = build_protected("csr", a, mode, split="none")
     b = RNG.random(a.N)
     backend = create("jnp", mode)
     clean = backend.solve(m, b, 2000, 1e-10, verbose=False, dtype="f64")
@@ -94,7 +103,7 @@ def test_flat_fault_events(mode):
 
 def test_flat_constraints_catch_corruption():
     a = bordered()
-    m = build_protected("csr", a, "constraints")
+    m = build_protected("csr", a, "constraints", split="none")
     assert m.exec_kind == "flat"
     planes = {k: v.copy() for k, v in m.planes.items()}
     planes["col"][10] |= np.uint32(1 << 23)  # out of range
@@ -108,7 +117,7 @@ def test_flat_constraints_catch_corruption():
 
 def test_flat_scrubbed_roundtrip():
     a = bordered()
-    m = build_protected("csr", a, "sec8")
+    m = build_protected("csr", a, "sec8", split="none")
     b = RNG.random(a.N)
     m2 = inject_bitflips(m, "ANY", 1, np.random.default_rng(9),
                          echo=lambda s: None)
@@ -124,7 +133,7 @@ def test_flat_sharded_matches_single(mode):
     """Entry-sharded flat planes over the 8-device mesh: same solution
     and (mode secded) the same fault events as the single-device solve."""
     a = bordered()
-    m = build_protected("csr", a, mode)
+    m = build_protected("csr", a, mode, split="none")
     assert m.exec_kind == "flat"
     b = RNG.random(a.N)
     backend = create("jnp", mode)

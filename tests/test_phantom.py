@@ -25,6 +25,21 @@ from abft_sparse_cg_tpu.utils.matgen import spd_tridiagonal
 RNG = np.random.default_rng(7)
 
 
+def _corrupt_baseline(md):
+    """Flip one bit of the stored detection baseline the FAST kernel
+    actually compares: fold_ck under the round-4 fold-plane live
+    detection (with cksum flipped too, so the classify/oracle view
+    stays consistent with the scenario), else cksum alone."""
+    ck = np.asarray(md.cksum).copy()
+    ck[0, 0] ^= np.uint32(1 << 5)
+    md = md._replace(cksum=jnp.asarray(ck))
+    if md.fold_ck is not None:
+        fck = np.asarray(md.fold_ck).copy()
+        fck[0, 0] ^= np.uint32(1 << 5)
+        md = md._replace(fold_ck=jnp.asarray(fck))
+    return md
+
+
 def _mat(mode, n=1024):
     rows, cols, vals, n = spd_tridiagonal(n)
     return build_protected("csr", assemble(cols, rows, vals, n, 1), mode)
@@ -135,9 +150,7 @@ def test_fused_phantom_failstop(monkeypatch, mode):
     monkeypatch.setattr(spmv_mod, "make_spmv", patched)
     fus = make_fused_solver(m, mode, 50, 1e-8, interpret=True)
     md = make_matrix_device(m, jnp.float32)
-    ck = np.asarray(md.cksum).copy()
-    ck[0, 0] ^= np.uint32(1 << 5)
-    md = md._replace(cksum=jnp.asarray(ck))
+    md = _corrupt_baseline(md)
     b = jnp.asarray(RNG.random(m.R), jnp.float32)
     res = fus(md, b)
     assert int(res.stats.errcode) == ERR_PHANTOM
@@ -152,9 +165,7 @@ def test_cksum_corruption_heals(mode):
     m = _mat(mode)
     fus = make_fused_solver(m, mode, 50, 1e-8, interpret=True)
     md = make_matrix_device(m, jnp.float32)
-    ck = np.asarray(md.cksum).copy()
-    ck[0, 0] ^= np.uint32(1 << 5)
-    md = md._replace(cksum=jnp.asarray(ck))
+    md = _corrupt_baseline(md)
     b = jnp.asarray(RNG.random(m.R), jnp.float32)
     res = fus(md, b)
     assert int(res.stats.errcode) == 0
