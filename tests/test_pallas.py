@@ -361,3 +361,22 @@ def test_ell_slot_count_past_cap_falls_back():
     x = jnp.asarray(RNG.random(m.R), jnp.float32)
     w, s = jax.jit(impl.full)(md, x)
     assert int(s.errcode) == 0
+
+
+def test_ellb_slot_count_past_64_coo():
+    """COO format (4-word codewords) through the same lifted slot
+    envelope: K=129 stays on the kernel with the fold-plane signals."""
+    from abft_sparse_cg_tpu.utils.matgen import spd_denseband
+
+    r, c, v, n = spd_denseband(512, 64)
+    a = assemble(c, r, v, n, 1)
+    m = build_protected("coo", a, "secded", force_exec="ell")
+    assert m.K == 129 and supports(m, jnp.float32)
+    md = device_matrix(m)
+    x = jnp.asarray(RNG.random(m.R), jnp.float32)
+    impl_p = make_pallas_spmv(m, jnp.float32, "secded", interpret=True)
+    impl_j = make_spmv(m, jnp.float32, "secded")
+    wp, tp = jax.jit(impl_p.fast)(md, x)
+    wj, tj = jax.jit(impl_j.fast)(md, x)
+    assert not bool(tp) and not bool(tj)
+    np.testing.assert_allclose(np.asarray(wp), np.asarray(wj), rtol=2e-6)
