@@ -127,6 +127,8 @@ class PallasBackend(JnpBackend):
         knobs = (bool(os.environ.get("ABFT_FUSED_ABS_SCAN")),
                  bool(os.environ.get("ABFT_FUSED_INTERPRET")),
                  os.environ.get("ABFT_FUSED_BIG_OFFSET"),
+                 # fold-vs-per-word live detection (ecc.fold A/B knob)
+                 os.environ.get("ABFT_LIVE_FOLD", "1") != "0",
                  bigoffset_validated())
         key = ("psolve", variant, mat.fmt, self.mode, mat.exec_kind,
                mat.dia_offsets, mat.R, mat.K, mat.N, mat.nnz, mat.band,
