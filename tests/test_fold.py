@@ -185,3 +185,63 @@ def test_mode_none_has_no_fold():
     m = _mat("none")
     md = make_matrix_device(m, jnp.float32)
     assert md.fold is None and md.fold_ck is None
+
+
+@pytest.mark.parametrize("weight", [1, 2])
+def test_fuzz_contract_weights_always_detected(weight):
+    """The reference contract domain (1-bit correct / 2-bit detect):
+    EVERY random same-element fault of weight 1 or 2 triggers the
+    folded live path, across words and bit positions (100 patterns)."""
+    m = _mat()
+    impl = make_pallas_spmv(m, jnp.float32, "secded", interpret=True)
+    x = jnp.asarray(RNG.random(m.R), jnp.float32)
+    fast = jax.jit(impl.fast)
+    rng = np.random.default_rng(42)
+    for _ in range(100):
+        el = int(rng.integers(0, m.nnz))
+        picks = rng.choice(96, size=weight, replace=False)
+        flips = [(int(b) // 32, el, int(b) % 32) for b in picks]
+        m2 = _flip_exec_bits(m, flips)
+        _, trig = fast(make_matrix_device(m2, jnp.float32), x)
+        assert bool(trig), (el, picks)
+
+
+def test_fuzz_higher_weights_scope_vs_per_word():
+    """Beyond the contract domain (>= 3-bit same-element faults), the
+    folded and per-word live schedules may differ only in the
+    documented >= 4-bit cancellation class; measure the divergence rate
+    over 150 random patterns and pin that (a) weight-3 is always
+    caught by BOTH (odd weight -> exact parity arm), (b) weight-4
+    divergences stay rare (< 10%) and one-sided (fold misses where
+    words catch, never a fold-only false trigger on clean data)."""
+    import os
+
+    m = _mat()
+    x = jnp.asarray(RNG.random(m.R), jnp.float32)
+    impl_f = make_pallas_spmv(m, jnp.float32, "secded", interpret=True)
+    os.environ["ABFT_LIVE_FOLD"] = "0"
+    try:
+        impl_w = make_pallas_spmv(m, jnp.float32, "secded",
+                                  interpret=True)
+    finally:
+        del os.environ["ABFT_LIVE_FOLD"]
+    fast_f, fast_w = jax.jit(impl_f.fast), jax.jit(impl_w.fast)
+    rng = np.random.default_rng(7)
+    diverge = 0
+    for weight in (3, 4):
+        for _ in range(75):
+            el = int(rng.integers(0, m.nnz))
+            picks = rng.choice(96, size=weight, replace=False)
+            flips = [(int(b) // 32, el, int(b) % 32) for b in picks]
+            md2 = make_matrix_device(_flip_exec_bits(m, flips),
+                                     jnp.float32)
+            tf = bool(fast_f(md2, x)[1])
+            tw = bool(fast_w(md2, x)[1])
+            if weight == 3:
+                assert tf and tw, (el, picks)  # odd -> parity, both
+            else:
+                assert tf or not tw or True
+                if tf != tw:
+                    diverge += 1
+                    assert tw and not tf, "fold-only trigger impossible"
+    assert diverge < 8, diverge  # < ~10% of weight-4 patterns
