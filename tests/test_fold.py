@@ -245,3 +245,29 @@ def test_fuzz_higher_weights_scope_vs_per_word():
                     diverge += 1
                     assert tw and not tf, "fold-only trigger impossible"
     assert diverge < 8, diverge  # < ~10% of weight-4 patterns
+
+
+def test_per_word_fallback_full_solve(monkeypatch):
+    """ABFT_LIVE_FOLD=0 (the per-word A/B escape) must keep the full
+    fused solve green: clean converges, injected single-bit corrects
+    bit-exactly — the fallback path cannot rot."""
+    from abft_sparse_cg_tpu.inject import inject_bitflips
+    from abft_sparse_cg_tpu.solver.fused import _plan, make_fused_solver
+
+    monkeypatch.setenv("ABFT_LIVE_FOLD", "0")
+    tri = spd_tridiagonal(1024)
+    a = assemble(tri[1], tri[0], tri[2], tri[3], 1)
+    m = build_protected("csr", a, "secded", row_align=1024)
+    assert not _plan(m, "secded")["folded"]
+    fus = jax.jit(make_fused_solver(m, "secded", 100, 1e-7,
+                                    interpret=True))
+    md = make_matrix_device(m, jnp.float32)
+    b = jnp.asarray(RNG.random(m.R), jnp.float32)
+    res = fus(md, b, None)
+    assert int(res.stats.errcode) == 0 and float(res.rr) <= 1e-7
+    m1 = inject_bitflips(m, "ANY", 1, np.random.default_rng(5),
+                         echo=lambda s: None)
+    r1 = fus(make_matrix_device(m1, jnp.float32), b, None)
+    assert int(r1.stats.errcode) == 0
+    assert int(r1.stats.corrected_count) == 1
+    assert np.array_equal(np.asarray(r1.x), np.asarray(res.x))
