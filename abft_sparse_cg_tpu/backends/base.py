@@ -262,14 +262,18 @@ class Backend:
             # already host-resident binary64 — a numpy SpMV through the
             # ECC correct-on-read oracle is both exact and device-free.
             w, errcode, emsgs = self._host_residual_spmv(mat, x)
-            if errcode != 0:
-                # Failure messages propagate; correction lines from the
-                # residual pass are duplicates of the same persistent
-                # fault the inner solve already reported — drop them.
-                msgs.extend(emsgs)
+            # Correction lines from the residual pass are usually
+            # re-reads of the same persistent fault an inner solve
+            # already reported — dedupe by exact event string so a
+            # fault FIRST corrected during a restart is still surfaced
+            # (and counted), while repeats stay silent.
+            fresh = [m for m in emsgs if m not in msgs]
+            msgs.extend(fresh)
+            corrected += sum(1 for m in fresh if "corrected bit" in m)
             if errcode != 0:
                 return _dc_replace(res, x=x, errcode=errcode,
                                    iterations=total_iters, messages=msgs,
+                                   corrected_count=corrected,
                                    solve_seconds=total_solve,
                                    compile_seconds=total_compile)
             r64 = b64 - np.asarray(w, dtype=np.float64)

@@ -16,21 +16,44 @@ from .jnp_backend import JnpBackend, _SOLVER_CACHE
 __all__ = ["PallasBackend"]
 
 
-def _check_interval(variant="standard"):
+def _check_interval(variant="standard", mat=None, mode=None,
+                    auto_default=1):
     """The lazy detection schedule's interval from ABFT_CHECK_INTERVAL
     (the CLI's --check-interval sets it for the invocation), validated.
     The pipelined solver has no lazy variant — its recurrences carry
     extra vectors a rollback would have to re-seed — so it warns and
-    runs the live schedule."""
+    runs the live schedule.
+
+    ``auto`` resolves to the measured per-tier winner (fold-era tables,
+    BENCH_NOTES.md): LIVE (1) on the VMEM-resident megakernel tier —
+    where the fold plane already puts live secded inside the <10%
+    overhead bar and lazy8 measured WORSE (+19.4% vs +8.7% at -b 10) —
+    and ci32 everywhere the word/fold streams ride HBM per iteration
+    (streaming megakernel: live +30.6% vs ci32 +3.4% at -b 100;
+    per-iteration and shard_map tiers share that traffic shape).
+    Needs ``mat``/``mode`` to probe the tier; without them (or off the
+    pallas kernel tiers entirely) auto falls back to live."""
     import os
     import sys
 
     raw = os.environ.get("ABFT_CHECK_INTERVAL", "1") or "1"
+    if raw == "auto":
+        if variant != "standard":
+            return 1
+        if mat is None or mode is None:
+            return auto_default
+        from ..solver.fused import _plan
+
+        p = _plan(mat, mode, check_interval=1)
+        if p is not None and not p["streaming"]:
+            return 1
+        return 32
     try:
         ci = max(1, int(raw))
     except ValueError:
         raise ValueError(
-            f"ABFT_CHECK_INTERVAL must be an integer, got {raw!r}")
+            f"ABFT_CHECK_INTERVAL must be an integer or 'auto', "
+            f"got {raw!r}")
     if ci > 1 and variant == "pipelined":
         print("warning: --check-interval has no pipelined-solver "
               "variant; running the live detection schedule",
@@ -77,7 +100,7 @@ class PallasBackend(JnpBackend):
             if (want_sm and variant == "standard" and mesh is not None
                     and r_dev == mat.R
                     and supports_shardmap(mat, dtype, ndev)):
-                ci = _check_interval(variant)
+                ci = _check_interval(variant, auto_default=32)
                 sm_tail_plan = (getattr(mat.tail, "dense_plan", None)
                                 if mat.exec_kind == "split" else None)
                 key = ("smsolve", mat.fmt, self.mode, mat.exec_kind,
@@ -115,7 +138,7 @@ class PallasBackend(JnpBackend):
         # Lazy detection schedule (solver.fused plan docstring): stream
         # the word planes every CI-th iteration, snapshot-rollback on a
         # trigger.  CLI --check-interval sets the env var.
-        ci = _check_interval(variant)
+        ci = _check_interval(variant, mat, self.mode)
         # The A/B + interpret knobs change which kernel _plan builds, so
         # they are part of the key — flipping them in-process must not
         # return a solver compiled under the old setting.  The
@@ -214,7 +237,9 @@ class PallasBackend(JnpBackend):
         from ..solver.cg import make_cg_continue, make_lazy_ci_continue
 
         on_tpu = jax.devices()[0].platform != "cpu"
-        ci = _check_interval(variant)
+        ci = _check_interval(variant, auto_default=32)
+        if mesh is None:
+            ci = _check_interval(variant, mat, self.mode)
         if mesh is not None:
             from ..parallel.sharded_kernel import (
                 make_shardmap_spmv,

@@ -51,8 +51,9 @@ _USAGE_OPTIONS = """Options:
       --check-interval  K     Lazy ABFT schedule (pallas kernel tiers):
                               verify every K-th iteration, snapshot-
                               rollback on a trigger (default 1 = live;
-                              'auto' = 32, the <10%-overhead point,
-                              detection latency <= 32 iterations)
+                              'auto' = per-tier winner: live on the
+                              VMEM-resident megakernel, 32 on the
+                              HBM-streaming tiers)
       --checkpoint      PATH  Segment the solve and snapshot CG state
                               to PATH (.npz) between segments
       --checkpoint-every N    Iterations per segment (default: 100)
@@ -236,13 +237,14 @@ def parse_arguments(argv, fmt):
         elif a == "--check-interval":
             i += 1
             if i < n and argv[i] == "auto":
-                # Policy: CI = 32 — the measured sweet spot where lazy
-                # detection sits within the BASELINE '<10% secded
-                # overhead' bar at bench scale, with detection latency
-                # bounded at 32 iterations (BENCH_NOTES.md lazy-CI
-                # table).  Resolved here so the printed/env value is
-                # always a concrete integer.
-                params["check_interval"] = 32
+                # Policy (fold-era, BENCH_NOTES.md): the backend
+                # resolves 'auto' per kernel tier — LIVE on the
+                # VMEM-resident megakernel (the fold already meets the
+                # <10% bar there and lazy8 measured worse), ci32 on
+                # the HBM-streaming tiers (live +30.6% vs ci32 +3.4%
+                # at -b 100).  Kept symbolic here; the tier isn't
+                # known until the matrix routes.
+                params["check_interval"] = "auto"
             elif i >= n or (v := _parse_int(argv[i])) < 1:
                 print("Invalid check interval")
                 raise SystemExit(1)
@@ -376,6 +378,15 @@ def _main(params, fmt):
         profile_cm = jax.profiler.trace(params["profile"])
     else:
         profile_cm = contextlib.nullcontext()
+
+    # --refine's inner solves all target the SAME snapshot path and a
+    # --resume would replay round 1's converged state against a
+    # DIFFERENT rhs (the f64 residual) — a wrong-result path; nor is a
+    # mid-round snapshot a valid recovery point (outer accumulated x
+    # isn't captured).  Reject the combination outright.
+    if params.get("refine") and params["checkpoint"]:
+        print("--refine cannot be combined with --checkpoint/--resume")
+        raise SystemExit(1)
 
     # --checkpoint only reaches backends that implement the segmented
     # runner (jnp/pallas); keeping it out of the kwargs otherwise gives

@@ -162,7 +162,11 @@ def main():
                             m, b, 1000, 0.001, verbose=False, dtype="f32")
                         rec[f"{target}_{mode}_ms"] = round(
                             res.solve_seconds * 1e3, 3)
-                        rec[f"iters_{mode}"] = res.iterations
+                        # keyed per target: jnp must not overwrite the
+                        # pallas count the model comparison below uses
+                        rec[f"iters_{target}_{mode}"] = res.iterations
+                        if target == "pallas":
+                            rec[f"iters_{mode}"] = res.iterations
                         if (target == "pallas" and mode == "none"
                                 and res.iterations):
                             mu = model_us_per_iter(m)

@@ -267,12 +267,14 @@ def test_checkpoint_unsupported_target_fails_cleanly(tmp_path):
     assert "Traceback" not in p.stderr
 
 
-def test_check_interval_auto_resolves_to_32():
-    """--check-interval auto is the productized lazy policy (README):
-    it resolves to the concrete integer 32 at parse time."""
+def test_check_interval_auto_stays_symbolic():
+    """--check-interval auto is resolved per kernel tier by the backend
+    (live on the resident megakernel, 32 on streaming tiers — fold-era
+    policy, tests/test_lazy_periter.py::test_check_interval_auto_policy),
+    so the CLI keeps it symbolic for the env handoff."""
     from abft_sparse_cg_tpu import cli
 
     params = cli.parse_arguments(["--check-interval", "auto"], "csr")
-    assert params["check_interval"] == 32
+    assert params["check_interval"] == "auto"
     params = cli.parse_arguments(["--check-interval", "7"], "csr")
     assert params["check_interval"] == 7

@@ -269,3 +269,34 @@ def test_check_interval_env_validation():
         os.environ.pop("ABFT_CHECK_INTERVAL", None)
     assert _check_interval() == 1
     assert _check_interval("pipelined") == 1
+
+
+def test_check_interval_auto_policy(monkeypatch):
+    """`--check-interval auto` resolves to the measured per-tier winner
+    (VERDICT r4 item 3 / BENCH_NOTES fold-era tables): LIVE (1) on the
+    VMEM-resident megakernel tier, ci32 on the streaming tier and on
+    call sites that declare a streaming-shaped default (shard_map)."""
+    from abft_sparse_cg_tpu.backends.pallas_backend import _check_interval
+    from abft_sparse_cg_tpu.solver import fused
+
+    monkeypatch.setenv("ABFT_CHECK_INTERVAL", "auto")
+    # No tier context: live unless the call site says otherwise.
+    assert _check_interval() == 1
+    assert _check_interval(auto_default=32) == 32
+    # Pipelined has no lazy variant at all.
+    assert _check_interval("pipelined", auto_default=32) == 1
+
+    m = _mat("secded", n=512, blocks=2)
+    # Resident-envelope matrix: the plan is non-streaming -> live.
+    plan = fused._plan(m, "secded", check_interval=1)
+    assert plan is not None and not plan["streaming"]
+    assert _check_interval("standard", m, "secded") == 1
+    # Streaming tier (patched plan -- building a >2.7M-row matrix in a
+    # unit test is not worth it): auto -> 32.
+    monkeypatch.setattr(fused, "_plan",
+                        lambda *a, **k: dict(streaming=True))
+    assert _check_interval("standard", m, "secded") == 32
+    # Outside every megakernel envelope (plan None): streaming-shaped
+    # word traffic -> 32.
+    monkeypatch.setattr(fused, "_plan", lambda *a, **k: None)
+    assert _check_interval("standard", m, "secded") == 32

@@ -87,3 +87,26 @@ def test_refine_cli_flag():
 
     params = cli.parse_arguments(["--refine", "3"], "csr")
     assert params["refine"] == 3
+
+
+def test_refine_rejects_checkpoint(tmp_path, capsys):
+    """--refine + --checkpoint is a wrong-result path (all inner rounds
+    would share one snapshot path; --resume would replay round 1's
+    state against a different rhs) — the CLI rejects the combination
+    up front (ADVICE r4)."""
+    import pytest
+
+    from abft_sparse_cg_tpu import cli
+    from abft_sparse_cg_tpu.utils.matgen import (
+        spd_tridiagonal,
+        write_mm_triangle,
+    )
+
+    mtx = tmp_path / "t.mtx"
+    rows, cols, vals, n = spd_tridiagonal(64)
+    write_mm_triangle(str(mtx), rows, cols, vals, n)
+    with pytest.raises(SystemExit) as ex:
+        cli.main(["-f", str(mtx), "--refine", "2",
+                  "--checkpoint", str(tmp_path / "c.npz")], fmt="csr")
+    assert ex.value.code == 1
+    assert "--refine cannot be combined" in capsys.readouterr().out
