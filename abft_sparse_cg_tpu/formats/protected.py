@@ -111,6 +111,14 @@ class ProtectedMatrix:
     # serialized gathers with span-densified outlier-row matvecs +
     # tiny-table selects.
     dense_plan: tuple = None
+    # Plain-flat (unstructured) matrices only: the Benes-route kernel
+    # plan (ops.spmv_unstructured.unstructured_plan).  Same clean-
+    # structure rule as dense_plan: captured at BUILD time and carried
+    # through with_planes, because a plan recomputed from fault-exposed
+    # planes would bake the corruption into the routing — the scrub
+    # would then silently drop the healed entry (the exact hazard
+    # dense_tail_plan documents).
+    unstr_plan: dict = None
 
     @property
     def K(self) -> int:
@@ -491,7 +499,7 @@ def build_protected(fmt: str, assembled: AssembledMatrix, mode: str,
     if mode in codec.ECC_MODES:  # only the native lazy paths consume it
         flat_cksum = flat_checksums(planes, layout, nnz)
 
-    return ProtectedMatrix(
+    mat = ProtectedMatrix(
         fmt=fmt,
         mode=mode,
         N=N,
@@ -512,3 +520,17 @@ def build_protected(fmt: str, assembled: AssembledMatrix, mode: str,
         perm=perm,
         band=band,
     )
+    if exec_kind == "flat":
+        # Capture the Benes-route plan from the CLEAN build (see the
+        # unstr_plan field note); content-cached, so repeated builds of
+        # the same structure pay the routing once.
+        from ..ops.spmv_unstructured import (
+            unstructured_plan,
+            wants_unstructured,
+        )
+
+        if wants_unstructured(mat):
+            plan = unstructured_plan(mat)
+            if plan is not None:
+                mat = replace(mat, unstr_plan=plan)
+    return mat

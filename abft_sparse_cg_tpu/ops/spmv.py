@@ -198,6 +198,13 @@ class MatrixDevice(NamedTuple):
     #                               by XOR-linearity; ecc.fold
     #                               docstring): the fold plane's
     #                               trigger baseline.
+    unstr: tuple = None            # flat unstructured matrices on the
+    #                               Benes-route kernel tier only
+    #                               (ops.spmv_unstructured.derive_unstr):
+    #                               (vals_cs, lo, hiw, ctrl1, ctrl2) —
+    #                               col-sorted value/lane/x-row planes +
+    #                               packed exchange controls.  Derived
+    #                               at upload, re-derived on scrub.
 
 
 class SpmvImpl(NamedTuple):
@@ -364,6 +371,23 @@ def make_matrix_device(mat, dtype=jnp.float32):
 
         fold = fold_words(words)
         fold_ck = fold_words(list(jnp.asarray(mat.ell_cksum)))[None, :]
+    unstr = None
+    if mat.exec_kind == "flat":
+        # Benes-route tier arrays (pallas target; see
+        # ops.spmv_unstructured).  Built here so the device build stays
+        # the single source of derived planes; plan construction is
+        # content-cached, so repeated uploads of the same matrix pay
+        # the routing once.
+        from .spmv_unstructured import (
+            derive_unstr,
+            unstructured_plan,
+            wants_unstructured,
+        )
+
+        if wants_unstructured(mat):
+            plan = unstructured_plan(mat)
+            if plan is not None:
+                unstr = derive_unstr(mat, plan, list(words), values)
     return MatrixDevice(
         words=words,
         ell_len=jnp.asarray(mat.ell_len),
@@ -376,6 +400,7 @@ def make_matrix_device(mat, dtype=jnp.float32):
         dense_tb=dense_tb,
         fold=fold,
         fold_ck=fold_ck,
+        unstr=unstr,
     )
 
 
@@ -659,6 +684,16 @@ def make_spmv(mat, dtype=jnp.float32, mode: str = None) -> SpmvImpl:
             # until the repair lands.
             dense_td2, dense_tb2 = cfg.dense_arrays(
                 checked, values2, md.flat_group, md.perm_pos)
+        unstr2 = None
+        if md.unstr is not None:
+            # Benes-route tier: re-derive the col-sorted value/index
+            # planes from the adopted words (controls are clean
+            # structure, pass through) — the kernel heals with the
+            # scrub and the loop-carry pytree keeps its structure.
+            from .spmv_unstructured import derive_unstr, unstructured_plan
+
+            unstr2 = (derive_unstr(mat, unstructured_plan(mat), checked,
+                                   values2)[:3] + tuple(md.unstr[3:]))
         fold2 = fold_ck2 = None
         cksum2 = _device_checksums(checked, row_axis)
         if md.fold is not None:
@@ -682,6 +717,7 @@ def make_spmv(mat, dtype=jnp.float32, mode: str = None) -> SpmvImpl:
             dense_tb=dense_tb2,
             fold=fold2,
             fold_ck=fold_ck2,
+            unstr=unstr2,
         )
         return stats, md2
 

@@ -139,6 +139,14 @@ def _ellb_ok(mat) -> bool:
 def supports(mat, dtype) -> bool:
     if jnp.dtype(dtype) != jnp.float32:
         return False
+    if mat.exec_kind == "flat":
+        # Benes-route unstructured tier (ops.spmv_unstructured): the
+        # plan is attached at build time from clean planes; without it
+        # the flat path rides the XLA gather fallback.
+        from .spmv_unstructured import wants_unstructured
+
+        return (wants_unstructured(mat)
+                and getattr(mat, "unstr_plan", None) is not None)
     return mat.exec_kind == "dia" or _ellb_ok(mat)
 
 
@@ -170,6 +178,17 @@ def make_pallas_spmv(mat, dtype=jnp.float32, mode: str = None,
             mat.main.exec_size,
         )
     interpret = bool(interpret) if interpret is not None else False
+    if mat.exec_kind == "flat":
+        # Unstructured/expander matrices (and band-split tails): the
+        # Benes permutation-route kernel replaces the XLA gather +
+        # segment scatter when the matrix fits its resident envelope
+        # (ops.spmv_unstructured); the jnp flat path carries the rest.
+        from .spmv_unstructured import make_unstructured_spmv
+
+        impl = make_unstructured_spmv(mat, dtype, mode, interpret)
+        if impl is not None:
+            return impl
+        return make_jnp_spmv(mat, dtype, mode)
     if not supports(mat, dtype):
         return make_jnp_spmv(mat, dtype, mode)
 
@@ -200,6 +219,11 @@ def make_pallas_product(mat, dtype=jnp.float32, mode: str = None,
             return None
         return combine_impls(mp, make_spmv(mat.tail, dtype, mode),
                              mat.main.exec_size)
+    if mat.exec_kind == "flat":
+        from .spmv_unstructured import make_unstructured_spmv
+
+        return make_unstructured_spmv(mat, dtype, mode, bool(interpret),
+                                      detect=False)
     if not supports(mat, dtype):
         return None
     if mat.exec_kind == "dia":

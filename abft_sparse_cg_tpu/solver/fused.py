@@ -320,6 +320,35 @@ def _plan(mat, mode, precond=False, force_streaming=False,
                 use_parity=use_parity, use_cksum=use_cksum)
 
 
+def streamed_bytes_per_iter(mat, mode, check_interval=1):
+    """HBM bytes the megakernel tiers stream per CG iteration — the
+    numerator of the per-tier bandwidth/%SoL fields bench.py and
+    scripts/tpu_bench.py emit (BASELINE's '>= 80% of HBM
+    speed-of-light' target, tracked per kernel tier instead of
+    anecdotally; VERDICT r4 item 7).
+
+    Resident tier: only the plane streams touch HBM (vals + the
+    gather-index plane on ELL + NW detection planes — ONE fold plane
+    in ECC modes).  Streaming tier adds the x read-modify-write and
+    the w write+read (~3 vector planes; p and r stay resident).
+    Split composites add the tail's resident-free re-streams (the NTW
+    detection planes).  Returns None outside the megakernel envelope
+    (the per-iteration tiers share the plane-stream arithmetic but
+    also re-read the BLAS-1 vectors; their figure would not be
+    comparable)."""
+    p = _plan(mat, mode, check_interval=check_interval)
+    if p is None:
+        return None
+    nstreams = (1 if p["kind"] == "dia" else 2) + p["NW"]
+    b = nstreams * p["D"] * p["R"] * 4
+    if p["streaming"]:
+        b += 3 * p["R"] * 4
+    t = p.get("tail")
+    if t:
+        b += t["NTW"] * t["ER"] * 128 * 4
+    return int(b)
+
+
 def _absolute_window_scan(loc, xacc, ext, Hlo, S0, ROWS, WROWS, D):
     """Wide-band window gather as ONE static pass over the chunk's
     extended p rows (the rolled tier's gather).
@@ -431,6 +460,26 @@ def _xor_fold_rows(v, to=1):
     while L > to:
         L //= 2
         v = v[:L] ^ v[L: 2 * L]
+    return v
+
+
+def _or_fold_rows(v, to=1):
+    """OR-fold a (rows, 128) uint32 value down to ``to`` rows — the
+    vectorized 'any nonzero element' reduction (halving folds like
+    _xor_fold_rows; a jnp.any/jnp.sum over a big plane lowers to a
+    serialized scalar reduce, the measured VPU stall the signal
+    accumulators exist to avoid)."""
+    L = v.shape[0]
+    P = 1
+    while P < L:
+        P *= 2
+    if P != L:
+        v = jnp.concatenate(
+            [v, jnp.zeros((P - L, 128), jnp.uint32)], axis=0)
+        L = P
+    while L > to:
+        L //= 2
+        v = v[:L] | v[L: 2 * L]
     return v
 
 
@@ -694,9 +743,17 @@ def _make_kernel(plan, mode, conv, trace_len, interpret):
                 accx = twords[0]
                 for wd in twords[1:]:
                     accx = accx ^ wd
-                cnt = jnp.sum((jax.lax.population_count(accx)
-                               & np.uint32(1)).astype(jnp.int32))
-                t = t | (cnt > 0).astype(jnp.int32)
+                # Vectorized any-odd-parity: OR-fold the parity bits to
+                # one row, rotate-halve across lanes, ONE scalar read.
+                # The previous jnp.sum over the whole (ER, 128) plane
+                # serialized (~765 us/iter on the arrowhead tail,
+                # E~650k — the entire split-secded regression vs jnp,
+                # ZOO_BENCH r4).
+                pb = _or_fold_rows(jax.lax.population_count(accx)
+                                   & np.uint32(1))
+                for rsh in (64, 32, 16, 8, 4, 2, 1):
+                    pb = pb | pltpu.roll(pb, rsh, 1)
+                t = t | (pb[0, 0] != 0).astype(jnp.int32)
             if use_cksum:
                 for wi in range(tail["TW"]):
                     red = _xor_fold_rows(twords[wi])

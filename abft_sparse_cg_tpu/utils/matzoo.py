@@ -304,7 +304,9 @@ ZOO = {
     # too) — the honest routing is the entry-layout (flat) segment-sum
     # path, the one family with no compiled-kernel story yet.
     "powerlaw-graph": (powerlaw_graph,
-                       dict(kind="flat", kernel=False, perm=False)),
+                       # round 5: the Benes-route unstructured tier
+                       # (ops.spmv_unstructured) carries flat matrices
+                       dict(kind="flat", kernel=True, perm=False)),
     "band+random-1pct": (band_plus_random,
                          dict(kind="split", kernel=True, perm=False)),
     "stencil27-shuffled": (stencil27_shuffled,

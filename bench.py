@@ -252,6 +252,25 @@ def main():
             log(f"per-iteration (slope): none {pit_none:.1f} us, secded "
                 f"live {pit_live:.1f} us, secded ci32 {pit_l32:.1f} us "
                 f"({(pit_l32 - pit_none) / pit_none * 100:+.1f}%)")
+            # Streamed bandwidth / % of HBM speed-of-light per tier
+            # (BASELINE '>= 80% of SoL' target, tracked as data —
+            # VERDICT r4 item 7).  Bytes from the kernel plan; time
+            # from the interleaved slope above.
+            from abft_sparse_cg_tpu.solver.fused import (
+                streamed_bytes_per_iter,
+            )
+
+            SOL_GBPS = 819.0
+            for label, mode_mat, mode, pit in (
+                    ("none", mats["none"], "none", pit_none),
+                    ("secded_live", mats["secded"], "secded", pit_live)):
+                by = streamed_bytes_per_iter(mode_mat, mode)
+                if by and pit > 0:
+                    g = by / (pit * 1e-6) / 1e9
+                    out[f"gbps_{label}"] = round(g, 1)
+                    out[f"sol_pct_{label}"] = round(g / SOL_GBPS * 100, 1)
+                    log(f"  streamed {label}: {by / 1e6:.1f} MB/iter = "
+                        f"{g:.0f} GB/s ({g / SOL_GBPS * 100:.0f}% SoL)")
         except Exception as e:  # noqa: BLE001 — keep sequential numbers
             log(f"interleaved protocol failed: {type(e).__name__}: "
                 f"{str(e)[:300]}")

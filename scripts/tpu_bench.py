@@ -229,6 +229,25 @@ def main():
                         }
                         if args.check_interval > 1:
                             rec["ci"] = args.check_interval
+                        # Per-tier streamed bandwidth vs HBM SoL
+                        # (approximate at solve level — includes the
+                        # dispatch floor; the slope protocol in
+                        # bench.py is the precise variant).
+                        if target == "pallas" and res.iterations:
+                            from abft_sparse_cg_tpu.solver.fused import (
+                                streamed_bytes_per_iter,
+                            )
+
+                            by = streamed_bytes_per_iter(
+                                mat, mode,
+                                check_interval=args.check_interval)
+                            if by:
+                                us = (res.solve_seconds * 1e6
+                                      / res.iterations)
+                                g = by / (us * 1e-6) / 1e9
+                                rec["bytes_per_iter"] = by
+                                rec["gbps"] = round(g, 1)
+                                rec["sol_pct"] = round(g / 8.19, 1)
                     except Exception as e:  # noqa: BLE001 — record and move on
                         rec = {
                             "fmt": fmt, "layout": layout, "mode": mode,

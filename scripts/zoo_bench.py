@@ -65,10 +65,19 @@ def run_reference(exe, mtx, mode, timeout=1800):
             int(iters.group(1)) if iters else None)
 
 
-def model_us_per_iter(m):
-    """Calibrated per-iteration cost prediction (formats.split cost
-    constants, fitted on BENCH_TPU rows by scripts/calibrate_cut.py)
-    for mode-none kernel-tier solves; None when no model applies."""
+def model_solve_ms(m, iters):
+    """Calibrated SOLVE-level cost prediction for mode-none pallas
+    runs: F_SOLVE + iters * per-iteration model.  The round-4 zoo rows
+    compared per-ITERATION predictions against solve_ms/iters, which
+    is dominated by the fixed per-solve cost at <10-iteration solves
+    (arrowhead: 5 iters, ~1.6 ms fixed -> model_err_pct -94.6%) —
+    the declared-scope fix of VERDICT r4 item 5.
+
+    Scope fence: returns None outside the validated regimes —
+    per-iteration kernel tiers, high-K slot tier, and any shape whose
+    constants calibrate_cut.py has not fitted.  The split-cut decision
+    (formats.split) uses its own in-scope constants directly; nothing
+    routes on this function blind."""
     from abft_sparse_cg_tpu.formats.split import (
         _MAIN_NS_PER_WROW,
         _MAIN_NS_SCAN,
@@ -78,15 +87,27 @@ def model_us_per_iter(m):
     # DIA stencil: ~0.008 ns/entry resident-tier (BENCH_NOTES: none
     # 19.9 us/iter at 2.46M nnz) — shifted reads, no per-window work.
     DIA_NS = 0.008
-    FLOOR_US = 3.0  # BLAS-1/dispatch floor per iteration at small N
+    # Benes-route unstructured tier: ~0.25 ns per PADDED grid element
+    # (powerlaw: 132 us/iter at M=524288, BENCH_NOTES round 5).
+    UNSTR_NS_PER_M = 0.25
+    # Fixed per-solve cost (AOT dispatch + tunnel sync + BLAS-1 warmup):
+    # measured ~1.6 ms across zoo solves (arrowhead none 1.667 ms at 5
+    # near-free iterations bounds it tightly).
+    F_SOLVE_MS = 1.55
+    _ELL_SLOT_CAP = 512   # validated high-K envelope (round 4)
 
     def ns_for(part):
         if part.exec_kind == "dia":
             return part.nnz * DIA_NS
         if part.exec_kind == "ell":
+            if part.K > _ELL_SLOT_CAP:
+                return None           # out of the validated envelope
             wrows = 2 * (-(-max(part.band, 0) // 128)) + 1
             ns = (_MAIN_NS_PER_WROW if part.band <= 1920 else _MAIN_NS_SCAN)
             return part.nnz * wrows * ns
+        plan = getattr(part, "unstr_plan", None)
+        if plan is not None:
+            return (plan["M"] + plan["V2"]) * UNSTR_NS_PER_M
         return part.nnz * _TAIL_NS
 
     if m.exec_kind == "split":
@@ -97,10 +118,18 @@ def model_us_per_iter(m):
             tail_ns = len(t[0]) * S * 0.06 if S else ns_for(m.tail)
         else:
             tail_ns = ns_for(m.tail)
-        return (ns_for(m.main) + tail_ns) / 1e3 + FLOOR_US
-    if m.exec_kind in ("dia", "ell"):
-        return ns_for(m) / 1e3 + FLOOR_US
-    return None
+        main_ns = ns_for(m.main)
+        if main_ns is None or tail_ns is None:
+            return None
+        periter_us = (main_ns + tail_ns) / 1e3
+    elif m.exec_kind in ("dia", "ell", "flat"):
+        ns = ns_for(m)
+        if ns is None:
+            return None
+        periter_us = ns / 1e3
+    else:
+        return None
+    return F_SOLVE_MS + iters * periter_us / 1e3
 
 
 def main():
@@ -169,12 +198,11 @@ def main():
                             rec[f"iters_{mode}"] = res.iterations
                         if (target == "pallas" and mode == "none"
                                 and res.iterations):
-                            mu = model_us_per_iter(m)
+                            mu = model_solve_ms(m, res.iterations)
+                            rec["model_in_scope"] = mu is not None
                             if mu:
-                                meas = (res.solve_seconds * 1e6
-                                        / res.iterations)
-                                rec["model_us_per_iter"] = round(mu, 2)
-                                rec["meas_us_per_iter"] = round(meas, 2)
+                                meas = res.solve_seconds * 1e3
+                                rec["model_solve_ms"] = round(mu, 3)
                                 rec["model_err_pct"] = round(
                                     (mu - meas) / meas * 100, 1)
                     except Exception as e:  # noqa: BLE001
@@ -189,6 +217,29 @@ def main():
                             f"jnp_{mode}_ms")
                         if ours:
                             rec[f"speedup_{mode}"] = round(ms / ours, 1)
+                        if mode == "none" and it:
+                            # Trajectory parity column (VERDICT r4
+                            # item 6): the native cpu target re-solves
+                            # in f64 with the reference's OWN b (glibc
+                            # rand emulation) — iteration counts must
+                            # agree within the chaotic-phase bound
+                            # tests/test_zoo_parity.py pins; the f32
+                            # kernel count (different b, f32) is
+                            # recorded as context, not parity.
+                            from abft_sparse_cg_tpu.utils.glibc_rand \
+                                import glibc_rand_uniform
+
+                            try:
+                                r64 = create("cpu", mode).solve(
+                                    m, glibc_rand_uniform(m.N), 1000,
+                                    0.001, verbose=False, dtype="f64")
+                                rec["f64_iters"] = int(r64.iterations)
+                                rec["parity_f64"] = (
+                                    abs(r64.iterations - it)
+                                    <= max(1, it // 20))
+                            except Exception as e:  # noqa: BLE001
+                                rec["parity_error"] = (
+                                    f"{type(e).__name__}: {e}"[:150])
         except Exception as e:  # noqa: BLE001
             rec["error"] = f"{type(e).__name__}: {e}"[:300]
         rec["wall_s"] = round(time.time() - t0, 1)
