@@ -304,6 +304,13 @@ _BAND_SPLIT_TRIGGER = 1920
 # segment-sum — the slow-but-correct path for bordered matrices until
 # the outlier-split lands).
 _ELL_MAX_EXPAND = 8.0
+# Kernel envelope of the transposed-ELL slot tier (mirrors
+# ops.spmv_pallas._ELL_MAX_K — the (K, 1024) chunk-plane VMEM wall).
+# Matrices past it have NO compiled ELL path at any band, so routing
+# keeps them off the ELL layout: the flat/Benes-route tier carries
+# >512-slot rows at a measured ~0.25 ns/element (round 5), vs the
+# serialized XLA gather the jnp ELL fallback would pay.
+_PALLAS_MAX_SLOTS = 512
 
 
 def _group_structure(group, gidx, N, nnz, presorted):
@@ -326,7 +333,8 @@ def build_protected(fmt: str, assembled: AssembledMatrix, mode: str,
                     reorder: str = "auto",
                     split: str = "auto",
                     force_perm: np.ndarray = None,
-                    row_align: int = None):
+                    row_align: int = None,
+                    _attach_unstr: bool = True):
     """Encode + lay out a protected matrix.
 
     ``force_exec``: None = auto-select execution layout; "ell"/"dia"
@@ -444,7 +452,12 @@ def build_protected(fmt: str, assembled: AssembledMatrix, mode: str,
         ell = _scatter_exec(planes, layout, ell_slot, (len(uoffs), R))
         dia_offsets = tuple(int(o) for o in uoffs)
     elif force_exec != "ell" and nnz and (
-            force_exec == "flat" or K * R0 > _ELL_MAX_EXPAND * nnz):
+            force_exec == "flat" or K * R0 > _ELL_MAX_EXPAND * nnz
+            # Effectively-dense rows (K past the slot tier's envelope)
+            # with no band-split escape: the Benes-route flat tier is
+            # the only compiled path (VERDICT r4 item 8).
+            or (force_exec is None and K > _PALLAS_MAX_SLOTS
+                and band <= _BAND_SPLIT_TRIGGER)):
         if split == "auto" and force_exec is None and force_perm is None:
             from .split import try_split
 
@@ -485,6 +498,14 @@ def build_protected(fmt: str, assembled: AssembledMatrix, mode: str,
                                   row_ptr, reorder, row_align=row_align)
             if comp is not None:
                 return comp
+        if force_exec is None and K > _PALLAS_MAX_SLOTS:
+            # Wide band AND >512-slot rows, and the band split did not
+            # pay: an ELL layout here would have no compiled kernel at
+            # any tier — rebuild on the flat/Benes route instead.
+            return build_protected(fmt, assembled, mode,
+                                   force_exec="flat", reorder=reorder,
+                                   split="none", force_perm=force_perm,
+                                   row_align=row_align)
         exec_kind = "ell"
         # Transposed ELL: slots on sublanes, rows on lanes (see module
         # docstring) — flat slot = k * R + r.
@@ -520,17 +541,14 @@ def build_protected(fmt: str, assembled: AssembledMatrix, mode: str,
         perm=perm,
         band=band,
     )
-    if exec_kind == "flat":
+    if exec_kind == "flat" and _attach_unstr:
         # Capture the Benes-route plan from the CLEAN build (see the
         # unstr_plan field note); content-cached, so repeated builds of
-        # the same structure pay the routing once.
-        from ..ops.spmv_unstructured import (
-            unstructured_plan,
-            wants_unstructured,
-        )
+        # the same structure pay the routing once.  formats.split
+        # passes _attach_unstr=False for CANDIDATE part builds and
+        # attaches on adoption — a rejected candidate must not pay the
+        # routing computation.
+        from ..ops.spmv_unstructured import attach_plan
 
-        if wants_unstructured(mat):
-            plan = unstructured_plan(mat)
-            if plan is not None:
-                mat = replace(mat, unstr_plan=plan)
+        mat = attach_plan(mat)
     return mat

@@ -272,12 +272,14 @@ def try_band_split(fmt, assembled, mode, layout, planes, row_ptr, reorder,
     a_tail = _sub_assembled(assembled, tail_mask)
     tail = build_protected(fmt, a_tail, mode, reorder="none", split="none",
                            force_perm=perm, force_exec="flat",
-                           row_align=row_align)
+                           row_align=row_align, _attach_unstr=False)
     if tail.R != main.R:
         return None
 
     from ..ecc.codec import ECC_MODES
+    from ..ops.spmv_unstructured import attach_plan
 
+    tail = attach_plan(tail)   # adopted: the tail pays its routing now
     flat_cksum = (flat_checksums(planes, layout, nnz)
                   if mode in ECC_MODES else None)
     return CompositeMatrix(
@@ -335,7 +337,8 @@ def try_split(fmt, assembled, mode, layout, planes, row_ptr, reorder,
 
     a_tail = _sub_assembled(assembled, tail_mask)
     tail = build_protected(fmt, a_tail, mode, reorder="none", split="none",
-                           force_perm=main.perm, row_align=row_align)
+                           force_perm=main.perm, row_align=row_align,
+                           _attach_unstr=False)
     if tail.R != main.R:
         return None  # should not happen (same N); stay safe
     if tail.exec_kind == "flat":
@@ -350,6 +353,9 @@ def try_split(fmt, assembled, mode, layout, planes, row_ptr, reorder,
         # gather over most of nnz would be slower than flat alone.
         return None
 
+    from ..ops.spmv_unstructured import attach_plan
+
+    tail = attach_plan(tail)   # adopted (no-op for span-window tails)
     flat_cksum = (flat_checksums(planes, layout, nnz)
                   if mode in ECC_MODES else None)
     return CompositeMatrix(

@@ -201,10 +201,11 @@ class MatrixDevice(NamedTuple):
     unstr: tuple = None            # flat unstructured matrices on the
     #                               Benes-route kernel tier only
     #                               (ops.spmv_unstructured.derive_unstr):
-    #                               (vals_cs, lo, hiw, ctrl1, ctrl2) —
-    #                               col-sorted value/lane/x-row planes +
-    #                               packed exchange controls.  Derived
-    #                               at upload, re-derived on scrub.
+    #                               (vals_cs, idx, ctrl1, ctrl2) —
+    #                               col-sorted value + packed gather
+    #                               index planes + packed exchange
+    #                               controls.  Derived at upload,
+    #                               re-derived on scrub.
 
 
 class SpmvImpl(NamedTuple):
@@ -693,7 +694,7 @@ def make_spmv(mat, dtype=jnp.float32, mode: str = None) -> SpmvImpl:
             from .spmv_unstructured import derive_unstr, unstructured_plan
 
             unstr2 = (derive_unstr(mat, unstructured_plan(mat), checked,
-                                   values2)[:3] + tuple(md.unstr[3:]))
+                                   values2)[:2] + tuple(md.unstr[2:]))
         fold2 = fold_ck2 = None
         cksum2 = _device_checksums(checked, row_axis)
         if md.fold is not None:

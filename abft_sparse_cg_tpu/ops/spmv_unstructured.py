@@ -44,7 +44,17 @@ from ..utils.benes import benes_route, benes_stages, pack_ctrl
 __all__ = ["wants_unstructured", "unstructured_plan", "derive_unstr",
            "make_unstructured_spmv"]
 
-_MAX_M = 1 << 21          # VMEM-resident cap (~48 MB of planes at 2M)
+_MAX_M = 1 << 20          # Validated envelope cap.  VMEM would allow
+#                           ~2^22 (vals + packed index + product
+#                           scratch + 2 control planes ~= 85 MB), but
+#                           the remote Mosaic compile helper crashes
+#                           (HTTP 500) on the ~85-stage program at
+#                           RRs >= 16384 and its compile time grows
+#                           superlinearly past RRs = 8192 — M = 2^20
+#                           (RRs = 8192) is the largest size that
+#                           compiles reliably; beyond it the flat XLA
+#                           path carries capability.  Revisit if the
+#                           compiler toolchain improves.
 _S_CAP = 512              # max slots per virtual row (hub rows split)
 _ALLOWED = (1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128,
             192, 256, 384, 512)
@@ -70,6 +80,21 @@ def wants_unstructured(mat) -> bool:
     # pow2.  (The plan recomputes exactly; this only gates the build.)
     est = _pow2_at_least(2 * mat.nnz + mat.R)
     return est <= _MAX_M
+
+
+def attach_plan(mat):
+    """Return ``mat`` with the Benes-route plan attached (a no-op when
+    out of envelope) — the build-time chokepoint formats.protected and
+    formats.split share, so candidate layouts that get DISCARDED never
+    pay the routing computation."""
+    if wants_unstructured(mat) and getattr(mat, "unstr_plan",
+                                           None) is None:
+        plan = unstructured_plan(mat)
+        if plan is not None:
+            from dataclasses import replace
+
+            return replace(mat, unstr_plan=plan)
+    return mat
 
 
 def _gidx_clean(mat) -> np.ndarray:
@@ -183,7 +208,12 @@ def unstructured_plan(mat):
 
     # ---- scan windows (clean structure; static) ---------------------
     RRs = M // 128
-    cb = min(_CB, RRs)
+    # Adaptive chunk: the scan unrolls one body per (chunk, x-row in
+    # window) pair, so big grids cap the CHUNK COUNT (~256) rather
+    # than the chunk size — at M=2^22 a fixed cb=16 meant ~2000
+    # unrolled bodies and minutes of Mosaic compile.  All sizes are
+    # powers of two, so cb always divides RRs.
+    cb = min(max(_CB, RRs // 256), 128, RRs)
     hiw_cs = gidx[cs_order] >> 7
     nch = RRs // cb
     windows = []
@@ -236,9 +266,11 @@ def derive_unstr(mat, plan, words, values):
     scrubbed) word planes so a repair heals the fast path — the same
     contract as MatrixDevice.values/dense_td.
 
-    Returns (vals_cs, lo, hiw, ctrl1, ctrl2): value/lane/absolute-x-row
-    planes in col-sorted grid order plus the packed Benes controls
-    (structure; pass-through on scrub)."""
+    Returns (vals_cs, idx, ctrl1, ctrl2): the value plane and the
+    PACKED gather index (x row * 128 + lane; -1 for pad slots — the
+    kernel unpacks with a shift/mask in-register, saving a whole
+    resident plane) in col-sorted grid order, plus the packed Benes
+    controls (structure; pass-through on scrub)."""
     gw = mat.layout.word_names.index(
         "row" if mat.fmt == "coo" else "col")
     g = words[gw][: mat.nnz]
@@ -254,11 +286,9 @@ def derive_unstr(mat, plan, words, values):
     cs = jnp.asarray(plan["cs_order"], jnp.int32)
     pad = M - nnz
     vals_cs = jnp.pad(values[: nnz][cs], (0, pad))
-    g_cs = g[cs]
-    lo = jnp.pad(g_cs & 127, (0, pad))
-    hiw = jnp.pad(g_cs >> 7, (0, pad), constant_values=-1)
+    idx = jnp.pad(g[cs], (0, pad), constant_values=-1)
     shp = (plan["RRs"], 128)
-    return (vals_cs.reshape(shp), lo.reshape(shp), hiw.reshape(shp),
+    return (vals_cs.reshape(shp), idx.reshape(shp),
             jnp.asarray(plan["ctrl1"].reshape(-1, 128)),
             jnp.asarray(plan["ctrl2"].reshape(-1, 128)))
 
@@ -299,7 +329,7 @@ def _make_kernel(plan, interpret):
     windows = plan["windows"]
     stages1, stages2 = plan["stages1"], plan["stages2"]
 
-    def kernel(vals_ref, lo_ref, hiw_ref, c1_ref, c2_ref, x_ref,
+    def kernel(vals_ref, idx_ref, c1_ref, c2_ref, x_ref,
                o_ref, prod_ref, wv_ref):
         # ---- 1. monotone scan-gather + product ----------------------
         for c in range(nch):
@@ -308,8 +338,9 @@ def _make_kernel(plan, interpret):
             if h1 < h0:
                 prod_ref[sl, :] = jnp.zeros((cb, 128), jnp.float32)
                 continue
-            lo = lo_ref[sl, :]
-            hiw = hiw_ref[sl, :]
+            idx = idx_ref[sl, :]
+            lo = idx & 127        # pad slots: idx = -1 -> hiw = -1,
+            hiw = idx >> 7        # never matches a window body
             gx = jnp.zeros((cb, 128), jnp.float32)
             for h in range(h0, h1 + 1):
                 tbl = jnp.broadcast_to(x_ref[h:h + 1, :], (cb, 128))
@@ -332,7 +363,7 @@ def _make_kernel(plan, interpret):
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((RV2, 128), jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((RRs, 128), jnp.float32),
                         pltpu.VMEM((RV2, 128), jnp.float32)],
@@ -361,8 +392,8 @@ def make_unstructured_spmv(mat, dtype, mode, interpret=False,
             raise ValueError(
                 "MatrixDevice.unstr missing — build the device arrays "
                 "with make_matrix_device after the unstructured plan")
-        vals_cs, lo, hiw, c1, c2 = md.unstr
-        out = call(vals_cs, lo, hiw, c1, c2,
+        vals_cs, idx, c1, c2 = md.unstr
+        out = call(vals_cs, idx, c1, c2,
                    x.astype(jnp.float32).reshape(RX, 128))
         w = out[:RX].reshape(-1)
         if extras:

@@ -45,7 +45,8 @@ def benes_stages(M: int) -> list:
     return down + down[-2::-1]
 
 
-def _color_level(in_sw: np.ndarray, out_sw: np.ndarray) -> np.ndarray:
+def _color_level(in_sw: np.ndarray, out_sw: np.ndarray,
+                 max_orbit: int = None) -> np.ndarray:
     """2-color M elements such that the two elements sharing an input
     switch get different colors, and likewise per output switch — the
     Benes looping algorithm, vectorized.
@@ -68,12 +69,22 @@ def _color_level(in_sw: np.ndarray, out_sw: np.ndarray) -> np.ndarray:
     out_mate[order[0::2]] = order[1::2]
     out_mate[order[1::2]] = order[0::2]
     succ = in_mate[out_mate]
-    # Orbit minimum via pointer doubling.
+    # Orbit minimum via pointer doubling.  Early exit: once a round
+    # leaves rep unchanged, rep[i] <= rep[succ^(2^k)(i)] chains around
+    # every orbit, so rep is already the orbit minimum — most switch
+    # cycles are short, making this the common case (the full
+    # log2(M)-round loop dominated build profiles).
     rep = np.arange(M)
     hop = succ
-    steps = max(1, int(M).bit_length())
+    # Orbits never cross the caller's blocks, so their length is
+    # bounded by the block size — lower recursion levels need far
+    # fewer doubling rounds than log2(M).
+    steps = max(1, int(max_orbit or M).bit_length())
     for _ in range(steps):
-        rep = np.minimum(rep, rep[hop])
+        new = np.minimum(rep, rep[hop])
+        if np.array_equal(new, rep):
+            break
+        rep = new
         hop = hop[hop]
     return (rep > rep[in_mate]).astype(np.uint8)
 
@@ -100,7 +111,7 @@ def benes_route(dst: np.ndarray) -> np.ndarray:
         base = (pos // n) * h
         in_sw = base + (li & (h - 1))
         out_sw = base + (rd & (h - 1))
-        color = _color_level(in_sw, out_sw)
+        color = _color_level(in_sw, out_sw, max_orbit=n)
         # First stage (outer, index `level`): element at the TOP pair
         # position goes to the bottom subnet iff color == 1; swap moves
         # it there.  ctrl is pair-symmetric by the coloring property.

@@ -313,6 +313,14 @@ ZOO = {
                            dict(kind="ell", kernel=True, perm=True)),
     "dense-radius-3d": (dense_radius_3d,
                         dict(kind="ell", kernel=True, perm=False)),
+    # K=729 (> the 512-slot ELL envelope at every band): routing must
+    # land on the flat/Benes tier, the r5 answer to VERDICT item 8's
+    # high-K edge.  side=10 keeps the padded slot grid inside the
+    # tier's validated M=2^20 envelope (the remote Mosaic compiler
+    # cannot build the exchange program past RRs=8192).
+    "dense-radius-k729": (
+        lambda: dense_radius_3d(side=10, rx=4, ry=4, rz=4),
+        dict(kind="flat", kernel=True, perm=False)),
     "bitreversal-banded": (bitreversal_banded,
                            dict(kind="dia", kernel=True, perm=True)),
     "arrowhead": (arrowhead,

@@ -78,33 +78,30 @@ def model_solve_ms(m, iters):
     constants calibrate_cut.py has not fitted.  The split-cut decision
     (formats.split) uses its own in-scope constants directly; nothing
     routes on this function blind."""
-    from abft_sparse_cg_tpu.formats.split import (
-        _MAIN_NS_PER_WROW,
-        _MAIN_NS_SCAN,
-        _TAIL_NS,
-    )
+    from abft_sparse_cg_tpu.formats.split import _TAIL_NS
 
     # DIA stencil: ~0.008 ns/entry resident-tier (BENCH_NOTES: none
     # 19.9 us/iter at 2.46M nnz) — shifted reads, no per-window work.
     DIA_NS = 0.008
-    # Benes-route unstructured tier: ~0.25 ns per PADDED grid element
-    # (powerlaw: 132 us/iter at M=524288, BENCH_NOTES round 5).
-    UNSTR_NS_PER_M = 0.25
+    # Benes-route unstructured tier: ~0.13 ns per PADDED grid element
+    # (powerlaw zoo row after floor subtraction: (3.50-1.55) ms / 25
+    # iters = 78 us/iter at M+V2=655360).
+    UNSTR_NS_PER_M = 0.13
     # Fixed per-solve cost (AOT dispatch + tunnel sync + BLAS-1 warmup):
     # measured ~1.6 ms across zoo solves (arrowhead none 1.667 ms at 5
     # near-free iterations bounds it tightly).
     F_SOLVE_MS = 1.55
-    _ELL_SLOT_CAP = 512   # validated high-K envelope (round 4)
 
     def ns_for(part):
         if part.exec_kind == "dia":
             return part.nnz * DIA_NS
         if part.exec_kind == "ell":
-            if part.K > _ELL_SLOT_CAP:
-                return None           # out of the validated envelope
-            wrows = 2 * (-(-max(part.band, 0) // 128)) + 1
-            ns = (_MAIN_NS_PER_WROW if part.band <= 1920 else _MAIN_NS_SCAN)
-            return part.nnz * wrows * ns
+            # The window/slot tiers' per-entry cost spans 2-25x with
+            # band and slot shape (r5 zoo rows: stencil27 +128%,
+            # dense-radius +2571% under the window formula) — OUT OF
+            # SCOPE for the solve model.  The split-cut decision keeps
+            # its own fitted window constants (formats.split).
+            return None
         plan = getattr(part, "unstr_plan", None)
         if plan is not None:
             return (plan["M"] + plan["V2"]) * UNSTR_NS_PER_M

@@ -194,3 +194,35 @@ def test_plan_cache_by_content():
     m1 = random_graph(seed=21)
     m2 = random_graph(seed=21)
     assert unstructured_plan(m1) is unstructured_plan(m2)
+
+
+def test_lazy_ci_clean_matches_live():
+    """The lazy --check-interval schedule on the Benes tier: unchecked
+    iterations run the detection-free product (make_pallas_product
+    routes flat to the detect=False unstructured impl) — clean solves
+    are bit-exact vs the live schedule."""
+    from abft_sparse_cg_tpu.ops.spmv_pallas import make_pallas_product
+    from abft_sparse_cg_tpu.solver.cg import make_lazy_ci_solver
+
+    m = random_graph(n=256, edges=700, seed=11)
+    b = RNG.random(m.N)
+    impl = make_unstructured_spmv(m, jnp.float32, "secded",
+                                  interpret=True)
+    product = make_pallas_product(m, jnp.float32, "secded",
+                                  interpret=True)
+    assert product is not None
+    live = jax.jit(make_cg_solver(impl, 200, 1e-8))
+    lazy = jax.jit(make_lazy_ci_solver(impl, product, 4, 200, 1e-8))
+    md = make_matrix_device(m, jnp.float32)
+    bpad = np.zeros(m.R)
+    bpad[: m.N] = m.to_exec_order(b)
+    bdev = jnp.asarray(bpad, jnp.float32)
+    r1, r2 = live(md, bdev), lazy(md, bdev)
+    assert int(r1.stats.errcode) == 0 and int(r2.stats.errcode) == 0
+    assert int(r1.iterations) == int(r2.iterations)
+    # The products are bit-equal (test_pallas_routing asserts it); the
+    # two loop bodies still compile separately and XLA may reassociate
+    # a BLAS-1 reduction differently, so the trajectories track to
+    # ulp-level rather than bit-exactly on this tier.
+    np.testing.assert_allclose(np.asarray(r1.x), np.asarray(r2.x),
+                               rtol=2e-6, atol=2e-7)

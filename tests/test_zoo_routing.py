@@ -19,7 +19,9 @@ from abft_sparse_cg_tpu.utils.matzoo import ZOO, zoo_assembled
 
 # Families small enough for the CPU test budget; the rest (identical
 # code path, bigger constants) run in scripts/zoo_bench.py only.
-FAST = [n for n in ZOO if n not in ("blockdiag-random",)]
+FAST = [n for n in ZOO if n not in ("blockdiag-random",
+                                    "dense-radius-k729")]  # k729's Benes
+#                                     plan build (~15 s) gets its own test
 
 
 @pytest.mark.parametrize("name", FAST)
@@ -44,6 +46,18 @@ def test_zoo_arrowhead_gets_dense_tail_plan():
     assert m.exec_kind == "split"
     assert m.main.exec_kind == "dia"
     assert m.tail.dense_plan is not None
+
+
+def test_zoo_k729_routes_to_benes_tier():
+    """K=729 > the 512-slot ELL envelope at band <= the split trigger:
+    an ELL layout would have NO compiled kernel at any tier, so
+    routing must rebuild on the flat/Benes route with the plan
+    attached (VERDICT r4 item 8)."""
+    m = build_protected("csr", zoo_assembled("dense-radius-k729"),
+                        "secded", row_align=1024)
+    assert m.exec_kind == "flat" and m.K == 729
+    assert m.unstr_plan is not None
+    assert supports(m, jnp.float32)
 
 
 def test_zoo_highk_k175_on_kernel():
