@@ -693,8 +693,10 @@ def make_spmv(mat, dtype=jnp.float32, mode: str = None) -> SpmvImpl:
             # scrub and the loop-carry pytree keeps its structure.
             from .spmv_unstructured import derive_unstr, unstructured_plan
 
-            unstr2 = (derive_unstr(mat, unstructured_plan(mat), checked,
-                                   values2)[:2] + tuple(md.unstr[2:]))
+            fresh = derive_unstr(mat, unstructured_plan(mat), checked,
+                                 values2)
+            unstr2 = tuple(f[:2] + tuple(o[2:])
+                           for f, o in zip(fresh, md.unstr))
         fold2 = fold_ck2 = None
         cksum2 = _device_checksums(checked, row_axis)
         if md.fold is not None:

@@ -76,10 +76,11 @@ def wants_unstructured(mat) -> bool:
         return False
     if mat.nnz < 1:
         return False
-    # Conservative M bound: slot padding is < 2x nnz + R singles, then
-    # pow2.  (The plan recomputes exactly; this only gates the build.)
-    est = _pow2_at_least(2 * mat.nnz + mat.R)
-    return est <= _MAX_M
+    # Conservative TOTAL bound across row blocks: slot padding is
+    # < 2x nnz + R singles; each block pads to pow2 individually (at
+    # most 2x more).  The plan's exact per-row costing decides for
+    # real; this only gates the build.
+    return 2 * mat.nnz + mat.R <= _MAX_TOTAL_M
 
 
 def attach_plan(mat):
@@ -112,27 +113,12 @@ def _gidx_clean(mat) -> np.ndarray:
     return g
 
 
-def unstructured_plan(mat):
-    """Build-time statics (numpy): source order, scan windows, Benes
-    controls, class-zone geometry.
-
-    The plan attached at BUILD time (ProtectedMatrix.unstr_plan — clean
-    planes, carried through with_planes) always wins: a plan recomputed
-    from fault-exposed planes would bake the corruption into the
-    routing.  The content-cached computation below serves fresh builds
-    and direct test construction."""
-    pre = getattr(mat, "unstr_plan", None)
-    if pre is not None:
-        return pre
-    nnz, R = mat.nnz, mat.R
-    grp = np.asarray(mat.ell["__flat_group__"][:nnz]).astype(np.int64)
-    gidx = _gidx_clean(mat)
-    key = (mat.fmt, nnz, R, mat.N,
-           hash(grp.tobytes()), hash(gidx.tobytes()))
-    hit = _PLAN_CACHE.get(key)
-    if hit is not None:
-        return hit
-
+def _block_plan(grp, gidx, R, RX):
+    """Statics for ONE row block: source order, scan windows, Benes
+    controls, class-zone geometry.  ``grp`` is block-local (0-based),
+    ``gidx`` global (x spans the full matrix); returns None past the
+    validated single-kernel envelope (_MAX_M)."""
+    nnz = len(grp)
     cs_order = np.argsort(gidx, kind="stable")
 
     # ---- virtual rows & slot classes --------------------------------
@@ -244,9 +230,9 @@ def unstructured_plan(mat):
     dst2[np.flatnonzero(rest)] = np.flatnonzero(~used2)
     ctrl2 = pack_ctrl(benes_route(dst2))
 
-    plan = dict(
+    return dict(
         M=M, RRs=RRs, cb=cb, windows=tuple(windows),
-        R=R, RX=R // 128, nnz=nnz,
+        R=R, RX=RX, nnz=nnz,
         cs_order=cs_order.astype(np.int64),
         ctrl1=ctrl1, ctrl2=ctrl2,
         stages1=tuple(benes_stages(M)), stages2=tuple(benes_stages(V2)),
@@ -257,6 +243,97 @@ def unstructured_plan(mat):
         wv_off=tuple(int(class_off[i] // 128) for i in range(len(classes))),
         extras_rows=tuple(int(r) for r in vr_real[extras]),
     )
+
+
+# Per-block target: the proven single-kernel size (compile ~30-40 s,
+# cached across runs).  Blocks cut at 128-row boundaries; a single
+# 128-row group of very dense rows may push one block up to _MAX_M.
+_BLOCK_TARGET = 1 << 19
+_MAX_TOTAL_M = 1 << 23     # across blocks (~16 kernels at the target)
+
+
+def unstructured_plan(mat):
+    """Build-time statics (numpy): contiguous 128-aligned ROW BLOCKS,
+    each with its own _block_plan (source order, windows, Benes
+    controls, class zones).  One kernel per block; w is the
+    concatenation of block outputs — flat entries are row-sorted, so
+    blocks are contiguous entry ranges and need no scatter.  Blocking
+    carries the tier past the single-kernel compile envelope
+    (M = 2^20) to _MAX_TOTAL_M padded slots.
+
+    The plan attached at BUILD time (ProtectedMatrix.unstr_plan — clean
+    planes, carried through with_planes) always wins: a plan recomputed
+    from fault-exposed planes would bake the corruption into the
+    routing.  The content-cached computation below serves fresh builds
+    and direct test construction."""
+    pre = getattr(mat, "unstr_plan", None)
+    if pre is not None:
+        return pre
+    nnz, R = mat.nnz, mat.R
+    grp = np.asarray(mat.ell["__flat_group__"][:nnz]).astype(np.int64)
+    gidx = _gidx_clean(mat)
+    key = (mat.fmt, nnz, R, mat.N,
+           hash(grp.tobytes()), hash(gidx.tobytes()))
+    hit = _PLAN_CACHE.get(key)
+    if hit is not None:
+        return hit
+
+    # Virtual-row slot sizes per row (mirrors _block_plan's slot
+    # assignment), then greedy 128-row-aligned cuts at the block
+    # target — using the EXACT padded size, including the per-class
+    # round-to-128 virtual-row padding (which can reach
+    # 127 * sum(_ALLOWED) ~ 227k slots per block and blew a
+    # row-cost-only estimate past the compile envelope).
+    deg = np.bincount(grp, minlength=R)
+    allowed = np.asarray(_ALLOWED)
+    nA = len(allowed)
+    remn = deg - (deg // _S_CAP) * _S_CAP
+    has_rem = (remn > 0) | (deg == 0)
+    # Per 128-row group: how many full-_S_CAP virtual rows, and how
+    # many remainder virtual rows of each allowed size.
+    full_k = (deg // _S_CAP).reshape(-1, 128).sum(axis=1)
+    rem_cls = np.where(has_rem,
+                       np.searchsorted(allowed, np.maximum(remn, 1)),
+                       nA)             # nA = "no remainder vr"
+    ngrp = R // 128
+    grp_cls = np.zeros((ngrp, nA), np.int64)
+    gidx128 = np.repeat(np.arange(ngrp), 128)
+    sel = rem_cls < nA
+    np.add.at(grp_cls, (gidx128[sel], rem_cls[sel]), 1)
+    grp_cls[:, nA - 1] += full_k       # _S_CAP == allowed[-1]
+
+    def padded(cnts):
+        return int((-(-cnts // 128) * 128 * allowed).sum())
+
+    if padded(grp_cls.sum(axis=0)) > _MAX_TOTAL_M:
+        return None
+    cuts = [0]
+    acc = np.zeros(nA, np.int64)
+    for g in range(ngrp):
+        if acc.any() and padded(acc + grp_cls[g]) > _BLOCK_TARGET:
+            cuts.append(g * 128)
+            acc[:] = 0
+        acc += grp_cls[g]
+    cuts.append(R)
+
+    row_start = np.concatenate([[0], np.cumsum(deg)])
+    blocks = []
+    spans = []
+    for r0, r1 in zip(cuts[:-1], cuts[1:]):
+        e0, e1 = int(row_start[r0]), int(row_start[r1])
+        bp = _block_plan(grp[e0:e1] - r0, gidx[e0:e1], r1 - r0,
+                         R // 128)
+        if bp is None:
+            return None
+        blocks.append(bp)
+        spans.append((int(r0), int(r1), e0, e1))
+
+    plan = dict(
+        blocks=tuple(blocks), spans=tuple(spans),
+        R=R, RX=R // 128, nnz=nnz,
+        M=sum(b["M"] for b in blocks),
+        V2=sum(b["V2"] for b in blocks),
+    )
     _PLAN_CACHE[key] = plan
     return plan
 
@@ -266,11 +343,12 @@ def derive_unstr(mat, plan, words, values):
     scrubbed) word planes so a repair heals the fast path — the same
     contract as MatrixDevice.values/dense_td.
 
-    Returns (vals_cs, idx, ctrl1, ctrl2): the value plane and the
-    PACKED gather index (x row * 128 + lane; -1 for pad slots — the
-    kernel unpacks with a shift/mask in-register, saving a whole
-    resident plane) in col-sorted grid order, plus the packed Benes
-    controls (structure; pass-through on scrub)."""
+    Returns one (vals_cs, idx, ctrl1, ctrl2) tuple PER ROW BLOCK: the
+    value plane and the PACKED gather index (x row * 128 + lane; -1
+    for pad slots — the kernel unpacks with a shift/mask in-register,
+    saving a whole resident plane) in the block's col-sorted grid
+    order, plus its packed Benes controls (structure; pass-through on
+    scrub)."""
     gw = mat.layout.word_names.index(
         "row" if mat.fmt == "coo" else "col")
     g = words[gw][: mat.nnz]
@@ -282,15 +360,18 @@ def derive_unstr(mat, plan, words, values):
 
         g = jnp.asarray(
             inverse_permutation(mat.perm).astype(np.int32))[g]
-    M, nnz = plan["M"], plan["nnz"]
-    cs = jnp.asarray(plan["cs_order"], jnp.int32)
-    pad = M - nnz
-    vals_cs = jnp.pad(values[: nnz][cs], (0, pad))
-    idx = jnp.pad(g[cs], (0, pad), constant_values=-1)
-    shp = (plan["RRs"], 128)
-    return (vals_cs.reshape(shp), idx.reshape(shp),
-            jnp.asarray(plan["ctrl1"].reshape(-1, 128)),
-            jnp.asarray(plan["ctrl2"].reshape(-1, 128)))
+    out = []
+    for bp, (_r0, _r1, e0, e1) in zip(plan["blocks"], plan["spans"]):
+        M, nnz = bp["M"], bp["nnz"]
+        cs = jnp.asarray(bp["cs_order"], jnp.int32)
+        pad = M - nnz
+        vals_cs = jnp.pad(values[e0:e1][cs], (0, pad))
+        idx = jnp.pad(g[e0:e1][cs], (0, pad), constant_values=-1)
+        shp = (bp["RRs"], 128)
+        out.append((vals_cs.reshape(shp), idx.reshape(shp),
+                    jnp.asarray(bp["ctrl1"].reshape(-1, 128)),
+                    jnp.asarray(bp["ctrl2"].reshape(-1, 128))))
+    return tuple(out)
 
 
 def _benes_body(v, ctrl_ref, stages, RR):
@@ -316,18 +397,20 @@ def _benes_body(v, ctrl_ref, stages, RR):
     return v
 
 
-def _make_kernel(plan, interpret):
-    """One pallas_call: scan-gather + product, Benes route, class
-    reductions, Benes unpermute.  Output: (RV2, 128) routed sums whose
-    first R positions are w in exec row order (extras follow)."""
+def _make_kernel(bp, interpret):
+    """One pallas_call per ROW BLOCK: scan-gather + product, Benes
+    route, class reductions, Benes unpermute.  Output: (RV2, 128)
+    routed sums whose first block-row positions are the block's w rows
+    in exec order (split-row extras follow)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    RRs, cb, M = plan["RRs"], plan["cb"], plan["M"]
-    RX, RV, RV2 = plan["RX"], plan["RV"], plan["RV2"]
+    RRs, cb, M = bp["RRs"], bp["cb"], bp["M"]
+    RX, RV, RV2 = bp["RX"], bp["RV"], bp["RV2"]
     nch = RRs // cb
-    windows = plan["windows"]
-    stages1, stages2 = plan["stages1"], plan["stages2"]
+    windows = bp["windows"]
+    stages1, stages2 = bp["stages1"], bp["stages2"]
+    plan = bp    # the class/wv_off loops below read the block plan
 
     def kernel(vals_ref, idx_ref, c1_ref, c2_ref, x_ref,
                o_ref, prod_ref, wv_ref):
@@ -383,23 +466,33 @@ def make_unstructured_spmv(mat, dtype, mode, interpret=False,
     plan = unstructured_plan(mat)
     if plan is None:
         return None
-    call = _make_kernel(plan, interpret)
-    R, RX = plan["R"], plan["RX"]
-    extras = plan["extras_rows"]
+    calls = [_make_kernel(bp, interpret) for bp in plan["blocks"]]
+    RX = plan["RX"]
+    spans = plan["spans"]
 
     def product(md, x):
         if md.unstr is None:
             raise ValueError(
                 "MatrixDevice.unstr missing — build the device arrays "
                 "with make_matrix_device after the unstructured plan")
-        vals_cs, idx, c1, c2 = md.unstr
-        out = call(vals_cs, idx, c1, c2,
-                   x.astype(jnp.float32).reshape(RX, 128))
-        w = out[:RX].reshape(-1)
-        if extras:
-            flat = out.reshape(-1)
-            w = w.at[jnp.asarray(extras, jnp.int32)].add(
-                jax.lax.dynamic_slice(flat, (R,), (len(extras),)))
+        xg = x.astype(jnp.float32).reshape(RX, 128)
+        parts = []
+        fixups = []       # (exec rows, partials) for split hub rows
+        for call, bp, arrs, (r0, r1, _e0, _e1) in zip(
+                calls, plan["blocks"], md.unstr, spans):
+            vals_cs, idx, c1, c2 = arrs
+            out = call(vals_cs, idx, c1, c2, xg)
+            parts.append(out[:(r1 - r0) // 128])
+            ex = bp["extras_rows"]
+            if ex:
+                flat = out.reshape(-1)
+                fixups.append((
+                    jnp.asarray([r0 + r for r in ex], jnp.int32),
+                    jax.lax.dynamic_slice(flat, (r1 - r0,),
+                                          (len(ex),))))
+        w = jnp.concatenate(parts).reshape(-1)
+        for rows, vals in fixups:
+            w = w.at[rows].add(vals)
         return w.astype(dtype)
 
     from .spmv import SpmvImpl, _cksum_mismatch, _parity_any

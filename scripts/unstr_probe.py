@@ -49,6 +49,7 @@ def main():
         if m.unstr_plan is not None:
             rec["M"] = int(m.unstr_plan["M"])
             rec["V2"] = int(m.unstr_plan["V2"])
+            rec["blocks"] = len(m.unstr_plan["blocks"])
         for target in ("pallas", "jnp"):
             try:
                 t0 = time.perf_counter()

@@ -180,7 +180,8 @@ def test_hub_rows_split_and_recombine():
     m = build_protected("csr", assemble(cols, rows, vv, n, 1),
                         "secded", force_exec="flat")
     plan = unstructured_plan(m)
-    assert len(plan["extras_rows"]) >= 1       # hub split happened
+    assert any(len(bp["extras_rows"]) >= 1
+               for bp in plan["blocks"])    # hub split happened
     impl = make_unstructured_spmv(m, jnp.float32, "secded",
                                   interpret=True)
     xc = RNG.random(m.N)
@@ -226,3 +227,34 @@ def test_lazy_ci_clean_matches_live():
     # ulp-level rather than bit-exactly on this tier.
     np.testing.assert_allclose(np.asarray(r1.x), np.asarray(r2.x),
                                rtol=2e-6, atol=2e-7)
+
+
+def test_multiblock_partitioning(monkeypatch):
+    """Row-block partitioning (matrices past the single-kernel compile
+    envelope get one kernel per contiguous 128-row block; w is the
+    concatenation).  Forced here with a tiny block target so the
+    interpret-mode cost stays sane."""
+    import abft_sparse_cg_tpu.ops.spmv_unstructured as su
+
+    monkeypatch.setattr(su, "_BLOCK_TARGET", 4096)
+    su._PLAN_CACHE.clear()
+    try:
+        m = random_graph(n=640, edges=2500, seed=99)
+        plan = unstructured_plan(m)
+        assert len(plan["blocks"]) >= 2
+        # Blocks tile the rows contiguously at 128 alignment.
+        assert plan["spans"][0][0] == 0
+        assert plan["spans"][-1][1] == m.R
+        for (a, b, _e0, _e1), (c, _d, _e, _f) in zip(
+                plan["spans"], plan["spans"][1:]):
+            assert b == c and a % 128 == 0
+        impl = make_unstructured_spmv(m, jnp.float32, "secded",
+                                      interpret=True)
+        xc = RNG.random(m.N)
+        w, trig = exec_product(m, impl, xc)
+        oracle = spmv_dense_oracle(m, xc)
+        assert not trig
+        np.testing.assert_allclose(w, oracle, rtol=1e-5,
+                                   atol=1e-5 * np.abs(oracle).max())
+    finally:
+        su._PLAN_CACHE.clear()
