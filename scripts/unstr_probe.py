@@ -32,8 +32,10 @@ def main():
     print(f"device: {jax.devices()[0]}", file=sys.stderr)
     warm_device()
     n = int(os.environ.get("UNSTR_N", 65536))
+    blocks = int(os.environ.get("UNSTR_BLOCKS", 1))
     rows, cols, vals, n = matzoo.powerlaw_graph(n)
-    a = assemble(cols, rows, vals, n, 1)
+    a = assemble(cols, rows, vals, n, blocks)
+    n = a.N
     b = np.random.default_rng(12345).random(n)
     out = open(os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "BENCH_TPU.jsonl"), "a")
