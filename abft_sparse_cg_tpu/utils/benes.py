@@ -28,10 +28,51 @@ must reach; applying the stages moves it there
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 __all__ = ["benes_stages", "benes_route", "pack_ctrl",
            "apply_benes_np"]
+
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), "native")
+_NATIVE_SO = os.path.join(_NATIVE_DIR, "libbenes_route.so")
+_native_lib = None  # None = not tried, False = unavailable
+
+
+def _load_native():
+    """native/benes_route.cpp — the sequential looping algorithm is
+    pointer chasing a vectorized numpy can't match (~30x at 2^19; the
+    8-block bench-scale build paid ~80 s of numpy routing).  Same
+    build-on-demand + env-gate contract as formats.mmio's parser."""
+    global _native_lib
+    if os.environ.get("ABFT_NO_NATIVE_BENES"):
+        return None   # checked before the cache: tests flip per-case
+    if _native_lib is not None:
+        return _native_lib or None
+    try:
+        import ctypes as ct
+        import subprocess
+
+        src = os.path.join(_NATIVE_DIR, "benes_route.cpp")
+        if not os.path.exists(_NATIVE_SO) or (
+                os.path.getmtime(_NATIVE_SO) < os.path.getmtime(src)):
+            subprocess.run(
+                ["make", "-C", _NATIVE_DIR, "-s", "libbenes_route.so"],
+                check=True, capture_output=True, timeout=120)
+        lib = ct.CDLL(_NATIVE_SO)
+        lib.benes_route.restype = ct.c_int
+        lib.benes_route.argtypes = [
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            ct.c_int64,
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+        ]
+        _native_lib = lib
+    except Exception:   # noqa: BLE001 — any failure means fallback
+        _native_lib = False
+    return _native_lib or None
 
 
 def benes_stages(M: int) -> list:
@@ -96,10 +137,15 @@ def benes_route(dst: np.ndarray) -> np.ndarray:
     ``benes_stages(M)``; ctrl is symmetric within each exchange pair
     (ctrl[s, i] == ctrl[s, i ^ d]).
     """
-    dst = np.asarray(dst, np.int64)
+    dst = np.ascontiguousarray(dst, np.int64)
     M = len(dst)
     stages = benes_stages(M)
     m = int(M).bit_length() - 1
+    lib = _load_native()
+    if lib is not None:
+        ctrl = np.zeros((len(stages), M), np.uint8)
+        if lib.benes_route(dst, M, ctrl) == 0:
+            return ctrl
     ctrl = np.zeros((len(stages), M), np.uint8)
     pos = np.arange(M)
     rd = dst.copy()          # dest relative to the current block

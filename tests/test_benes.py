@@ -70,3 +70,25 @@ def test_pack_ctrl_roundtrip():
 def test_rejects_non_power_of_two():
     with pytest.raises(AssertionError):
         benes_stages(12)
+
+
+def test_native_matches_python(monkeypatch):
+    """The C++ router (native/benes_route.cpp) must emit bit-identical
+    control planes to the numpy looping algorithm... up to the freedom
+    in cycle traversal order — both must ROUTE correctly, which is the
+    semantic contract (apply -> dst)."""
+    from abft_sparse_cg_tpu.utils import benes as B
+
+    if B._load_native() is None:
+        pytest.skip("native router unavailable")
+    for M in (8, 64, 1024, 8192):
+        dst = RNG.permutation(M)
+        ctrl_native = benes_route(dst)
+        monkeypatch.setenv("ABFT_NO_NATIVE_BENES", "1")
+        ctrl_py = benes_route(dst)
+        monkeypatch.delenv("ABFT_NO_NATIVE_BENES")
+        for ctrl in (ctrl_native, ctrl_py):
+            out = apply_benes_np(np.arange(M), ctrl)
+            assert (out[dst] == np.arange(M)).all()
+        # The two algorithms pick colors in different cycle orders, so
+        # bits may differ; both being valid routings is what matters.
