@@ -334,7 +334,8 @@ def build_protected(fmt: str, assembled: AssembledMatrix, mode: str,
                     split: str = "auto",
                     force_perm: np.ndarray = None,
                     row_align: int = None,
-                    _attach_unstr: bool = True):
+                    _attach_unstr: bool = True,
+                    _part: bool = False):
     """Encode + lay out a protected matrix.
 
     ``force_exec``: None = auto-select execution layout; "ell"/"dia"
@@ -498,10 +499,36 @@ def build_protected(fmt: str, assembled: AssembledMatrix, mode: str,
                                   row_ptr, reorder, row_align=row_align)
             if comp is not None:
                 return comp
-        if force_exec is None and K > _PALLAS_MAX_SLOTS:
-            # Wide band AND >512-slot rows, and the band split did not
-            # pay: an ELL layout here would have no compiled kernel at
-            # any tier — rebuild on the flat/Benes route instead.
+        if (force_exec is None and force_perm is None and not _part
+                and 2 <= K <= _PALLAS_MAX_SLOTS
+                and band <= _BAND_KERNEL_MAX and nnz):
+            # A rolled wide-band whole-matrix candidate: the Benes
+            # route beats the window scan with a margin once the band
+            # is wide (measured r5: 2499-band bench matrix 2.8x).
+            # Guarded on the plan actually attaching — otherwise keep
+            # the compiled rolled tier.  force_perm marks a split's
+            # internal part build, whose main must STAY on the banded
+            # kernels.
+            from .split import benes_beats_rolled
+
+            if benes_beats_rolled(nnz, N, band):
+                cand = build_protected(fmt, assembled, mode,
+                                       force_exec="flat",
+                                       reorder=reorder, split="none",
+                                       row_align=row_align)
+                if getattr(cand, "unstr_plan", None) is not None:
+                    return cand
+        if force_exec is None and force_perm is None and not _part and (
+                K > _PALLAS_MAX_SLOTS
+                or band > _BAND_KERNEL_MAX
+                or K < 2):
+            # The band split did not pay, and an ELL layout here would
+            # have NO compiled kernel at any tier (slots past the cap,
+            # band past the widest scan window — the uniform-random-
+            # graph shape — or the degenerate K=1 Mosaic can't lower):
+            # rebuild on the flat/Benes route instead.  Even when the
+            # Benes plan itself is out of envelope, a flat gather
+            # (nnz elements) never loses to an ELL gather (K*R).
             return build_protected(fmt, assembled, mode,
                                    force_exec="flat", reorder=reorder,
                                    split="none", force_perm=force_perm,

@@ -77,6 +77,36 @@ _BAND_TAIL_FALLBACK_FRAC = 0.50
 _MAIN_NS_PER_WROW = 0.20
 _MAIN_NS_SCAN = 0.012
 _TAIL_NS = 12.0
+# Benes-route flat tier (round 5): ~ns per PADDED slot (hardware:
+# powerlaw 0.119, wideband-2499 0.13); padding ~1.3x nnz + ~2.2x R
+# (slot grid + the V2 unpermute).
+_BENES_NS = 0.13
+# The scan model's error band spans ~4x on some shapes (BENCH_NOTES
+# "Cost model scope"); only flip a whole-matrix rolled candidate to
+# the Benes route when the predicted win clears this margin.
+_BENES_MARGIN = 2.0
+
+
+def benes_beats_rolled(nnz: int, N: int, band: int) -> bool:
+    """Whole-matrix decision when a band split has declined: keep the
+    rolled wide-band ELL scan, or rebuild on the flat/Benes-route tier
+    (ops.spmv_unstructured)?  Measured r5 anchor: uniform band 2499 at
+    bench scale — scan 17.9 ms vs Benes 6.4 (none) / 18.5 vs 10.2
+    (secded).  The scan cost scales with the window rows, the Benes
+    cost does not, so wide bands increasingly favor the route; the 2x
+    margin absorbs the scan model's error band."""
+    from .protected import _BAND_SPLIT_TRIGGER
+
+    if band <= _BAND_SPLIT_TRIGGER or not nnz:
+        return False
+    R = -(-N // 128) * 128
+    if nnz + R > (1 << 23):       # past the Benes total envelope
+        return False
+    if band > _ROLLED_MAX_BAND:
+        return True               # no rolled tier exists at all
+    rolled = nnz * (2 * (band // 128) + 1) * _main_ns(band)
+    benes = (1.3 * nnz + 2.2 * R) * _BENES_NS
+    return benes * _BENES_MARGIN < rolled
 
 
 def _main_ns(cut: int) -> float:
@@ -266,13 +296,14 @@ def try_band_split(fmt, assembled, mode, layout, planes, row_ptr, reorder,
 
     main = build_protected(fmt, a_main, mode, reorder="none",
                            split="none", force_perm=perm,
-                           row_align=row_align)
+                           row_align=row_align, _part=True)
     if main.exec_kind not in ("dia", "ell") or main.band > cut:
         return None
     a_tail = _sub_assembled(assembled, tail_mask)
     tail = build_protected(fmt, a_tail, mode, reorder="none", split="none",
                            force_perm=perm, force_exec="flat",
-                           row_align=row_align, _attach_unstr=False)
+                           row_align=row_align, _attach_unstr=False,
+                           _part=True)
     if tail.R != main.R:
         return None
 
@@ -331,14 +362,14 @@ def try_split(fmt, assembled, mode, layout, planes, row_ptr, reorder,
 
     a_main = _sub_assembled(assembled, ~tail_mask)
     main = build_protected(fmt, a_main, mode, reorder=reorder, split="none",
-                           row_align=row_align)
+                           row_align=row_align, _part=True)
     if main.exec_kind == "flat":
         return None  # the core is not banded either; flat alone is simpler
 
     a_tail = _sub_assembled(assembled, tail_mask)
     tail = build_protected(fmt, a_tail, mode, reorder="none", split="none",
                            force_perm=main.perm, row_align=row_align,
-                           _attach_unstr=False)
+                           _attach_unstr=False, _part=True)
     if tail.R != main.R:
         return None  # should not happen (same N); stay safe
     if tail.exec_kind == "flat":

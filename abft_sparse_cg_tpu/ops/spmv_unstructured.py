@@ -76,11 +76,12 @@ def wants_unstructured(mat) -> bool:
         return False
     if mat.nnz < 1:
         return False
-    # Conservative TOTAL bound across row blocks: slot padding is
-    # < 2x nnz + R singles; each block pads to pow2 individually (at
-    # most 2x more).  The plan's exact per-row costing decides for
-    # real; this only gates the build.
-    return 2 * mat.nnz + mat.R <= _MAX_TOTAL_M
+    # Necessary-condition gate only (padded slots >= nnz + one per
+    # empty row): unstructured_plan computes the EXACT padded total
+    # up front (cheap vectorized arithmetic, before any routing) and
+    # returns None past _MAX_TOTAL_M — a 2x-nnz estimate here wrongly
+    # refused low-degree matrices whose real padding is ~1.15x.
+    return mat.nnz + mat.R <= _MAX_TOTAL_M
 
 
 def attach_plan(mat):

@@ -309,8 +309,10 @@ ZOO = {
                        dict(kind="flat", kernel=True, perm=False)),
     "band+random-1pct": (band_plus_random,
                          dict(kind="split", kernel=True, perm=False)),
+    # Round 5: post-RCM band 4681 is rolled-scan territory where the
+    # Benes route wins (benes_beats_rolled) -> flat.
     "stencil27-shuffled": (stencil27_shuffled,
-                           dict(kind="ell", kernel=True, perm=True)),
+                           dict(kind="flat", kernel=True, perm=True)),
     "dense-radius-3d": (dense_radius_3d,
                         dict(kind="ell", kernel=True, perm=False)),
     # K=729 (> the 512-slot ELL envelope at every band): routing must

@@ -169,10 +169,13 @@ def main():
 
     configs = [
         ("dia", False, "dia"),
+        ("unstr", None, None),
         ("ellb", False, "ell"),
         ("ellb-perm", True, "ell"),
         ("split", None, None),
-        ("wideband", None, None),
+        ("wideband", None, "ell"),   # round 5: natural
+        #   routing sends wide uniform bands to the Benes
+        #   tier; force ELL to rot-check the scan kernel
         ("bandsplit", None, None),
         ("poisson3d", None, None),
         ("fatsplit", None, None),
@@ -182,7 +185,25 @@ def main():
     for name, shuffle, force in configs:
         if only and name not in only:
             continue
-        if name == "split":
+        if name == "unstr":
+            # Uniform random graph: no band at any ordering and no hub
+            # outliers (a small powerlaw routes to the bordered split
+            # instead) -> the flat/Benes-route tier (round 5).
+            g = np.random.default_rng(11)
+            un = 32768            # band ~ un at every ordering: past
+            ur = g.integers(1, un, 131072)   # the 16256 scan cap, and
+            uc = (g.random(131072) * ur).astype(np.int64)  # the 50%
+            # band-split tail cap fails -> flat/Benes is the kernel
+            ij = np.unique(np.stack([ur, uc]), axis=1)
+            ur, uc = ij[0], ij[1]
+            uv = -g.random(len(ur))
+            dv = np.zeros(un)
+            np.add.at(dv, ur, np.abs(uv))
+            np.add.at(dv, uc, np.abs(uv))
+            a = assemble(np.concatenate([uc, np.arange(un)]),
+                         np.concatenate([ur, np.arange(un)]),
+                         np.concatenate([uv, dv + 1.0]), un, 1)
+        elif name == "split":
             a = bordered_assembled()
         elif name == "wideband":
             a = wideband_assembled()
@@ -202,6 +223,12 @@ def main():
 
         kw = (dict(reorder="none")
               if name in ("wideband", "fatsplit", "bandsplit") else {})
+        if name == "unstr":
+            # A uniform random graph CAN band-split (75% of |i-j| at
+            # the 16256 cut); with the split off, the kernel-less ELL
+            # rebuild routes it to the Benes tier — the path under
+            # test.
+            kw = dict(split="none")
         m = build_protected("csr", a, "secded", force_exec=force, **kw)
         if name in ("split", "bandsplit"):
             assert m.exec_kind == "split", m.exec_kind
@@ -223,6 +250,9 @@ def main():
             # no-offset-cap stencil tier, megakernel-eligible.
             assert m.exec_kind == "dia" and max(m.dia_offsets) == 1024, \
                 (m.exec_kind, m.dia_offsets)
+        elif name == "unstr":
+            assert m.exec_kind == "flat", m.exec_kind
+            assert m.unstr_plan is not None, "Benes plan missing"
         elif name == "bigoffset":
             assert m.exec_kind == "dia" and max(m.dia_offsets) == 100000
             if os.environ.get("ABFT_FUSED_BIG_OFFSET"):

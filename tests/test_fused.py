@@ -407,7 +407,10 @@ def wideband_matrix(mode, n=4096, b=2500, k=3, seed=2, fmt="csr"):
 
     rows, cols, vals, n = spd_wideband(n, b, k, seed)
     a = assemble(cols, rows, vals, n, 1)
-    m = build_protected(fmt, a, mode, reorder="none")
+    # force_exec pins ELL: round 5's natural route for wide uniform
+    # bands is the flat/Benes tier; these tests exercise the SCAN
+    # kernel specifically.
+    m = build_protected(fmt, a, mode, reorder="none", force_exec="ell")
     assert m.exec_kind == "ell" and m.R % 1024 == 0
     assert m.band > 1920, m.band
     return m

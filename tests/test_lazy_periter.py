@@ -98,7 +98,9 @@ def test_lazy_periter_wideband():
 
     rows, cols, vals, n = spd_wideband(4096, 2200)
     a = assemble(cols, rows, vals, n, 1)
-    m = build_protected("csr", a, "secded", reorder="none")
+    m = build_protected("csr", a, "secded", reorder="none",
+                        force_exec="ell")   # pin the scan kernel (r5:
+    #                                         natural route is Benes)
     assert m.exec_kind == "ell" and m.band > 1920
     run_lazy, run_live = _solvers(m, "secded", 4)
     b = RNG.random(m.N)

@@ -215,7 +215,11 @@ def protected_wideband(mode, n=4096, b=2500, k=3, seed=2):
     rows, cols = np.concatenate(rows), np.concatenate(cols)
     vals = np.where(rows == cols, 30.0, -1.0)
     a = assemble(cols, rows, vals, n, 1)
-    m = build_protected("csr", a, mode, reorder="none")
+    # force_exec pins ELL: these tests exercise the absolute-scan
+    # kernel; the natural route for wide uniform bands is the
+    # flat/Benes tier since round 5.
+    m = build_protected("csr", a, mode, reorder="none",
+                        force_exec="ell")
     assert m.exec_kind == "ell" and m.band > 1920
     return m
 
@@ -289,12 +293,14 @@ def test_k1_ell_falls_back_to_jnp():
                                vals * np.asarray(x)[: m.N], rtol=1e-6)
 
 
-def test_wide_band_falls_back_to_jnp():
+def test_wide_band_past_split_rides_benes():
     """Matrices outside the windowed kernel's envelope (band past even
     the wideband tier's 16256 cap — a label shuffle with reordering
-    disabled) now band-split by default (fat tail, kernel main;
-    tests/test_routing.py); with the split ALSO disabled they
-    transparently use the jnp implementation."""
+    disabled) band-split by default (fat tail, kernel main;
+    tests/test_routing.py).  With the split ALSO disabled, an ELL
+    layout would have NO compiled kernel at any tier, so routing
+    rebuilds on the flat/Benes-route tier instead (round 5) — which
+    still carries a compiled kernel."""
     from abft_sparse_cg_tpu.utils.matgen import shuffle_labels
 
     tri = shuffle_labels(*spd_tridiagonal(32768), seed=1)
@@ -302,13 +308,15 @@ def test_wide_band_falls_back_to_jnp():
     m_split = build_protected("csr", a, "secded", reorder="none")
     assert m_split.exec_kind == "split"
 
-    m_ell = build_protected("csr", a, "secded", reorder="none",
-                            split="none")
-    assert m_ell.exec_kind == "ell" and m_ell.band > 16256
-    assert not supports(m_ell, jnp.float32)
-    impl = make_pallas_spmv(m_ell, jnp.float32, "secded", interpret=True)
-    md = device_matrix(m_ell)
-    x = jnp.asarray(RNG.random(m_ell.R), jnp.float32)
+    m_flat = build_protected("csr", a, "secded", reorder="none",
+                             split="none")
+    assert m_flat.exec_kind == "flat"
+    assert m_flat.unstr_plan is not None
+    assert supports(m_flat, jnp.float32)
+    impl = make_pallas_spmv(m_flat, jnp.float32, "secded",
+                            interpret=True)
+    md = device_matrix(m_flat)
+    x = jnp.asarray(RNG.random(m_flat.R), jnp.float32)
     w, s = jax.jit(impl.full)(md, x)
     assert int(s.errcode) == 0
 

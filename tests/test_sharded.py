@@ -315,7 +315,9 @@ def test_shardmap_kernel_wideband():
 
     rows, cols, vals, n = spd_wideband(24576, 2500)
     a = assemble(cols, rows, vals, n, 1)
-    m = build_protected("csr", a, "secded", reorder="none")
+    m = build_protected("csr", a, "secded", reorder="none",
+                        force_exec="ell")   # pin the scan kernel (r5:
+    #                                         natural route is Benes)
     assert m.exec_kind == "ell" and m.band > 1920
     assert _ell_window(m)[1] > _ELL_MAX_WROWS
     run_sm, run_ref = _shardmap_solvers(m, "secded")
